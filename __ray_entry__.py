@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init()``/``ray.shutdown()`` here or in the library code.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` returns one callable per implemented pipeline/operator
+(SURVEY.md §2); each takes an ``sf_dir``.  The cheque pipelines run on
+the deterministic Lance-shaped synthetic corpus generated per tier
+(FIXTURES.md — the provided sf dirs carry no cheque table, so the
+corpus is a pure function of (seed, tier); generation is cached under
+/tmp).  The text/vector/relational pipelines run directly on the
+provided parquet tables and carry DuckDB oracles in ``oracle_sql()``.
 """
 
 from __future__ import annotations
@@ -20,25 +19,79 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship cheque-extraction pipeline on the sf0.001 tier."""
+    from cheque_ocr_project_ray.fixtures.gen import ensure_fixture
+    from cheque_ocr_project_ray.pipelines.cheque import build_cheque_pipeline
+
+    fixture = ensure_fixture("/root/testdata/sf0.001")
+    return build_cheque_pipeline(fixture)
+
+
+def _cheque_queries() -> dict[str, Callable[[str], Any]]:
+    from cheque_ocr_project_ray.fixtures.gen import ensure_fixture
+    from cheque_ocr_project_ray.pipelines.cheque import build_cheque_pipeline
+
+    def cheque_extract(sf_dir: str):
+        ds = build_cheque_pipeline(ensure_fixture(sf_dir))
+        return ds.drop_columns(["spans_out"])  # flat columns for the driver
+
+    def cheque_spans(sf_dir: str):
+        ds = build_cheque_pipeline(ensure_fixture(sf_dir))
+        return ds.select_columns(["doc_id", "spans_out"])
+
+    def cheque_status_histogram(sf_dir: str):
+        from cheque_ocr_project_ray.pipelines.metrics import status_histogram
+        return status_histogram(build_cheque_pipeline(ensure_fixture(sf_dir)))
+
+    return {
+        "cheque_extract": cheque_extract,
+        "cheque_spans": cheque_spans,
+        "cheque_status_histogram": cheque_status_histogram,
+    }
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    out.update(_cheque_queries())
+    try:
+        from cheque_ocr_project_ray.relational.queries import relational_queries
+        out.update(relational_queries())
+    except ImportError:
+        pass
+    try:
+        from cheque_ocr_project_ray.text.queries import text_queries
+        out.update(text_queries())
+    except ImportError:
+        pass
+    try:
+        from cheque_ocr_project_ray.vector.queries import vector_queries
+        out.update(vector_queries())
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB oracles for the SQL-expressible queries.
+
+    Cheque-pipeline queries run on the generated corpus (not the
+    pre-registered views) and are intentionally omitted → the driver
+    records the weaker rows-only check for them.
     """
-    return {}
+    out: dict[str, str] = {}
+    try:
+        from cheque_ocr_project_ray.relational.queries import relational_oracle_sql
+        out.update(relational_oracle_sql())
+    except ImportError:
+        pass
+    try:
+        from cheque_ocr_project_ray.text.queries import text_oracle_sql
+        out.update(text_oracle_sql())
+    except ImportError:
+        pass
+    try:
+        from cheque_ocr_project_ray.vector.queries import vector_oracle_sql
+        out.update(vector_oracle_sql())
+    except ImportError:
+        pass
+    return out

@@ -1,0 +1,78 @@
+"""Sources: the Lance-shaped cheque table, metadata side table, and the
+content-addressed media store (SURVEY.md §2.1 S1-S6).
+
+The cheque table is read with ``ray.data.read_parquet`` — streaming,
+one block per fragment; swapping in a real Lance reader later only
+touches this module (the I/O seam called out in SURVEY.md §7.5).
+
+``MediaStore`` models the production access pattern for media bytes at
+100 TB scale: content-addressed GETs against a bucketed store, batched
+per bucket and cached per worker — never a cluster-wide shuffle join.
+media_ref format: ``bNNN/<doc_id>_<k>``; bucket ``NNN`` maps to one
+parquet fragment ``media/bucket=NNN/data.parquet``.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from pathlib import Path
+from typing import Iterable
+
+import pyarrow.parquet as pq
+
+import ray.data
+
+
+def read_cheques(fixture_dir: str | Path, limit: int | None = None):
+    """Streaming read of the (doc_id, spans) table."""
+    ds = ray.data.read_parquet(str(Path(fixture_dir) / "cheques"))
+    if limit:
+        ds = ds.limit(limit)
+    return ds
+
+
+def read_meta(fixture_dir: str | Path, columns: list[str] | None = None):
+    """Streaming read of the DBF-mirror metadata table (S4/S5)."""
+    return ray.data.read_parquet(str(Path(fixture_dir) / "meta"), columns=columns)
+
+
+class MediaStore:
+    """Per-worker content-addressed media fetcher with bucket LRU cache.
+
+    One instance lives inside each OCR actor (built once in
+    ``__init__``, SURVEY.md §2.3 A1): per batch, the needed refs are
+    grouped by bucket and each uncached bucket is read once.  The LRU
+    bound keeps worker heap flat regardless of corpus size.
+    """
+
+    def __init__(self, media_dir: str | Path, max_buckets: int = 64):
+        self.media_dir = Path(media_dir)
+        self.max_buckets = max_buckets
+        self._cache: OrderedDict[str, dict[str, bytes]] = OrderedDict()
+
+    def _load_bucket(self, bucket: str) -> dict[str, bytes]:
+        cached = self._cache.get(bucket)
+        if cached is not None:
+            self._cache.move_to_end(bucket)
+            return cached
+        path = self.media_dir / f"bucket={bucket}" / "data.parquet"
+        table = pq.read_table(path, columns=["media_ref", "data"])
+        data = dict(zip(table["media_ref"].to_pylist(),
+                        table["data"].to_pylist()))
+        self._cache[bucket] = data
+        if len(self._cache) > self.max_buckets:
+            self._cache.popitem(last=False)
+        return data
+
+    def get_many(self, refs: Iterable[str]) -> dict[str, bytes]:
+        """Batched GET: group refs by bucket, one bucket read each."""
+        by_bucket: dict[str, list[str]] = {}
+        for ref in refs:
+            bucket = ref.split("/", 1)[0][1:]
+            by_bucket.setdefault(bucket, []).append(ref)
+        out: dict[str, bytes] = {}
+        for bucket, bucket_refs in by_bucket.items():
+            data = self._load_bucket(bucket)
+            for ref in bucket_refs:
+                out[ref] = data[ref]
+        return out

@@ -1,0 +1,85 @@
+"""Field-extraction actor-pool stage (SURVEY.md §2.2 M8-M24 composed).
+
+A callable class: the broadcast drawer dictionary (SURVEY.md §2.4 J2 —
+small side shipped via ``ray.put``, NOT a shuffle join) and the
+per-actor fuzzy-match memo cache (§2.3 A5) are bound once in
+``__init__``; ``__call__`` applies ``oracle.extract_fields`` — the
+exact code path the oracle uses — to every row of an Arrow batch and
+emits the fixed-order ``spans_out`` sequence plus flat field columns.
+
+The per-row body is Python because the semantics are a per-row regex
+cascade with early exits (the reference's contract); the heavy lifting
+(media bytes, OCR decode) happened upstream, and columns stay Arrow
+end-to-end.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray
+
+from cheque_ocr_project_ray.oracle import FIELD_ORDER, extract_fields
+
+SPANS_OUT_TYPE = pa.list_(pa.struct([
+    ("kind", pa.string()),
+    ("text", pa.string()),
+    ("media_ref", pa.string()),
+    ("offset", pa.int32()),
+]))
+
+
+class FieldExtractStage:
+    def __init__(self, drawer_ref, threshold: float = 0.90):
+        # drawer_ref: ray.ObjectRef of the sorted drawer dictionary, or
+        # a plain list when called outside Ray (unit tests).
+        if isinstance(drawer_ref, ray.ObjectRef):
+            self.drawer_dict = ray.get(drawer_ref)
+        else:
+            self.drawer_dict = drawer_ref
+        self.threshold = threshold
+        self.match_cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        full_texts = batch.column("full_text").to_pylist()
+        texts = batch.column("ocr_texts").to_pylist()
+        confs = batch.column("ocr_confs").to_pylist()
+        srcs = batch.column("ocr_srcs").to_pylist()
+
+        rows = []
+        spans_out = []
+        for ft, lt, lc, ls in zip(full_texts, texts, confs, srcs):
+            ocr_lines = list(zip(lt, lc, ls))
+            f = extract_fields(ft, ocr_lines, self.drawer_dict,
+                               threshold=self.threshold,
+                               match_cache=self.match_cache)
+            rows.append(f)
+            values = (f["cheque_type"], f["govt_category"], f["payee"],
+                      f["issuer"], f["status"], f["micr"], f["amount"],
+                      f["date"])
+            refs = ("", "", "", f["issuer_src"], "", "", "", "")
+            spans_out.append([
+                {"kind": k, "text": str(v), "media_ref": r, "offset": i}
+                for i, (k, v, r) in enumerate(zip(FIELD_ORDER, values, refs))
+            ])
+
+        def col(name, typ):
+            return pa.array([r[name] for r in rows], typ)
+
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "spans_out": pa.array(spans_out, SPANS_OUT_TYPE),
+            "cheque_type": col("cheque_type", pa.string()),
+            "is_government": col("is_government", pa.bool_()),
+            "govt_category": col("govt_category", pa.string()),
+            "payee_raw": col("payee_raw", pa.string()),
+            "payee": col("payee", pa.string()),
+            "issuer": col("issuer", pa.string()),
+            "issuer_conf": col("issuer_conf", pa.float64()),
+            "confidence": col("confidence", pa.float64()),
+            "status": col("status", pa.string()),
+            "micr": col("micr", pa.string()),
+            "amount": col("amount", pa.string()),
+            "date": col("date", pa.string()),
+            "media_bytes": batch.column("media_bytes"),
+        })
