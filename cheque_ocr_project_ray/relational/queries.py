@@ -1,0 +1,296 @@
+"""Relational pipelines over the TPC-H-ish test tables — the engine's
+aggregation / join / sort / filter primitives (SURVEY.md §2.5-2.7)
+expressed Ray-Data-first, each with a DuckDB oracle.
+
+Scale patterns demonstrated (and relied on at 100 TB):
+- column pruning at the read (``read_parquet(columns=...)``)
+- partial aggregation inside ``map_batches`` before the small groupby
+  (the combiner pattern — the shuffle moves per-key partials, not rows)
+- broadcast join for small dimension tables; one-shuffle partitioned
+  hash join for large-large
+- per-batch top-k before the tiny global sort (no full sort)
+
+Float outputs are rounded to 4 decimals in BOTH engines so the
+driver's value-hash compares stable digits, not summation order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+import ray.data
+
+from cheque_ocr_project_ray.relational.joins import broadcast_join, hash_join
+
+
+def _pq(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(str(Path(sf_dir) / f"{table}.parquet"),
+                                 columns=columns)
+
+
+# --- Q1-style pricing summary (G1-pattern grouped aggregate) ---------
+def q1_pricing_summary(sf_dir: str):
+    ds = _pq(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity",
+              "l_extendedprice", "l_discount"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(
+            disc_price=batch["l_extendedprice"] * (1 - batch["l_discount"]))
+        g = batch.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    from ray.data.aggregate import Sum
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        from cheque_ocr_project_ray.util import round_half_up
+        batch["avg_qty"] = round_half_up(
+            batch["sum_qty"] / batch["count_order"], 4)
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            batch[c] = round_half_up(batch[c], 4)
+        return batch
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4)                          AS sum_qty,
+       round(sum(l_extendedprice), 4)                     AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)  AS sum_disc_price,
+       count(*)                                           AS count_order,
+       round(sum(l_quantity) / count(*), 4)               AS avg_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- revenue per nation (broadcast dimension joins) ------------------
+def revenue_by_nation(sf_dir: str):
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    customer = pq.read_table(str(Path(sf_dir) / "customer.parquet"),
+                             columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(str(Path(sf_dir) / "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    cust_pdf = customer.to_pandas().rename(columns={"c_custkey": "o_custkey"})
+    dim = cust_pdf.merge(
+        nation.to_pandas().rename(columns={"n_nationkey": "c_nationkey"}),
+        on="c_nationkey")[["o_custkey", "n_name"]]
+
+    import pyarrow as pa
+    joined = broadcast_join(orders, pa.Table.from_pandas(dim), on="o_custkey")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("n_name", as_index=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size"))
+
+    from ray.data.aggregate import Sum
+    agg = joined.map_batches(partial, batch_format="pandas") \
+        .groupby("n_name").aggregate(
+            Sum("revenue", alias_name="revenue"),
+            Sum("n_orders", alias_name="n_orders"))
+    return agg.map_batches(
+        lambda b: b.assign(revenue=b["revenue"].round(4)),
+        batch_format="pandas")
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n_name,
+       round(sum(o_totalprice), 4) AS revenue,
+       count(*)                    AS n_orders
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN nation   ON n_nationkey = c_nationkey
+GROUP BY n_name
+"""
+
+
+# --- top-k without a global sort -------------------------------------
+def top_orders(sf_dir: str, k: int = 10):
+    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]).head(k)
+
+    candidates = ds.map_batches(local_topk, batch_format="pandas")
+    return candidates.sort(["o_totalprice", "o_orderkey"],
+                           descending=[True, False]).limit(k)
+
+
+TOP_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# --- filter + project + computed column ------------------------------
+def high_discount_lineitems(sf_dir: str):
+    import pyarrow.compute as pc
+    import pyarrow as pa
+    ds = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = pc.greater(batch["l_discount"], 0.08)
+        batch = batch.filter(mask)
+        revenue = pc.round(
+            pc.multiply(batch["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), batch["l_discount"])),
+            ndigits=4)
+        return batch.append_column("revenue", revenue)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+HIGH_DISCOUNT_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+       round(l_extendedprice * (1 - l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_discount > 0.08
+"""
+
+
+# --- large-large partitioned hash join -------------------------------
+def order_priority_revenue(sf_dir: str):
+    lineitem = _pq(sf_dir, "lineitem",
+                   ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_revenue(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": batch["l_orderkey"],
+            "revenue": batch["l_extendedprice"] * (1 - batch["l_discount"]),
+        })
+
+    li = lineitem.map_batches(li_revenue, batch_format="pandas")
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = hash_join(li, orders, on="o_orderkey")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("o_orderpriority", as_index=False).agg(
+            revenue=("revenue", "sum"), n_lineitems=("revenue", "size"))
+
+    from ray.data.aggregate import Sum
+    agg = joined.map_batches(partial, batch_format="pandas") \
+        .groupby("o_orderpriority").aggregate(
+            Sum("revenue", alias_name="revenue"),
+            Sum("n_lineitems", alias_name="n_lineitems"))
+    return agg.map_batches(
+        lambda b: b.assign(revenue=b["revenue"].round(4)),
+        batch_format="pandas")
+
+
+ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*)                                          AS n_lineitems
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# --- streaming-shaped: hourly tumbling window over events ------------
+def events_hourly(sf_dir: str):
+    ds = _pq(sf_dir, "events", ["ts", "user_id", "event_type", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # normalize to µs explicitly — pandas 2 preserves parquet's
+        # timestamp[us], so a bare astype(int64) unit depends on input
+        us = batch["ts"].astype("datetime64[us]").astype("int64")
+        batch = batch.assign(hour=us // 3_600_000_000)
+        return batch.groupby(["user_id", "hour"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum"))
+
+    from ray.data.aggregate import Sum
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(["user_id", "hour"]).aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"))
+    return agg.map_batches(
+        lambda b: b.assign(sum_value=b["sum_value"].round(4)),
+        batch_format="pandas")
+
+
+EVENTS_HOURLY_SQL = """
+SELECT user_id,
+       epoch_us(ts) // 3600000000 AS hour,
+       count(*)                   AS n_events,
+       round(sum(value), 4)       AS sum_value
+FROM events
+GROUP BY user_id, hour
+"""
+
+
+# --- event-type histogram (dictionary groupby) -----------------------
+def events_type_stats(sf_dir: str):
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("event_type", as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum"))
+
+    from ray.data.aggregate import Sum
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("event_type").aggregate(
+            Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        from cheque_ocr_project_ray.util import round_half_up
+        b["mean_value"] = round_half_up(b["sum_value"] / b["n"], 4)
+        b["sum_value"] = round_half_up(b["sum_value"], 4)
+        return b
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+EVENTS_TYPE_SQL = """
+SELECT event_type, count(*) AS n,
+       round(sum(value), 4) AS sum_value,
+       round(sum(value) / count(*), 4) AS mean_value
+FROM events
+GROUP BY event_type
+"""
+
+
+def relational_queries() -> dict[str, Callable]:
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "revenue_by_nation": revenue_by_nation,
+        "top_orders": top_orders,
+        "high_discount_lineitems": high_discount_lineitems,
+        "order_priority_revenue": order_priority_revenue,
+        "events_hourly": events_hourly,
+        "events_type_stats": events_type_stats,
+    }
+
+
+def relational_oracle_sql() -> dict[str, str]:
+    return {
+        "q1_pricing_summary": Q1_SQL,
+        "revenue_by_nation": REVENUE_BY_NATION_SQL,
+        "top_orders": TOP_ORDERS_SQL,
+        "high_discount_lineitems": HIGH_DISCOUNT_SQL,
+        "order_priority_revenue": ORDER_PRIORITY_SQL,
+        "events_hourly": EVENTS_HOURLY_SQL,
+        "events_type_stats": EVENTS_TYPE_SQL,
+    }

@@ -1,0 +1,211 @@
+"""Deduplication operators: exact, prefix, MinHash+LSH, SimHash,
+n-gram Jaccard — the standard large-scale training-data dedup family,
+each expressed in Ray Data's shuffle vocabulary:
+
+- exact / prefix: content-hash column in ``map_batches`` →
+  ``groupby(hash)`` keep-first (one shuffle over (hash, doc_id) pairs,
+  never over full texts)
+- MinHash LSH: shingle→minhash signature per batch → explode to
+  (band_id, band_hash, doc_id) rows → ``groupby`` over bands →
+  candidate pairs → exact-Jaccard verification via point re-reads
+- SimHash: 64-bit signature per doc; duplicates = equal signatures
+
+All hashes are blake2b/crc-style and seeded — deterministic across
+processes and cluster sizes (Python's builtin ``hash`` is
+intentionally NOT used).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+
+from ray.data.aggregate import Count, Min
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _stable64(token: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def shingles(text: str, k: int = 3) -> set[int]:
+    """crc32 hashes of word k-grams (rolling over the token stream)."""
+    ws = text.split()
+    if len(ws) < k:
+        return {zlib.crc32(" ".join(ws).encode("utf-8"))} if ws else set()
+    return {zlib.crc32(" ".join(ws[i:i + k]).encode("utf-8"))
+            for i in range(len(ws) - k + 1)}
+
+
+def minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    # a < 2^30 and 32-bit shingle hashes keep a*h + b inside int64 —
+    # exact arithmetic, no object-dtype fallback.
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 30, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_signature(sh: Iterable[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    h = np.fromiter(sh, dtype=np.int64)
+    if h.size == 0:
+        return np.full(a.shape, _MERSENNE, dtype=np.int64)
+    # (a*h + b) mod p for each permutation — one vectorized outer op
+    vals = (np.multiply.outer(a, h) + b[:, None]) % _MERSENNE
+    return vals.min(axis=1).astype(np.int64)
+
+
+def band_hashes(sig: np.ndarray, bands: int) -> list[str]:
+    r = len(sig) // bands
+    out = []
+    for i in range(bands):
+        chunk = sig[i * r:(i + 1) * r].tobytes()
+        out.append(hashlib.blake2b(chunk, digest_size=8).hexdigest())
+    return out
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word features (signed int64 for Arrow)."""
+    words = text.split()
+    if not words:
+        return 0
+    # hashes are full-range uint64 — keep everything unsigned in numpy
+    hs = np.fromiter((_stable64(w) for w in words), dtype=np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
+    acc = np.where(bits == 1, 1, -1).sum(axis=0)
+    out = int(np.bitwise_or.reduce(
+        np.where(acc > 0, np.uint64(1) << shifts, np.uint64(0))))
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+# --- Ray Data compositions ------------------------------------------
+
+def exact_dedup(docs_ds):
+    """Exact dedup by full-text hash: keep min doc_id per text.
+
+    Output: (text_hash, doc_id, n_dups) — one row per distinct text.
+    """
+    def hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "text_hash": batch["text"].map(
+                lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()),
+            "doc_id": batch["doc_id"],
+        })
+
+    hashed = docs_ds.map_batches(hash_batch, batch_format="pandas")
+    return hashed.groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        Count(alias_name="n_dups"))
+
+
+def prefix_dedup(docs_ds, prefix_len: int = 40):
+    """Near-dup by text prefix: cheap blocking key demonstration."""
+    def key_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "prefix": batch["text"].str.slice(0, prefix_len),
+            "doc_id": batch["doc_id"],
+        })
+
+    keyed = docs_ds.map_batches(key_batch, batch_format="pandas")
+    return keyed.groupby("prefix").aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        Count(alias_name="n_dups"))
+
+
+def minhash_bands(docs_ds, num_perm: int = 64, bands: int = 16,
+                  shingle_k: int = 3):
+    """Stage 1-2 of MinHash LSH: signatures → exploded band rows."""
+    a, b = minhash_params(num_perm)
+
+    def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
+        rows_band, rows_hash, rows_doc = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            sig = minhash_signature(shingles(text, shingle_k), a, b)
+            for band_id, bh in enumerate(band_hashes(sig, bands)):
+                rows_band.append(band_id)
+                rows_hash.append(bh)
+                rows_doc.append(doc_id)
+        return pd.DataFrame({
+            "band_id": rows_band, "band_hash": rows_hash, "doc_id": rows_doc})
+
+    return docs_ds.map_batches(to_bands, batch_format="pandas")
+
+
+def minhash_candidates(docs_ds, num_perm: int = 64, bands: int = 16,
+                       shingle_k: int = 3):
+    """Candidate duplicate pairs from LSH buckets (doc_a < doc_b)."""
+    banded = minhash_bands(docs_ds, num_perm, bands, shingle_k)
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(group["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+    cand = banded.groupby(["band_id", "band_hash"]).map_groups(
+        pairs, batch_format="pandas")
+    # same pair can surface from several bands — dedup via groupby
+    return cand.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="n_bands"))
+
+
+def minhash_dedup_pairs(docs_ds, docs_by_id_loader, num_perm: int = 64,
+                        bands: int = 16, shingle_k: int = 3,
+                        threshold: float = 0.6) -> pd.DataFrame:
+    """Full MinHash LSH dedup: candidates + exact-Jaccard verification.
+
+    ``docs_by_id_loader(ids) -> dict[id, text]`` re-reads only the
+    candidate docs (point lookups — at scale this is an indexed fetch,
+    not a broadcast of the corpus).  Returns verified pairs (small,
+    driver-side by construction).
+    """
+    cand = minhash_candidates(docs_ds, num_perm, bands, shingle_k).to_pandas()
+    if cand.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    ids = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
+    texts = docs_by_id_loader(ids)
+    sh = {i: shingles(texts[i], shingle_k) for i in ids}
+    jac = [jaccard(sh[x], sh[y]) for x, y in zip(cand["doc_a"], cand["doc_b"])]
+    cand = cand.assign(jaccard=np.round(jac, 4))
+    out = cand[cand["jaccard"] >= threshold][["doc_a", "doc_b", "jaccard"]]
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def simhash_docs(docs_ds):
+    """64-bit SimHash per document (signed int64)."""
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "simhash": batch["text"].map(simhash64).astype("int64"),
+        })
+
+    return docs_ds.map_batches(fn, batch_format="pandas")
+
+
+def ngram_jaccard_pairs(docs_ds, docs_by_id_loader, shingle_k: int = 2,
+                        threshold: float = 0.5) -> pd.DataFrame:
+    """n-gram Jaccard near-dup via the same LSH blocking (smaller k →
+    looser blocking)."""
+    return minhash_dedup_pairs(docs_ds, docs_by_id_loader, num_perm=32,
+                               bands=16, shingle_k=shingle_k,
+                               threshold=threshold)

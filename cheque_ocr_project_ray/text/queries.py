@@ -1,0 +1,163 @@
+"""Driver-facing text queries over the ``documents`` table, with
+DuckDB oracles where SQL can express the same deterministic rule.
+
+MinHash/SimHash/Jaccard entries are genuinely non-SQL-expressible
+(seeded hash families) → rows-only checks, as the contract allows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from pathlib import Path
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+import ray.data
+
+from cheque_ocr_project_ray.text import analysis, dedup
+
+
+def _docs(sf_dir: str):
+    return ray.data.read_parquet(str(Path(sf_dir) / "documents.parquet"),
+                                 columns=["doc_id", "text"])
+
+
+def _docs_loader(sf_dir: str):
+    def load(ids):
+        import pyarrow.compute as pc
+        t = pq.read_table(str(Path(sf_dir) / "documents.parquet"),
+                          columns=["doc_id", "text"],
+                          filters=[("doc_id", "in", list(ids))])
+        return dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    return load
+
+
+def doc_token_stats(sf_dir: str):
+    return _docs(sf_dir).map_batches(analysis.token_stats,
+                                     batch_format="pandas")
+
+
+TOKEN_STATS_SQL = """
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       length(text)                                   AS n_chars
+FROM documents
+"""
+
+
+def doc_quality(sf_dir: str):
+    return _docs(sf_dir).map_batches(analysis.quality_counts,
+                                     batch_format="pandas")
+
+
+QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_filter(toks, x -> x IN ('a', 'the'))) AS stop_hits,
+       len(list_distinct(toks)) AS distinct_tokens,
+       round(len(list_filter(toks, x -> x IN ('a', 'the'))) * 1.0
+             / len(toks), 4) AS stop_ratio,
+       round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS ttr
+FROM t
+"""
+
+
+def doc_lang_id(sf_dir: str):
+    return _docs(sf_dir).map_batches(analysis.lang_id, batch_format="pandas")
+
+
+LANG_ID_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), hits AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> x IN ('the', 'a', 'of')))  AS en,
+         len(list_filter(toks, x -> x IN ('el', 'la', 'los'))) AS es,
+         len(list_filter(toks, x -> x IN ('le', 'les', 'des'))) AS fr
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN en = 0 AND es = 0 AND fr = 0 THEN 'und'
+            WHEN en >= es AND en >= fr THEN 'en'
+            WHEN es >= fr THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM hits
+"""
+
+
+def doc_fingerprint(sf_dir: str):
+    return _docs(sf_dir).map_batches(analysis.fingerprint,
+                                     batch_format="pandas")
+
+
+FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+def dedup_exact(sf_dir: str):
+    return dedup.exact_dedup(_docs(sf_dir))
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_dups
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+def dedup_prefix(sf_dir: str):
+    return dedup.prefix_dedup(_docs(sf_dir), prefix_len=40)
+
+
+DEDUP_PREFIX_SQL = """
+SELECT substr(text, 1, 40) AS prefix, min(doc_id) AS doc_id,
+       count(*) AS n_dups
+FROM documents
+GROUP BY substr(text, 1, 40)
+"""
+
+
+def dedup_minhash(sf_dir: str) -> pd.DataFrame:
+    return dedup.minhash_dedup_pairs(
+        _docs(sf_dir), _docs_loader(sf_dir), threshold=0.6)
+
+
+def dedup_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _docs(sf_dir), _docs_loader(sf_dir), shingle_k=2, threshold=0.5)
+
+
+def doc_simhash(sf_dir: str):
+    return dedup.simhash_docs(_docs(sf_dir))
+
+
+def text_queries() -> dict[str, Callable]:
+    return {
+        "doc_token_stats": doc_token_stats,
+        "doc_quality": doc_quality,
+        "doc_lang_id": doc_lang_id,
+        "doc_fingerprint": doc_fingerprint,
+        "dedup_exact": dedup_exact,
+        "dedup_prefix": dedup_prefix,
+        "dedup_minhash": dedup_minhash,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "doc_simhash": doc_simhash,
+    }
+
+
+def text_oracle_sql() -> dict[str, str]:
+    return {
+        "doc_token_stats": TOKEN_STATS_SQL,
+        "doc_quality": QUALITY_SQL,
+        "doc_lang_id": LANG_ID_SQL,
+        "doc_fingerprint": FINGERPRINT_SQL,
+        "dedup_exact": DEDUP_EXACT_SQL,
+        "dedup_prefix": DEDUP_PREFIX_SQL,
+        # dedup_minhash / dedup_ngram_jaccard / doc_simhash: seeded
+        # hash families — not SQL-expressible → rows-only checks.
+    }

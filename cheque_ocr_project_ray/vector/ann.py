@@ -1,0 +1,133 @@
+"""Similarity search over the ``embeddings`` table.
+
+- ``brute_force_topk``: the exactness baseline — numpy matmul per
+  batch against a broadcast query matrix, per-batch top-k, tiny global
+  merge.  Work per batch is one GEMV; the only global step is a sort
+  of ≤ k×num_blocks candidate rows.
+- ``lsh_topk``: the scale path — random-hyperplane signatures bucket
+  the corpus; the query probes only its own bucket (and optional
+  neighbor buckets by Hamming distance ≤ 1).  Recall < 1 by design;
+  the test checks bucket containment + that results are a subset of
+  brute-force order.
+- ``cosine_neardup_pairs``: embedding near-dup detection via the same
+  LSH buckets (groupby bucket → pairwise cosine inside the bucket).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+
+def _batch_matrix(batch: pd.DataFrame) -> np.ndarray:
+    return np.asarray(batch["embedding"].to_list(), dtype=np.float64)
+
+
+def brute_force_topk(emb_ds, query_vec: np.ndarray, k: int = 10):
+    """Exact cosine top-k: per-batch candidates → global sort+limit."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    q_ref = ray.put(q)
+
+    class _Scorer:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = _batch_matrix(batch)
+            norms = np.linalg.norm(m, axis=1)
+            cos = (m @ self.q) / np.where(norms == 0, 1, norms)
+            from cheque_ocr_project_ray.util import round_half_up
+            out = pd.DataFrame({
+                "vec_id": batch["vec_id"].to_numpy(),
+                "cos": round_half_up(cos, 5),
+            })
+            return out.sort_values(["cos", "vec_id"],
+                                   ascending=[False, True]).head(k)
+
+    cand = emb_ds.map_batches(_Scorer, batch_format="pandas",
+                              concurrency=(1, 4))
+    return cand.sort(["cos", "vec_id"], descending=[True, False]).limit(k)
+
+
+def hyperplanes(dim: int, n_planes: int = 8, seed: int = 11) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_signature(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (m @ planes.T) > 0
+    return bits @ (1 << np.arange(planes.shape[0]))
+
+
+def add_lsh_bucket(emb_ds, planes: np.ndarray):
+    planes_ref = ray.put(planes)
+
+    class _Bucketer:
+        def __init__(self):
+            self.planes = ray.get(planes_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = _batch_matrix(batch)
+            batch = batch.copy()
+            batch["bucket"] = lsh_signature(m, self.planes).astype("int64")
+            return batch
+
+    return emb_ds.map_batches(_Bucketer, batch_format="pandas",
+                              concurrency=(1, 4))
+
+
+def lsh_topk(emb_ds, query_vec: np.ndarray, k: int = 10,
+             n_planes: int = 8, probe_hamming: int = 1):
+    """Approximate top-k: score only vectors in the query's LSH bucket
+    (plus Hamming≤probe neighbors)."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q_bucket = int(lsh_signature(q[None, :], planes)[0])
+    probe = {q_bucket}
+    if probe_hamming >= 1:
+        probe |= {q_bucket ^ (1 << i) for i in range(n_planes)}
+
+    bucketed = add_lsh_bucket(emb_ds, planes)
+    probe_list = sorted(probe)
+
+    def in_probe(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["bucket"].isin(probe_list)]
+
+    candidates = bucketed.map_batches(in_probe, batch_format="pandas")
+    return brute_force_topk(candidates, query_vec, k)
+
+
+def cosine_neardup_pairs(emb_ds, n_planes: int = 8,
+                         threshold: float = 0.95) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs via LSH bucket blocking."""
+    planes_holder: dict = {}
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        m = _batch_matrix(group)
+        norms = np.linalg.norm(m, axis=1)
+        mn = m / np.where(norms == 0, 1, norms)[:, None]
+        cos = mn @ mn.T
+        ids = group["vec_id"].to_numpy()
+        ii, jj = np.where(np.triu(cos, 1) >= threshold)
+        return pd.DataFrame({
+            "vec_a": np.minimum(ids[ii], ids[jj]).astype("int64"),
+            "vec_b": np.maximum(ids[ii], ids[jj]).astype("int64"),
+            "cos": np.round(cos[ii, jj], 5).astype("float64"),
+        })
+
+    # need dim for planes: read lazily from the first batch via schema
+    dim_probe = emb_ds.take(1)[0]["embedding"]
+    planes = hyperplanes(len(dim_probe), n_planes)
+    bucketed = add_lsh_bucket(emb_ds, planes)
+    out = bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    pdf = out.to_pandas()
+    if pdf.empty or "vec_a" not in pdf.columns:
+        pdf = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                            "vec_b": pd.Series([], dtype="int64"),
+                            "cos": pd.Series([], dtype="float64")})
+    return pdf.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

@@ -1,0 +1,100 @@
+"""Driver-facing vector queries over the ``embeddings`` table.
+
+``ann_cosine_topk`` carries a DuckDB oracle (list_cosine_similarity
+agrees with float64 numpy to 5 decimals — validated in tests);
+the LSH variants are seeded-hash approximations → rows-only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+import ray.data
+
+from cheque_ocr_project_ray.vector import ann
+
+
+def _emb(sf_dir: str):
+    return ray.data.read_parquet(str(Path(sf_dir) / "embeddings.parquet"),
+                                 columns=["vec_id", "embedding"])
+
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(str(Path(sf_dir) / "embeddings.parquet"),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "=", 0)])
+    return np.asarray(t["embedding"].to_pylist()[0], dtype=np.float64)
+
+
+def ann_cosine_topk(sf_dir: str):
+    return ann.brute_force_topk(_emb(sf_dir), _query_vec(sf_dir), k=10)
+
+
+ANN_TOPK_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 5) AS cos
+FROM embeddings e, q
+ORDER BY cos DESC, vec_id
+LIMIT 10
+"""
+
+
+def ann_lsh_topk(sf_dir: str):
+    return ann.lsh_topk(_emb(sf_dir), _query_vec(sf_dir), k=10)
+
+
+def embedding_neardup(sf_dir: str) -> pd.DataFrame:
+    return ann.cosine_neardup_pairs(_emb(sf_dir), threshold=0.95)
+
+
+def label_stats(sf_dir: str):
+    """Grouped stats over the vector table (count + first-component mean)."""
+    ds = ray.data.read_parquet(str(Path(sf_dir) / "embeddings.parquet"),
+                               columns=["label", "embedding"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        first = batch["embedding"].map(lambda v: float(v[0]))
+        return batch.assign(first=first).groupby("label", as_index=False).agg(
+            n=("first", "size"), sum_first=("first", "sum"))
+
+    from ray.data.aggregate import Sum
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("label").aggregate(
+            Sum("n", alias_name="n"), Sum("sum_first", alias_name="sum_first"))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        from cheque_ocr_project_ray.util import round_half_up
+        b["mean_first"] = round_half_up(b["sum_first"] / b["n"], 4)
+        return b.drop(columns=["sum_first"])
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+LABEL_STATS_SQL = """
+SELECT label, count(*) AS n,
+       round(sum(embedding[1]) / count(*), 4) AS mean_first
+FROM embeddings
+GROUP BY label
+"""
+
+
+def vector_queries() -> dict[str, Callable]:
+    return {
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "embedding_neardup": embedding_neardup,
+        "label_stats": label_stats,
+    }
+
+
+def vector_oracle_sql() -> dict[str, str]:
+    return {
+        "ann_cosine_topk": ANN_TOPK_SQL,
+        "label_stats": LABEL_STATS_SQL,
+    }

@@ -1,0 +1,105 @@
+"""Text analysis + dedup operator tests (synthetic planted duplicates)."""
+
+import hashlib
+
+import pandas as pd
+import pytest
+
+import ray.data
+
+from cheque_ocr_project_ray.text import analysis, dedup
+
+
+def docs_ds(rows):
+    return ray.data.from_items(rows)
+
+
+BASE = ("the quick brown fox jumps over a lazy dog near the old river "
+        "bank while a cold wind blows through the tall dry grass").split()
+
+
+def make_text(drop=None, swap=None):
+    ws = list(BASE)
+    if drop is not None:
+        del ws[drop]
+    if swap is not None:
+        i, j = swap
+        ws[i], ws[j] = ws[j], ws[i]
+    return " ".join(ws)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rows = [
+        {"doc_id": 0, "text": make_text()},
+        {"doc_id": 1, "text": make_text()},              # exact dup of 0
+        {"doc_id": 2, "text": make_text(drop=5)},        # near dup of 0
+        {"doc_id": 3, "text": make_text(swap=(2, 10))},  # near dup of 0
+        {"doc_id": 4, "text": "completely different words here entirely "
+                              "unrelated content nothing shared at all"},
+        {"doc_id": 5, "text": "another standalone document with its own "
+                              "unique vocabulary and no overlap either"},
+    ]
+    return rows
+
+
+def test_exact_dedup_keeps_min_doc_id(corpus):
+    out = dedup.exact_dedup(docs_ds(corpus)).to_pandas()
+    assert len(out) == 5  # 6 docs, one exact dup pair
+    dup_hash = hashlib.md5(corpus[0]["text"].encode()).hexdigest()
+    row = out[out["text_hash"] == dup_hash].iloc[0]
+    assert row["doc_id"] == 0 and row["n_dups"] == 2
+
+
+def test_minhash_finds_planted_near_dups(corpus):
+    def loader(ids):
+        return {r["doc_id"]: r["text"] for r in corpus if r["doc_id"] in ids}
+
+    pairs = dedup.minhash_dedup_pairs(docs_ds(corpus), loader, threshold=0.6)
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    # the exact dup and both near dups of doc 0 must surface
+    assert (0, 1) in found
+    assert (0, 2) in found or (1, 2) in found
+    # unrelated docs never pair with the dup cluster
+    assert not any(4 in p or 5 in p for p in found)
+    exact = pairs[(pairs["doc_a"] == 0) & (pairs["doc_b"] == 1)]
+    assert exact["jaccard"].iloc[0] == 1.0
+
+
+def test_simhash_properties(corpus):
+    out = dedup.simhash_docs(docs_ds(corpus)).to_pandas()
+    by_id = dict(zip(out["doc_id"], out["simhash"]))
+    assert by_id[0] == by_id[1]          # identical text → identical hash
+    # near dup → small hamming distance; unrelated → large
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(by_id[0], by_id[2]) < 12
+    assert ham(by_id[0], by_id[4]) > 12
+    # deterministic across calls
+    out2 = dedup.simhash_docs(docs_ds(corpus)).to_pandas()
+    assert dict(zip(out2["doc_id"], out2["simhash"])) == by_id
+
+
+def test_quality_and_token_stats():
+    batch = pd.DataFrame({
+        "doc_id": [1], "text": ["the cat and the hat sat"]})
+    ts = analysis.token_stats(batch)
+    assert ts["n_tokens"].iloc[0] == 6
+    assert ts["n_chars"].iloc[0] == len("the cat and the hat sat")
+    q = analysis.quality_counts(batch)
+    assert q["stop_hits"].iloc[0] == 2          # 'the' twice
+    assert q["distinct_tokens"].iloc[0] == 5
+    lang = analysis.lang_id(batch)
+    assert lang["pred_lang"].iloc[0] == "en"
+    und = analysis.lang_id(pd.DataFrame({"doc_id": [2], "text": ["xyz qqq"]}))
+    assert und["pred_lang"].iloc[0] == "und"
+
+
+def test_prefix_dedup(corpus):
+    # 25-char prefix = "the quick brown fox jumps": 0,1 identical; 2 drops
+    # word 5 ("over", beyond char 25) so still matches; 3 swaps word 2
+    # ("brown", inside the prefix) so it does not.
+    out = dedup.prefix_dedup(docs_ds(corpus), prefix_len=25).to_pandas()
+    pref = corpus[0]["text"][:25]
+    row = out[out["prefix"] == pref].iloc[0]
+    assert row["doc_id"] == 0 and row["n_dups"] == 3

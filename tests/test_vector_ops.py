@@ -1,0 +1,78 @@
+"""Vector similarity-search operator tests against numpy ground truth."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from cheque_ocr_project_ray.vector import ann
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb_table():
+    return pq.read_table(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def matrix(emb_table):
+    return np.asarray(emb_table["embedding"].to_pylist(), dtype=np.float64)
+
+
+def ground_truth_topk(matrix, ids, q, k):
+    qn = q / np.linalg.norm(q)
+    cos = (matrix @ qn) / np.linalg.norm(matrix, axis=1)
+    order = sorted(zip(-np.round(cos, 5), ids))[:k]
+    return [(i, -c) for c, i in order]
+
+
+def test_brute_force_matches_numpy(emb_table, matrix):
+    ids = emb_table["vec_id"].to_pylist()
+    q = matrix[3]
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    got = ann.brute_force_topk(ds, q, k=10).to_pandas()
+    expected = ground_truth_topk(matrix, ids, q, 10)
+    assert list(zip(got["vec_id"], got["cos"])) == [
+        (i, pytest.approx(c)) for i, c in expected]
+
+
+def test_lsh_topk_subset_of_bruteforce(emb_table, matrix):
+    ids = emb_table["vec_id"].to_pylist()
+    q = matrix[3]
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    got = ann.lsh_topk(ds, q, k=10).to_pandas()
+    assert len(got) <= 10
+    # every approximate hit carries its TRUE cosine (verified vs numpy)
+    qn = q / np.linalg.norm(q)
+    cos = (matrix @ qn) / np.linalg.norm(matrix, axis=1)
+    by_id = dict(zip(ids, np.round(cos, 5)))
+    for vid, c in zip(got["vec_id"], got["cos"]):
+        assert c == pytest.approx(by_id[vid], abs=1e-5)
+    # the query vector itself shares its own bucket → always recalled
+    assert 3 in set(got["vec_id"])
+
+
+def test_neardup_pairs_on_planted_dups():
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(16)
+    rows = [{"vec_id": 0, "embedding": base.tolist()},
+            {"vec_id": 1, "embedding": (base * 2.0).tolist()},      # cos = 1
+            {"vec_id": 2, "embedding": (base + 0.01 * rng.standard_normal(16)).tolist()},
+            {"vec_id": 3, "embedding": rng.standard_normal(16).tolist()}]
+    ds = ray.data.from_items(rows)
+    pairs = ann.cosine_neardup_pairs(ds, threshold=0.95)
+    found = set(zip(pairs["vec_a"], pairs["vec_b"]))
+    assert (0, 1) in found and (0, 2) in found
+    assert not any(3 in p for p in found)
+
+
+def test_neardup_empty_on_random(matrix):
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    pairs = ann.cosine_neardup_pairs(ds, threshold=0.999)
+    assert list(pairs.columns) == ["vec_a", "vec_b", "cos"]
+    assert len(pairs) == 0

@@ -1,0 +1,108 @@
+"""Local replica of the driver's correctness gate.
+
+Runs each ``queries()`` entry that has an ``oracle_sql()`` twin
+side-by-side with DuckDB at the given sf dir, compares row count,
+column names, and order-insensitive values column-by-column.
+
+Usage: python tools/check_oracle.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def to_pandas(result):
+    import ray.data
+    import pyarrow as pa
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> bool:
+    ok = True
+    if sorted(ray_df.columns) != sorted(sql_df.columns):
+        print(f"  [{name}] COLUMN MISMATCH ray={sorted(ray_df.columns)} "
+              f"sql={sorted(sql_df.columns)}")
+        return False
+    if len(ray_df) != len(sql_df):
+        print(f"  [{name}] ROWCOUNT MISMATCH ray={len(ray_df)} sql={len(sql_df)}")
+        ok = False
+    a, b = normalize(ray_df), normalize(sql_df)
+    for col in a.columns:
+        av, bv = a[col].to_numpy(), b[col].to_numpy()
+        if len(av) != len(bv):
+            continue
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            good = np.allclose(av.astype(float), bv.astype(float),
+                               rtol=0, atol=1e-9, equal_nan=True)
+        else:
+            good = (av.astype(str) == bv.astype(str)).all()
+        if not good:
+            print(f"  [{name}] VALUE MISMATCH col={col}")
+            mism = np.where(av.astype(str) != bv.astype(str))[0][:5] \
+                if av.dtype.kind != "f" else \
+                np.where(~np.isclose(av.astype(float), bv.astype(float)))[0][:5]
+            for i in mism:
+                print(f"    row {i}: ray={av[i]!r} sql={bv[i]!r}")
+            ok = False
+    return ok
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+    ray.init(address="local", num_cpus=8, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    passed = failed = 0
+    for name, sql in oracles.items():
+        if only and name not in only:
+            continue
+        ray_df = to_pandas(qs[name](sf_dir))
+        sql_df = con.sql(sql).df()
+        if compare(name, ray_df, sql_df):
+            print(f"  [{name}] OK rows={len(ray_df)}")
+            passed += 1
+        else:
+            failed += 1
+    print(f"passed={passed} failed={failed}")
+    ray.shutdown()
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
