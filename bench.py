@@ -1,0 +1,148 @@
+"""Benchmark harness: headline cheque pipeline + representative queries.
+
+Plain run (the driver's per-round BENCH record):
+    python bench.py                # $GRAFT_SF_DIR (default sf0.1),
+                                   # $RAY_GRAFT_CPUS cpus (default 32)
+Prints ONE JSON line:
+    {"metric": "cheque_extract_e2e_sec", "value": S, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "cheques": n, "cheques_per_sec": r}
+
+Scaling evidence (BASELINE.json north rule — N→4N cluster sizes are
+evidenced here by two parallelism levels in fresh processes):
+    python bench.py --scaling      # num_cpus=8 then num_cpus=32
+Prints ONE JSON line with both throughputs and
+efficiency = (tput_4N / tput_N) / 4.
+
+This script OWNS its Ray session (unlike __ray_entry__, which the
+driver initialises Ray for).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32") or "32")
+
+# Representative non-headline pipelines (one per operator family).
+BENCH_QUERIES = [
+    "q1_pricing_summary",      # combiner-first grouped aggregate
+    "order_priority_revenue",  # large-large partitioned hash join
+    "revenue_by_nation",       # broadcast dimension join
+    "top_orders",              # per-batch top-k + tiny global sort
+    "events_hourly",           # tumbling-window aggregate
+    "dedup_minhash",           # MinHash LSH shuffle
+    "doc_simhash",             # signature map
+    "doc_quality",             # vectorized text analysis
+    "ann_cosine_topk",         # brute-force cosine top-k
+]
+
+
+def _consume(result) -> int:
+    """Execute a query result fully; return its row count."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    if isinstance(result, ray.data.Dataset):
+        return result.count()
+    if isinstance(result, (pd.DataFrame, pa.Table)):
+        return len(result)
+    return 0
+
+
+def run_once(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    # Corpus generation is one-time setup, not pipeline work — keep it
+    # outside the timed region (cached across runs under /tmp).
+    from cheque_ocr_project_ray.fixtures.gen import ensure_fixture
+    ensure_fixture(sf_dir)
+
+    import __ray_entry__ as entrymod
+    qs = entrymod.queries()
+
+    timings: dict[str, float] = {}
+    t0 = time.perf_counter()
+    n_cheques = _consume(qs["cheque_extract"](sf_dir))
+    headline_sec = time.perf_counter() - t0
+    timings["cheque_extract"] = round(headline_sec, 3)
+
+    if not headline_only:
+        for name in BENCH_QUERIES:
+            if name not in qs:
+                continue
+            t0 = time.perf_counter()
+            _consume(qs[name](sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "cheque_extract_e2e_sec",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(sf_dir.rstrip("/")),
+        "num_cpus": num_cpus,
+        "cheques": n_cheques,
+        "cheques_per_sec": round(n_cheques / headline_sec, 2),
+    }
+
+
+def run_scaling(sf_dir: str, cpus_lo: int, cpus_hi: int) -> dict:
+    """Same headline job at two parallelism levels in fresh processes."""
+    results = {}
+    for cpus in (cpus_lo, cpus_hi):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--headline-only",
+             "--cpus", str(cpus), "--sf-dir", sf_dir],
+            capture_output=True, text=True, check=True)
+        results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+    tput_lo = results[cpus_lo]["cheques_per_sec"]
+    tput_hi = results[cpus_hi]["cheques_per_sec"]
+    factor = cpus_hi / cpus_lo
+    return {
+        "metric": "scaling_efficiency",
+        "value": round((tput_hi / tput_lo) / factor, 4),
+        "unit": "ratio",
+        "sf": os.path.basename(sf_dir.rstrip("/")),
+        "cpus_lo": cpus_lo,
+        "cpus_hi": cpus_hi,
+        "cheques_per_sec_lo": tput_lo,
+        "cheques_per_sec_hi": tput_hi,
+        "sec_lo": results[cpus_lo]["value"],
+        "sec_hi": results[cpus_hi]["value"],
+        "cheques": results[cpus_hi]["cheques"],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--headline-only", action="store_true",
+                    help="time only the cheque pipeline (scaling sub-run)")
+    ap.add_argument("--scaling", action="store_true",
+                    help="run headline at two parallelism levels")
+    ap.add_argument("--scale-lo", type=int, default=8)
+    ap.add_argument("--scale-hi", type=int, default=32)
+    args = ap.parse_args()
+
+    if args.scaling:
+        out = run_scaling(args.sf_dir, args.scale_lo, args.scale_hi)
+    else:
+        out = run_once(args.sf_dir, args.cpus, args.headline_only)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

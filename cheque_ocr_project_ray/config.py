@@ -19,14 +19,22 @@ class PipelineConfig:
 
     # Ray Data physical knobs
     ocr_batch_size: int = 64         # rows per OCR actor call
-    ocr_concurrency: int = 8         # OCR actor pool size
+    ocr_concurrency: int = 64        # OCR actor pool cap; the effective
+                                     # pool is min(this, 0.6*cluster CPUs)
+                                     # so it scales with the cluster
     ocr_num_cpus: float = 1.0        # CPUs reserved per OCR actor
     extract_batch_size: int = 256    # rows per extraction call
-    ocr_work_passes: int = 12        # simulated inference cost knob
-                                     # (~2-4 ms per typical image; see
-                                     # media.simulate_inference)
-    skew_span_threshold: int = 8     # docs with more media spans than
-                                     # this go through the small-batch path
+    ocr_work_passes: int = 256       # simulated inference cost knob —
+                                     # ~25 ms per typical image, so the
+                                     # benchmark measures compute
+                                     # scheduling, not task overhead
+                                     # (SURVEY.md §7.5; still ~40x
+                                     # lighter than the reference's
+                                     # ~1 s/image CRNN)
+    skew_bytes_threshold: int = 150_000  # docs with more media payload
+                                     # than this take the small-batch
+                                     # path (read-time predicate on the
+                                     # stored media_bytes hint column)
     skew_batch_size: int = 4
 
     # Checkpointing

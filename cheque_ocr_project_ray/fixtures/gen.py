@@ -33,7 +33,7 @@ import pyarrow.parquet as pq
 
 from cheque_ocr_project_ray.media import encode_image
 
-FIXTURE_VERSION = 3
+FIXTURE_VERSION = 6
 DEFAULT_SEED = 42
 FIXTURE_ROOT = Path("/tmp/cheque_ray_fixtures")
 
@@ -47,7 +47,15 @@ SPAN_TYPE = pa.list_(pa.struct([
     ("offset", pa.int32()),
 ]))
 
-CHEQUES_SCHEMA = pa.schema([("doc_id", pa.string()), ("spans", SPAN_TYPE)])
+CHEQUES_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("spans", SPAN_TYPE),
+    # per-doc media payload size — the stored skew-routing hint
+    # (SURVEY.md §7.3: the routing key is generated with the table
+    # so the pipeline can split the read by predicate pushdown
+    # instead of re-scanning and filtering)
+    ("media_bytes", pa.int64()),
+])
 
 MEDIA_SCHEMA = pa.schema([
     ("media_ref", pa.string()),
@@ -138,8 +146,14 @@ _SCENARIOS = [
 ]
 
 
-def make_doc(seed: int, idx: int, n_buckets: int) -> tuple[dict, dict, list[tuple]]:
-    """(cheque_row, meta_row, media_rows) for one document — pure in (seed, idx)."""
+def make_doc(seed: int, idx: int, bucket: int) -> tuple[dict, dict, list[tuple]]:
+    """(cheque_row, meta_row, media_rows) for one document — pure in
+    (seed, idx, bucket).  ``bucket`` is the media bucket this doc's
+    images live in: the caller assigns CONSECUTIVE docs to the same
+    bucket (Lance-style row/media co-location) so an OCR batch of
+    adjacent docs touches ~1 bucket instead of all of them — the
+    difference between each worker reading its slice of the media
+    store and every worker reading the whole corpus."""
     rng = random.Random((seed << 34) ^ (idx * 2654435761))
     pool = _drawer_pool(seed)
     doc_id = f"P_{40200000000000000 + idx:017d}"
@@ -279,7 +293,7 @@ def make_doc(seed: int, idx: int, n_buckets: int) -> tuple[dict, dict, list[tupl
                 else rng.randrange(3_000, 24_000)
             w = rng.randrange(1200, 2600)
             h = rng.randrange(500, 1200)
-            ref = f"b{(idx * 3 + ii) % n_buckets:03d}/{doc_id}_{ii}"
+            ref = f"b{bucket:03d}/{doc_id}_{ii}"
             payload = encode_image(image_line_sets[ii], w, h, size,
                                    seed=(seed << 20) ^ (idx * 31 + ii))
             media_rows.append((ref, payload, w, h))
@@ -306,7 +320,9 @@ def make_doc(seed: int, idx: int, n_buckets: int) -> tuple[dict, dict, list[tupl
         "cat_code": rng.randrange(0, 99),
         "opr_no": "",
     }
-    return {"doc_id": doc_id, "spans": spans}, meta, media_rows
+    total_media = sum(len(payload) for _, payload, _, _ in media_rows)
+    return ({"doc_id": doc_id, "spans": spans, "media_bytes": total_media},
+            meta, media_rows)
 
 
 def tier_for_sf_dir(sf_dir: str) -> tuple[str, int]:
@@ -315,7 +331,7 @@ def tier_for_sf_dir(sf_dir: str) -> tuple[str, int]:
 
 
 def generate_fixture(out_dir: Path, n_docs: int, seed: int = DEFAULT_SEED,
-                     docs_per_file: int = 2000) -> Path:
+                     docs_per_file: int = 250) -> Path:
     """Write the corpus; idempotent via the manifest cache key."""
     out_dir = Path(out_dir)
     manifest_path = out_dir / "_MANIFEST.json"
@@ -337,14 +353,19 @@ def generate_fixture(out_dir: Path, n_docs: int, seed: int = DEFAULT_SEED,
     for start in range(0, n_docs, docs_per_file):
         chunk_docs = []
         for idx in range(start, min(start + docs_per_file, n_docs)):
-            doc, meta, media_rows = make_doc(seed, idx, n_buckets)
+            doc, meta, media_rows = make_doc(seed, idx, idx * n_buckets // n_docs)
             chunk_docs.append(doc)
             meta_rows.append(meta)
             for ref, payload, w, h in media_rows:
                 bucket = int(ref[1:4])
                 media_by_bucket.setdefault(bucket, []).append((ref, payload, w, h))
         table = pa.Table.from_pylist(chunk_docs, schema=CHEQUES_SCHEMA)
-        pq.write_table(table, out_dir / "cheques" / f"part-{part:05d}.parquet")
+        # Fragment-per-file, small row groups: at corpus scale there are
+        # thousands of fragments, and block-per-fragment is what feeds
+        # the actor pools — 8 giant files would cap OCR parallelism at 8
+        # tasks (observed: 4x slowdown).
+        pq.write_table(table, out_dir / "cheques" / f"part-{part:05d}.parquet",
+                       row_group_size=125)
         part += 1
 
     meta_table = pa.Table.from_pylist(meta_rows)

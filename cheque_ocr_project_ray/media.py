@@ -93,8 +93,13 @@ def simulate_inference(payload: bytes, work_passes: int = 40) -> int:
     arr = np.frombuffer(payload, dtype=np.uint8)
     if arr.size == 0:
         return 0
-    # One vectorized O(bytes × passes) sweep — no Python-level loop, so
-    # the cost is honest compute, not interpreter overhead.  uint32
-    # cumsum wraps mod 2^32: deterministic and allocation-light.
-    work = np.tile(arr, max(1, work_passes))
-    return int(work.cumsum(dtype=np.uint32)[-1])
+    # O(bytes × passes) of vectorized numpy per image — honest compute,
+    # not interpreter overhead.  Looping passes (instead of tiling the
+    # buffer work_passes times) keeps peak memory at 4×payload
+    # regardless of the pass count.  uint32 cumsum wraps mod 2^32:
+    # deterministic.
+    base = arr.astype(np.uint32)
+    acc = 0
+    for _ in range(max(1, work_passes)):
+        acc = int(base.cumsum(dtype=np.uint32)[-1] + acc) & 0xFFFFFFFF
+    return acc

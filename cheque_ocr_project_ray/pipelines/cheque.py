@@ -14,20 +14,18 @@ partition balance comes from fragment-per-file reads plus Ray's
 dynamic block splitting; sorts/groupbys exist only in metrics and in
 the checkpointed write (checkpoint.py), as inventoried in SURVEY.md §4.
 
-Skew note (SURVEY.md §7.3): a doc's cost is driven by its media bytes.
-Docs with more than ``skew_span_threshold`` spans take the
+Skew note (SURVEY.md §7.3): a doc's cost is driven by its media bytes,
+so the corpus stores a per-doc ``media_bytes`` hint column generated
+with the table.  Docs above ``skew_bytes_threshold`` take the
 small-batch path (``skew_batch_size`` docs per task) so one oversized
-multi-span cheque can't stall a 64-doc task; at production scale the
-routing key would be a stored per-doc byte hint generated with the
-table.
+multi-span cheque can't stall a 64-doc task; the split is a read-time
+parquet predicate, not a post-read filter stage.
 """
 
 from __future__ import annotations
 
 from pathlib import Path
 
-import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray
 
@@ -36,15 +34,6 @@ from cheque_ocr_project_ray.sources.io import read_cheques
 from cheque_ocr_project_ray.stages.extract import FieldExtractStage
 from cheque_ocr_project_ray.stages.ocr import OcrStage
 from cheque_ocr_project_ray.state.drawer_dict import build_drawer_dict
-
-
-def _span_count_filter(keep_big: bool, threshold: int):
-    def fn(batch: pa.Table) -> pa.Table:
-        counts = pc.list_value_length(batch.column("spans"))
-        mask = pc.greater(counts, threshold) if keep_big \
-            else pc.less_equal(counts, threshold)
-        return batch.filter(mask)
-    return fn
 
 
 def build_cheque_pipeline(
@@ -60,18 +49,39 @@ def build_cheque_pipeline(
         drawer_dict = build_drawer_dict(fixture_dir)
     drawer_ref = ray.put(drawer_dict)
 
-    base = read_cheques(fixture_dir, limit=cfg.limit)
+    # --- cost-model-driven pool sizing -------------------------------
+    # OCR cost is proportional to media bytes, so the two OCR branches
+    # must get actors proportional to their BYTE load, not their row
+    # count: oversized docs are ~25x costlier per row, and a fixed
+    # 2-actor skew pool turned ~50% of the total compute into the
+    # critical path (observed: 158 s vs 44 s at sf0.1).  The split is
+    # read from the stored media_bytes hint column (a single-column
+    # scan here; at corpus scale, parquet row-group statistics give the
+    # same split without touching data).  Fixed pools (not autoscaling)
+    # start eagerly and keep the CPU budget explicit; they total
+    # ~80% of the cluster so read tasks and the executor never starve.
+    import pyarrow.dataset as pads
+    thr = cfg.skew_bytes_threshold
+    mb = pads.dataset(str(fixture_dir / "cheques")).to_table(
+        columns=["media_bytes"]).column("media_bytes")
+    import pyarrow.compute as pc
+    total_bytes = pc.sum(mb).as_py() or 1
+    big_mask = pc.greater(mb, thr)
+    big_bytes = pc.sum(pc.if_else(big_mask, mb, 0)).as_py() or 0
+    n_big_docs = pc.sum(pc.cast(big_mask, "int64")).as_py() or 0
+    big_share = big_bytes / total_bytes
 
-    # Size pools to the cluster: autoscaling (1, max) so the three actor
-    # pools (OCR small-path, OCR skew-path, extraction) never starve
-    # each other on small CPU counts — a fixed pool that reserves every
-    # CPU serializes the pipeline (ray_guide: actor-pool sizing).
     total_cpus = int(ray.cluster_resources().get("CPU", 8))
-    ocr_max = max(1, min(cfg.ocr_concurrency, int(total_cpus * 0.6)))
-    skew_max = max(1, min(2, ocr_max))
-    extract_max = max(1, min(cfg.ocr_concurrency, int(total_cpus * 0.4)))
+    ocr_total = max(1, min(cfg.ocr_concurrency, int(total_cpus * 0.6)))
+    extract_max = max(1, int(total_cpus * 0.2))
+    if n_big_docs:
+        skew_n = min(ocr_total - 1, max(1, round(ocr_total * big_share))) \
+            if ocr_total > 1 else 1
+    else:
+        skew_n = 0
+    small_n = max(1, ocr_total - skew_n)
 
-    def ocr_branch(ds, batch_size: int, pool_max: int):
+    def ocr_branch(ds, batch_size: int, pool: int):
         return ds.map_batches(
             OcrStage,
             fn_constructor_kwargs={
@@ -81,19 +91,21 @@ def build_cheque_pipeline(
             },
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=(1, pool_max),
+            concurrency=pool,
             num_cpus=cfg.ocr_num_cpus,
         )
 
-    # Two-path skew routing: both branches stream; union re-merges.
-    small = base.map_batches(
-        _span_count_filter(False, cfg.skew_span_threshold),
-        batch_format="pyarrow")
-    big = base.map_batches(
-        _span_count_filter(True, cfg.skew_span_threshold),
-        batch_format="pyarrow")
-    ocred = ocr_branch(small, cfg.ocr_batch_size, ocr_max).union(
-        ocr_branch(big, cfg.skew_batch_size, skew_max))
+    # Two-path skew routing on the stored media_bytes hint, pushed into
+    # the parquet scan as a row predicate (rows dropped at the read;
+    # row groups pruned where statistics allow).  Both branches stream;
+    # union re-merges.
+    small = read_cheques(fixture_dir, limit=cfg.limit,
+                         filter_expr=pads.field("media_bytes") <= thr)
+    ocred = ocr_branch(small, cfg.ocr_batch_size, small_n)
+    if skew_n:
+        big = read_cheques(fixture_dir, limit=cfg.limit,
+                           filter_expr=pads.field("media_bytes") > thr)
+        ocred = ocred.union(ocr_branch(big, cfg.skew_batch_size, skew_n))
 
     return ocred.map_batches(
         FieldExtractStage,
@@ -103,6 +115,6 @@ def build_cheque_pipeline(
         },
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
-        concurrency=(1, extract_max),
+        concurrency=extract_max,
         num_cpus=1,
     )

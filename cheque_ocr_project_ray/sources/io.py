@@ -23,9 +23,17 @@ import pyarrow.parquet as pq
 import ray.data
 
 
-def read_cheques(fixture_dir: str | Path, limit: int | None = None):
-    """Streaming read of the (doc_id, spans) table."""
-    ds = ray.data.read_parquet(str(Path(fixture_dir) / "cheques"))
+def read_cheques(fixture_dir: str | Path, limit: int | None = None,
+                 filter_expr=None):
+    """Streaming read of the (doc_id, spans, media_bytes) table.
+
+    ``filter_expr`` (a pyarrow dataset expression) is pushed into the
+    parquet scan — rows are dropped at the read and, where row-group
+    statistics allow, whole row groups are skipped.  The skew router
+    uses this on the stored ``media_bytes`` hint column.
+    """
+    ds = ray.data.read_parquet(str(Path(fixture_dir) / "cheques"),
+                               filter=filter_expr)
     if limit:
         ds = ds.limit(limit)
     return ds
@@ -42,10 +50,14 @@ class MediaStore:
     One instance lives inside each OCR actor (built once in
     ``__init__``, SURVEY.md §2.3 A1): per batch, the needed refs are
     grouped by bucket and each uncached bucket is read once.  The LRU
-    bound keeps worker heap flat regardless of corpus size.
+    bound MUST stay small: batches arrive bucket-contiguous (the corpus
+    co-locates consecutive docs' media), so a handful of buckets gets
+    near-perfect hit rates, while a large bound silently grows every
+    actor's heap toward the whole media corpus (observed: 790 MB/actor
+    at sf0.1 with max_buckets=64 — a 2.5x pipeline slowdown).
     """
 
-    def __init__(self, media_dir: str | Path, max_buckets: int = 64):
+    def __init__(self, media_dir: str | Path, max_buckets: int = 4):
         self.media_dir = Path(media_dir)
         self.max_buckets = max_buckets
         self._cache: OrderedDict[str, dict[str, bytes]] = OrderedDict()

@@ -32,7 +32,7 @@ from cheque_ocr_project_ray.sources.io import MediaStore
 
 class OcrStage:
     def __init__(self, media_dir: str, work_passes: int = 12,
-                 target_long_side: int = 1200, max_buckets: int = 64):
+                 target_long_side: int = 1200, max_buckets: int = 4):
         self.store = MediaStore(media_dir, max_buckets=max_buckets)
         self.work_passes = work_passes
         self.target_long_side = target_long_side

@@ -5,6 +5,41 @@ from __future__ import annotations
 import numpy as np
 
 
+def shuffle_partitions() -> int:
+    """Hash-shuffle partition count sized to the cluster: half the CPU
+    count — measured sweet spot locally (aggregator actors contend
+    with map tasks above that); scales with total cores on a cluster."""
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, cpus // 2)
+
+
+class tune_shuffle:
+    """Scoped hash-shuffle: ``with tune_shuffle() as np_: build datasets``.
+
+    Hash shuffle (aggregator actors, Ray >= 2.46) beats the default
+    sort-based shuffle ~2-5x for groupby/aggregate on this workload.
+    A Dataset captures its DataContext at BUILD time (verified: a
+    dataset built under hash and executed under sort runs hash), so
+    scoping the strategy to the build and restoring on exit keeps the
+    driver's global context untouched for anything built later.
+    """
+
+    def __init__(self, num_partitions: int | None = None):
+        self.num_partitions = num_partitions or shuffle_partitions()
+
+    def __enter__(self) -> int:
+        from ray.data import DataContext
+        from ray.data.context import ShuffleStrategy
+        self._ctx = DataContext.get_current()
+        self._prev = self._ctx.shuffle_strategy
+        self._ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        return self.num_partitions
+
+    def __exit__(self, *exc) -> None:
+        self._ctx.shuffle_strategy = self._prev
+
+
 def round_half_up(x, digits: int = 4):
     """Round half AWAY from zero — DuckDB's round() semantics.
 
