@@ -43,10 +43,34 @@ def _cheque_queries() -> dict[str, Callable[[str], Any]]:
         from cheque_ocr_project_ray.pipelines.metrics import status_histogram
         return status_histogram(build_cheque_pipeline(ensure_fixture(sf_dir)))
 
+    def cheque_final_join(sf_dir: str):
+        from cheque_ocr_project_ray.pipelines.sink import join_results_to_meta
+        fixture = ensure_fixture(sf_dir)
+        return join_results_to_meta(build_cheque_pipeline(fixture), fixture)
+
+    def cheque_checkpoint_rollup(sf_dir: str):
+        import shutil
+        import tempfile
+        import pandas as pd
+        from cheque_ocr_project_ray.pipelines.checkpoint import (
+            rollup_metrics, write_checkpointed)
+        fixture = ensure_fixture(sf_dir)
+        out = tempfile.mkdtemp(prefix="chq_ckpt_")
+        try:
+            write_checkpointed(build_cheque_pipeline(fixture), out,
+                               num_partitions=16)
+            roll = rollup_metrics(out)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+        roll.pop("max_partition_wall_s", None)  # timing is run-dependent
+        return pd.DataFrame([roll])
+
     return {
         "cheque_extract": cheque_extract,
         "cheque_spans": cheque_spans,
         "cheque_status_histogram": cheque_status_histogram,
+        "cheque_final_join": cheque_final_join,
+        "cheque_checkpoint_rollup": cheque_checkpoint_rollup,
     }
 
 
@@ -66,6 +90,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     try:
         from cheque_ocr_project_ray.vector.queries import vector_queries
         out.update(vector_queries())
+    except ImportError:
+        pass
+    try:
+        from cheque_ocr_project_ray.multimodal.queries import multimodal_queries
+        out.update(multimodal_queries())
     except ImportError:
         pass
     return out

@@ -1,0 +1,186 @@
+"""Multimodal column operators: opaque ``binary`` payloads + typed
+metadata, processed by actor-pool ``map_batches`` stages.
+
+The image/audio/video codec libraries (cv2/PIL/ffmpeg/torchaudio) are
+NOT in this container, so the byte→pixels/samples step is stubbed: a
+real codec raises ``NotImplementedError`` with a clear message, and a
+deterministic fake (pure function of the payload bytes) stands in so
+the Ray-side plumbing — schemas, batch sizes, actor signatures, output
+layout — is real and fully tested.  Swapping in a real codec touches
+only the ``_decode_*`` functions.
+
+Batch-size note (the 100 TB constraint): media payloads are orders of
+magnitude bigger than text rows, so these stages default to SMALL
+batch sizes — ``batch_size × payload × concurrency`` must fit the
+worker heap; callers with 10 MB+ payloads should pass batch_size<=8.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from cheque_ocr_project_ray.media import MAGIC, decode_image, preprocess_meta
+
+DEFAULT_MEDIA_BATCH = 32
+
+
+def _fake_pixel_stats(payload: bytes) -> tuple[float, float]:
+    """Deterministic stand-in for decoded-pixel statistics."""
+    arr = np.frombuffer(payload[:65536], dtype=np.uint8)
+    if arr.size == 0:
+        return 0.0, 0.0
+    return float(arr.mean()), float(arr.std())
+
+
+def _decode_real_image(payload: bytes):
+    raise NotImplementedError(
+        "real image decode requires cv2/PIL, which are not available in "
+        "this environment; only CHQ1 synthetic payloads are decodable")
+
+
+class ImageDecodeStage:
+    """binary payload → (format, width, height, n_text_lines, pixel
+    stats).  CHQ1 synthetic payloads decode fully; other formats go
+    through the stubbed real-codec path."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fmts, ws, hs, n_lines, means, stds = [], [], [], [], [], []
+        for payload in batch.column("data").to_pylist():
+            if payload.startswith(MAGIC):
+                lines, w, h = decode_image(payload)
+                fmts.append("chq1")
+                ws.append(w)
+                hs.append(h)
+                n_lines.append(len(lines))
+            elif self.strict:
+                _decode_real_image(payload)
+            else:
+                fmts.append("unknown")
+                ws.append(0)
+                hs.append(0)
+                n_lines.append(0)
+            m, s = _fake_pixel_stats(payload)
+            means.append(m)
+            stds.append(s)
+        return pa.table({
+            "media_ref": batch.column("media_ref"),
+            "format": pa.array(fmts, pa.string()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "n_text_lines": pa.array(n_lines, pa.int32()),
+            "pixel_mean": pa.array(means, pa.float32()),
+            "pixel_std": pa.array(stds, pa.float32()),
+            "nbytes": pa.array([len(p) for p in
+                                batch.column("data").to_pylist()],
+                               pa.int64()),
+        })
+
+
+class ImageResizeStage:
+    """Resize/contrast plan per image (tiff_processor.py:84-108
+    semantics) without touching pixels: emits the scale factor, target
+    dims and contrast decision the real resampler would apply."""
+
+    def __init__(self, target_long_side: int = 1200):
+        self.target = target_long_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        scales, pws, phs, boosted = [], [], [], []
+        widths = batch.column("width").to_pylist()
+        heights = batch.column("height").to_pylist()
+        for payload, w, h in zip(batch.column("data").to_pylist(),
+                                 widths, heights):
+            meta = preprocess_meta(payload, w, h, self.target)
+            scales.append(meta["scale_factor"])
+            pws.append(meta["processed_w"])
+            phs.append(meta["processed_h"])
+            boosted.append(meta["contrast_boosted"])
+        return pa.table({
+            "media_ref": batch.column("media_ref"),
+            "scale_factor": pa.array(scales, pa.float64()),
+            "processed_w": pa.array(pws, pa.int32()),
+            "processed_h": pa.array(phs, pa.int32()),
+            "contrast_boosted": pa.array(boosted, pa.bool_()),
+        })
+
+
+class FrameSampleStage:
+    """Video frame sampling plan: deterministic every-k-th frame
+    offsets from (nbytes, fps) metadata; frame pixel decode itself is
+    the stubbed codec step."""
+
+    def __init__(self, every_n: int = 30, max_frames: int = 16,
+                 bytes_per_frame: int = 8192):
+        self.every_n = every_n
+        self.max_frames = max_frames
+        self.bytes_per_frame = bytes_per_frame
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        offsets: list[list[int]] = []
+        for payload in batch.column("data").to_pylist():
+            n_frames = max(1, len(payload) // self.bytes_per_frame)
+            sel = list(range(0, n_frames, self.every_n))[:self.max_frames]
+            offsets.append(sel)
+        return pa.table({
+            "media_ref": batch.column("media_ref"),
+            "frame_offsets": pa.array(offsets, pa.list_(pa.int32())),
+            "n_sampled": pa.array([len(o) for o in offsets], pa.int32()),
+        })
+
+
+class AudioFeatureStage:
+    """Windowed audio features: real MFCC/spectrogram needs an audio
+    lib (stubbed); the per-window plumbing computes a deterministic
+    rolling byte hash per window so output layout (list<float> per
+    row) and batch memory behavior are real."""
+
+    def __init__(self, window_bytes: int = 4096, max_windows: int = 64):
+        self.window_bytes = window_bytes
+        self.max_windows = max_windows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats: list[list[float]] = []
+        for payload in batch.column("data").to_pylist():
+            row = []
+            for i in range(0, min(len(payload),
+                                  self.window_bytes * self.max_windows),
+                           self.window_bytes):
+                window = payload[i:i + self.window_bytes]
+                h = int.from_bytes(
+                    hashlib.blake2b(window, digest_size=4).digest(), "big")
+                row.append(round(h / 0xFFFFFFFF, 6))
+            feats.append(row)
+        return pa.table({
+            "media_ref": batch.column("media_ref"),
+            "features": pa.array(feats, pa.list_(pa.float32())),
+            "n_windows": pa.array([len(f) for f in feats], pa.int32()),
+        })
+
+
+class MediaEmbedStage:
+    """Deterministic fake embedding per payload (unit-norm float32
+    vector from a blake2 digest) — the batched-model-inference shape
+    used by the vector ops, without model weights."""
+
+    def __init__(self, dim: int = 32):
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = []
+        for payload in batch.column("data").to_pylist():
+            seed = int.from_bytes(
+                hashlib.blake2b(payload, digest_size=8).digest(), "big")
+            rng = np.random.default_rng(seed)
+            v = rng.standard_normal(self.dim).astype(np.float32)
+            v /= np.linalg.norm(v) or 1.0
+            vecs.append(v.tolist())
+        return pa.table({
+            "media_ref": batch.column("media_ref"),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        })

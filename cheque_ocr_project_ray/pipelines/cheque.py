@@ -71,12 +71,15 @@ def build_cheque_pipeline(
     n_big_docs = pc.sum(pc.cast(big_mask, "int64")).as_py() or 0
     big_share = big_bytes / total_bytes
 
+    # CPU budget: reserve ~2 CPUs for read tasks + shuffle aggregators
+    # (fixed pools never release their CPUs — reserving everything
+    # deadlocks any downstream task on small clusters).
     total_cpus = int(ray.cluster_resources().get("CPU", 8))
-    ocr_total = max(1, min(cfg.ocr_concurrency, int(total_cpus * 0.6)))
-    extract_max = max(1, int(total_cpus * 0.2))
-    if n_big_docs:
-        skew_n = min(ocr_total - 1, max(1, round(ocr_total * big_share))) \
-            if ocr_total > 1 else 1
+    avail = max(2, total_cpus - 2)
+    ocr_total = max(1, min(cfg.ocr_concurrency, int(avail * 0.7)))
+    extract_max = max(1, min(int(avail * 0.3), avail - ocr_total))
+    if n_big_docs and ocr_total > 1:
+        skew_n = min(ocr_total - 1, max(1, round(ocr_total * big_share)))
     else:
         skew_n = 0
     small_n = max(1, ocr_total - skew_n)
@@ -99,13 +102,18 @@ def build_cheque_pipeline(
     # the parquet scan as a row predicate (rows dropped at the read;
     # row groups pruned where statistics allow).  Both branches stream;
     # union re-merges.
-    small = read_cheques(fixture_dir, limit=cfg.limit,
-                         filter_expr=pads.field("media_bytes") <= thr)
-    ocred = ocr_branch(small, cfg.ocr_batch_size, small_n)
     if skew_n:
+        small = read_cheques(fixture_dir, limit=cfg.limit,
+                             filter_expr=pads.field("media_bytes") <= thr)
         big = read_cheques(fixture_dir, limit=cfg.limit,
                            filter_expr=pads.field("media_bytes") > thr)
-        ocred = ocred.union(ocr_branch(big, cfg.skew_batch_size, skew_n))
+        ocred = ocr_branch(small, cfg.ocr_batch_size, small_n).union(
+            ocr_branch(big, cfg.skew_batch_size, skew_n))
+    else:
+        # no skew pool (no oversized docs, or a 1-actor cluster):
+        # everything takes the one branch — never filter docs away
+        ocred = ocr_branch(read_cheques(fixture_dir, limit=cfg.limit),
+                           cfg.ocr_batch_size, small_n)
 
     return ocred.map_batches(
         FieldExtractStage,

@@ -1,0 +1,95 @@
+"""Final sinks: metadata join-back + DBF-equivalent output table
+(SURVEY.md §2.1 K3/K4, §2.4 J1, §7.3 milestone 5).
+
+The reference writes results three ways per cheque: append to an
+output DBF (``issuer_processor_v.py:578-591``), update the original
+master DBF by a per-image linear scan (``:552-576`` — O(N·M)), and
+append a CSV row (``:653-656``).  Here all three collapse into ONE
+join of the results dataset to the metadata table on ``doc_id``
+followed by a projection that applies the reference's truncation
+semantics; the master-table "update" becomes an output column set
+(``drawer_nm_new``/``opr_no``/``file_mark``) instead of an in-place
+mutation.
+
+Join strategy mirrors §2.4: the metadata side is broadcast when small
+(one object-store copy, zero shuffle); at corpus scale pass
+``broadcast=False`` for Ray Data's native hash-partitioned join.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from cheque_ocr_project_ray.relational.joins import broadcast_join, hash_join
+from cheque_ocr_project_ray.sources.io import read_meta
+
+# Output-DBF field widths (issuer_processor_v.py:186-190): IMAGE_FILE
+# C(50); DRAWER_NM C(100); OPR_NO C(20); CONFIDENCE N(6,4); STATUS
+# C(20).  Master-update truncation DRAWER_NM[:50] (:562) and constants
+# OPR_NO='AS601', FILE_MARK=False (:569-571).
+_TRUNC = {"image_file": 50, "drawer_nm_out": 100, "status": 20,
+          "drawer_nm_new": 50}
+_OPR_NO = "AS601"
+
+
+def join_results_to_meta(results_ds, fixture_dir: str | Path,
+                         broadcast: bool = True):
+    """Results ⨝ metadata on doc_id (J1) with DBF-width projection."""
+    meta_cols = ["doc_id", "account", "sort_code", "amount", "image_file",
+                 "drawer_nm", "file_mark"]
+    results = results_ds.select_columns([
+        "doc_id", "issuer", "issuer_conf", "confidence", "status",
+        "cheque_type"])
+    if broadcast:
+        import pyarrow.parquet as pq
+        small = pq.read_table(str(Path(fixture_dir) / "meta"),
+                              columns=meta_cols)
+        joined = broadcast_join(results, small, on="doc_id")
+    else:
+        joined = hash_join(results, read_meta(fixture_dir, meta_cols),
+                           on="doc_id")
+
+    def project(batch: pa.Table) -> pa.Table:
+        def trunc(col, width):
+            return pc.utf8_slice_codeunits(col, 0, width)
+
+        accepted = pc.equal(batch["status"], "AUTO-UPDATED")
+        out = pa.table({
+            "doc_id": batch["doc_id"],
+            # K3 output-DBF row
+            "image_file": trunc(batch["image_file"], _TRUNC["image_file"]),
+            "drawer_nm_out": trunc(batch["issuer"],
+                                   _TRUNC["drawer_nm_out"]),
+            "confidence": pc.round(batch["issuer_conf"], ndigits=4),
+            "status": trunc(batch["status"], _TRUNC["status"]),
+            # K4 master-table update columns (applied only when the
+            # status ladder accepted the issuer, as the reference gates
+            # the DBF write on validation)
+            "drawer_nm_new": pc.if_else(
+                accepted, trunc(batch["issuer"], _TRUNC["drawer_nm_new"]),
+                trunc(batch["drawer_nm"], _TRUNC["drawer_nm_new"])),
+            "opr_no": pc.if_else(accepted, _OPR_NO, ""),
+            # reference clears FILE_MARK on update; untouched rows keep
+            # their master-table value (issuer_processor_v.py:571)
+            "file_mark": pc.if_else(
+                accepted, pa.scalar(False), batch["file_mark"]),
+            # carried metadata for the bank CSV export (custom_csv.py)
+            "account": batch["account"],
+            "sort_code": batch["sort_code"],
+            "amount": batch["amount"],
+            "cheque_type": batch["cheque_type"],
+        })
+        return out
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
+def write_final(results_ds, fixture_dir: str | Path, out_dir: str | Path,
+                broadcast: bool = True) -> None:
+    """Join-back + partitioned parquet write (resumable layout is the
+    checkpoint module's job; this is the terminal export)."""
+    final = join_results_to_meta(results_ds, fixture_dir, broadcast)
+    final.write_parquet(str(out_dir))

@@ -33,11 +33,24 @@ class tune_shuffle:
         from ray.data.context import ShuffleStrategy
         self._ctx = DataContext.get_current()
         self._prev = self._ctx.shuffle_strategy
+        self._prev_agg = \
+            self._ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override
+        self._prev_shuf = \
+            self._ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override
         self._ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        # Fractional CPUs per aggregator actor: lets the shuffle coexist
+        # with fixed actor pools instead of deadlocking when logical
+        # CPUs are fully reserved (observed on the 4-CPU test session).
+        self._ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.25
+        self._ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
         return self.num_partitions
 
     def __exit__(self, *exc) -> None:
         self._ctx.shuffle_strategy = self._prev
+        self._ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = \
+            self._prev_agg
+        self._ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = \
+            self._prev_shuf
 
 
 def round_half_up(x, digits: int = 4):

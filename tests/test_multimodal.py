@@ -1,0 +1,86 @@
+"""Multimodal stage tests: real Arrow plumbing, stubbed codecs."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from cheque_ocr_project_ray.media import encode_image
+from cheque_ocr_project_ray.multimodal.stages import (
+    AudioFeatureStage,
+    FrameSampleStage,
+    ImageDecodeStage,
+    ImageResizeStage,
+    MediaEmbedStage,
+)
+
+
+@pytest.fixture(scope="module")
+def media_table():
+    rows = []
+    for i in range(6):
+        payload = encode_image([(f"LINE {i}", 0.9), ("FOR ACME", 0.8)],
+                               1600 + i * 100, 700, 9000 + i * 500, seed=i)
+        rows.append({"media_ref": f"b000/doc_{i}", "data": payload,
+                     "width": 1600 + i * 100, "height": 700})
+    rows.append({"media_ref": "b000/raw", "data": b"\x89PNG fakebytes" * 100,
+                 "width": 10, "height": 10})
+    return pa.Table.from_pylist(rows)
+
+
+def test_image_decode_stage(media_table):
+    out = ImageDecodeStage()(media_table)
+    d = out.to_pydict()
+    assert d["format"][:6] == ["chq1"] * 6 and d["format"][6] == "unknown"
+    assert d["n_text_lines"][:6] == [2] * 6
+    assert d["width"][0] == 1600 and d["height"][0] == 700
+    assert all(n > 0 for n in d["nbytes"])
+
+
+def test_image_decode_strict_raises(media_table):
+    with pytest.raises(NotImplementedError, match="cv2/PIL"):
+        ImageDecodeStage(strict=True)(media_table)
+
+
+def test_image_resize_stage(media_table):
+    out = ImageResizeStage(target_long_side=800)(media_table).to_pydict()
+    assert out["processed_w"][0] == 800           # 1600 → 800 (scale 0.5)
+    assert out["processed_h"][0] == 350
+    assert abs(out["scale_factor"][0] - 0.5) < 1e-9
+
+
+def test_frame_sample_stage(media_table):
+    out = FrameSampleStage(every_n=2, max_frames=3,
+                           bytes_per_frame=1024)(media_table).to_pydict()
+    assert all(n <= 3 for n in out["n_sampled"])
+    assert out["frame_offsets"][0][0] == 0        # always starts at frame 0
+    # deterministic
+    again = FrameSampleStage(every_n=2, max_frames=3,
+                             bytes_per_frame=1024)(media_table).to_pydict()
+    assert out["frame_offsets"] == again["frame_offsets"]
+
+
+def test_audio_feature_stage(media_table):
+    out = AudioFeatureStage(window_bytes=2048)(media_table).to_pydict()
+    assert all(n >= 1 for n in out["n_windows"])
+    assert all(0.0 <= f <= 1.0 for row in out["features"] for f in row)
+
+
+def test_media_embed_stage(media_table):
+    out = MediaEmbedStage(dim=16)(media_table).to_pydict()
+    for vec in out["embedding"]:
+        assert len(vec) == 16
+        assert abs(np.linalg.norm(vec) - 1.0) < 1e-5
+    again = MediaEmbedStage(dim=16)(media_table).to_pydict()
+    assert out["embedding"] == again["embedding"]
+
+
+def test_stages_in_ray_pipeline(media_table):
+    """The actor-pool plumbing end-to-end in a real Dataset."""
+    ds = ray.data.from_arrow(media_table)
+    decoded = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
+                             batch_size=4, concurrency=2, num_cpus=1)
+    pdf = decoded.to_pandas()
+    assert len(pdf) == media_table.num_rows
+    assert set(pdf["format"]) == {"chq1", "unknown"}
