@@ -93,3 +93,36 @@ def write_final(results_ds, fixture_dir: str | Path, out_dir: str | Path,
     checkpoint module's job; this is the terminal export)."""
     final = join_results_to_meta(results_ds, fixture_dir, broadcast)
     final.write_parquet(str(out_dir))
+
+
+def to_canonical_csv(results_ds):
+    """Project results to the reference's canonical 12-column CSV
+    schema (``csv_handler.py:23-36``) for human export via
+    ``.write_csv``.  PROCESS_DATE/TIME are data-derived placeholders
+    (the reference stamps wall-clock; a distributed run stamps at the
+    driver if needed) so output stays deterministic."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        empty = pa.nulls(batch.num_rows, pa.string())
+        return pa.table({
+            "IMAGE_ID": batch["doc_id"],
+            "FILENAME": pc.binary_join_element_wise(
+                batch["doc_id"], pa.array(["tiff"] * batch.num_rows), "."),
+            "CHEQUE_TYPE": batch["cheque_type"],
+            "IS_GOVERNMENT": batch["is_government"],
+            "GOVT_CATEGORY": batch["govt_category"],
+            "PAYEE_RAW": batch["payee_raw"],
+            "PAYEE_CLEANED": batch["payee"],
+            "CONFIDENCE": pc.round(batch["confidence"], ndigits=4),
+            "PROCESS_DATE": empty,
+            "PROCESS_TIME_MS": pa.nulls(batch.num_rows, pa.float64()),
+            "STATUS": batch["status"],
+            "ERROR_MESSAGE": empty,
+        })
+
+    return results_ds.map_batches(project, batch_format="pyarrow")
+
+
+def write_csv_export(results_ds, out_dir: str | Path) -> None:
+    """Human-inspection CSV export (K1) — parquet remains the real sink."""
+    to_canonical_csv(results_ds).write_csv(str(out_dir))

@@ -202,6 +202,57 @@ def simhash_docs(docs_ds):
     return docs_ds.map_batches(fn, batch_format="pandas")
 
 
+def simhash_near_pairs(docs_ds, max_hamming: int = 3):
+    """SimHash near-dup pairs via band blocking.
+
+    A 64-bit signature is split into 4 disjoint 16-bit bands; two
+    signatures within Hamming distance 3 agree on at least one band
+    (pigeonhole), so banding finds every such pair with one groupby.
+    Verification (exact Hamming) happens inside the group — signatures
+    travel with the rows, no corpus re-read.
+    """
+    sigs = simhash_docs(docs_ds)
+
+    def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
+        h = batch["simhash"].to_numpy().astype(np.uint64)
+        out = []
+        for band in range(4):
+            band_val = (h >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            out.append(pd.DataFrame({
+                "band_id": band,
+                "band_val": band_val.astype("int64"),
+                "doc_id": batch["doc_id"],
+                "simhash": batch["simhash"],
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    banded = sigs.map_batches(to_bands, batch_format="pandas")
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        ids = g["doc_id"].to_numpy()
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        out_a, out_b, out_h = [], [], []
+        for i in range(len(ids)):
+            x = hs[i] ^ hs[i + 1:]
+            ham = np.array([bin(int(v)).count("1") for v in x])
+            keep = np.nonzero(ham <= max_hamming)[0]
+            for j in keep:
+                out_a.append(ids[i])
+                out_b.append(ids[i + 1 + j])
+                out_h.append(int(ham[j]))
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b,
+                             "hamming": out_h})
+
+    cand = banded.groupby(["band_id", "band_val"]).map_groups(
+        pairs, batch_format="pandas")
+    # a pair can match in several bands — keep one row per pair
+    return cand.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
+
+
 def ngram_jaccard_pairs(docs_ds, docs_by_id_loader, shingle_k: int = 2,
                         threshold: float = 0.5) -> pd.DataFrame:
     """n-gram Jaccard near-dup via the same LSH blocking (smaller k →

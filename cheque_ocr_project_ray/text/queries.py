@@ -136,6 +136,10 @@ def doc_simhash(sf_dir: str):
     return dedup.simhash_docs(_docs(sf_dir))
 
 
+def dedup_simhash(sf_dir: str):
+    return dedup.simhash_near_pairs(_docs(sf_dir), max_hamming=3)
+
+
 def text_queries() -> dict[str, Callable]:
     return {
         "doc_token_stats": doc_token_stats,
@@ -147,6 +151,7 @@ def text_queries() -> dict[str, Callable]:
         "dedup_minhash": dedup_minhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "doc_simhash": doc_simhash,
+        "dedup_simhash": dedup_simhash,
     }
 
 
