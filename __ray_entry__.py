@@ -65,12 +65,21 @@ def _cheque_queries() -> dict[str, Callable[[str], Any]]:
         roll.pop("max_partition_wall_s", None)  # timing is run-dependent
         return pd.DataFrame([roll])
 
+    def cheque_filename_fields(sf_dir: str):
+        from cheque_ocr_project_ray.functions.filename_fields import (
+            filename_fields_batch)
+        from cheque_ocr_project_ray.sources.io import read_meta
+        meta = read_meta(ensure_fixture(sf_dir),
+                         columns=["doc_id", "image_file"])
+        return meta.map_batches(filename_fields_batch, batch_format="pyarrow")
+
     return {
         "cheque_extract": cheque_extract,
         "cheque_spans": cheque_spans,
         "cheque_status_histogram": cheque_status_histogram,
         "cheque_final_join": cheque_final_join,
         "cheque_checkpoint_rollup": cheque_checkpoint_rollup,
+        "cheque_filename_fields": cheque_filename_fields,
     }
 
 

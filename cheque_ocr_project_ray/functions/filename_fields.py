@@ -29,3 +29,25 @@ def account_from_filename(filename: str) -> str:
 def date_from_filename(filename: str) -> str:
     matches = _DATE8_RE.findall(filename)
     return matches[0] if matches else ""
+
+
+def filename_fields_batch(batch):
+    """Vectorized M23 over an Arrow batch with an ``image_file``
+    column — ``pc.extract_regex`` kernels, no Python row loop."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    files = batch["image_file"]
+
+    def extract(pattern: str, group: str, default: str):
+        res = pc.struct_field(
+            pc.extract_regex(files, f"(?P<{group}>{pattern})"), group)
+        return pc.fill_null(res, default)
+
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "image_file": files,
+        "amount": extract(r"\d+\.\d{2}", "amount", "0.00"),
+        "account": extract(r"\d+", "account", "0"),
+        "date": extract(r"\d{8}", "date", ""),
+    })

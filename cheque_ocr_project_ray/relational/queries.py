@@ -290,6 +290,30 @@ GROUP BY event_type
 """
 
 
+# --- exact grouped median (G3-style latency/percentile stats) --------
+@_hash_shuffled
+def events_value_median(sf_dir: str, np_: int = 0):
+    """Exact per-group median via Ray's Quantile aggregate (linear
+    interpolation — matches DuckDB quantile_cont bit-for-bit here).
+    Scale note: Quantile gathers the group's values; for 100 TB-scale
+    high-cardinality groups swap in a t-digest sketch inside
+    map_batches partials."""
+    from ray.data.aggregate import Quantile
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+    agg = ds.groupby("event_type", num_partitions=np_).aggregate(
+        Quantile("value", q=0.5, alias_name="median_value"))
+    return agg.map_batches(
+        lambda b: b.assign(median_value=round_half_up(b["median_value"], 4)),
+        batch_format="pandas")
+
+
+EVENTS_MEDIAN_SQL = """
+SELECT event_type, round(quantile_cont(value, 0.5), 4) AS median_value
+FROM events
+GROUP BY event_type
+"""
+
+
 def relational_queries() -> dict[str, Callable]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -299,6 +323,7 @@ def relational_queries() -> dict[str, Callable]:
         "order_priority_revenue": order_priority_revenue,
         "events_hourly": events_hourly,
         "events_type_stats": events_type_stats,
+        "events_value_median": events_value_median,
     }
 
 
@@ -311,4 +336,5 @@ def relational_oracle_sql() -> dict[str, str]:
         "order_priority_revenue": ORDER_PRIORITY_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
         "events_type_stats": EVENTS_TYPE_SQL,
+        "events_value_median": EVENTS_MEDIAN_SQL,
     }
