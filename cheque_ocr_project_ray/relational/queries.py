@@ -314,6 +314,105 @@ GROUP BY event_type
 """
 
 
+# --- anti-join: customers with no urgent orders (J3/D1 pattern) ------
+@_hash_shuffled
+def customers_without_orders(sf_dir: str, np_: int = 0):
+    """Anti-join via native left-outer hash join + null filter — the
+    distributed form of the reference's processed-set skip (J3)."""
+    customer = _pq(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def order_keys(batch: pa.Table) -> pa.Table:
+        # filter + distinct custkeys per batch — the anti-join's combiner
+        urgent = batch.filter(
+            pc.equal(batch["o_orderpriority"], "1-URGENT"))
+        keys = pc.unique(urgent["o_custkey"])
+        return pa.table({
+            "c_custkey": keys,
+            "__has": pa.array([1] * len(keys), pa.int64()),
+        })
+
+    keys = orders.map_batches(order_keys, batch_format="pyarrow")
+    joined = customer.join(keys, join_type="left_outer",
+                           num_partitions=np_, on=("c_custkey",))
+
+    def keep_unmatched(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_null(batch["__has"])).select(
+            ["c_custkey", "c_name"])
+
+    return joined.map_batches(keep_unmatched, batch_format="pyarrow")
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+"""
+
+
+# --- distinct (set op over a dictionary column) ----------------------
+def distinct_returnflag_status(sf_dir: str):
+    ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["l_returnflag", "l_linestatus"]).aggregate([])
+
+    # combiner: per-batch distinct (tiny) → global distinct
+    from ray.data.aggregate import Count
+    return ds.map_batches(local_distinct, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Count(alias_name="__n")).drop_columns(["__n"])
+
+
+DISTINCT_SQL = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+"""
+
+
+# --- gap-based sessionization (streaming-window custom operator) -----
+@_hash_shuffled
+def events_sessions(sf_dir: str, np_: int = 0, gap_minutes: int = 30):
+    """Session windows per user: events sorted within each user group;
+    a new session starts after a >30 min gap.  Expressed as
+    groupby(user).map_groups (the partitioning assumption: one user's
+    events fit one group — at 100 TB scale, salt ultra-hot users by
+    day first).  Oracle: SQL window functions."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+    gap_us = gap_minutes * 60_000_000
+
+    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
+        us = group["ts"].astype("datetime64[us]").astype("int64").sort_values()
+        # first event always opens a session (diff's leading NaN compares
+        # False, so count it explicitly rather than via fillna)
+        n_sessions = 1 + int((us.diff() > gap_us).sum()) if len(us) else 0
+        return pd.DataFrame({
+            "user_id": [group["user_id"].iloc[0]],
+            "n_events": [len(group)],
+            "n_sessions": [n_sessions],
+        })
+
+    return ds.groupby("user_id", num_partitions=np_).map_groups(
+        sessionize, batch_format="pandas")
+
+
+EVENTS_SESSIONS_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts)
+              > 30 * 60 * 1000000 OR
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS is_start
+  FROM events
+)
+SELECT user_id, count(*) AS n_events, sum(is_start) AS n_sessions
+FROM ordered
+GROUP BY user_id
+"""
+
+
 def relational_queries() -> dict[str, Callable]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -324,6 +423,9 @@ def relational_queries() -> dict[str, Callable]:
         "events_hourly": events_hourly,
         "events_type_stats": events_type_stats,
         "events_value_median": events_value_median,
+        "customers_without_orders": customers_without_orders,
+        "distinct_returnflag_status": distinct_returnflag_status,
+        "events_sessions": events_sessions,
     }
 
 
@@ -337,4 +439,7 @@ def relational_oracle_sql() -> dict[str, str]:
         "events_hourly": EVENTS_HOURLY_SQL,
         "events_type_stats": EVENTS_TYPE_SQL,
         "events_value_median": EVENTS_MEDIAN_SQL,
+        "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "distinct_returnflag_status": DISTINCT_SQL,
+        "events_sessions": EVENTS_SESSIONS_SQL,
     }
