@@ -19,9 +19,11 @@ from cheque_ocr_project_ray.multimodal.stages import (
     DEFAULT_MEDIA_BATCH,
     AudioFeatureStage,
     FrameSampleStage,
+    HandwritingDetectStage,
     ImageDecodeStage,
     ImageResizeStage,
     MediaEmbedStage,
+    RoiCropPlanStage,
 )
 
 
@@ -101,6 +103,17 @@ def media_embed_neighbors(sf_dir: str, k: int = 5):
                        descending=[True, False]).limit(k)
 
 
+def media_roi_plan(sf_dir: str):
+    ds = _media_ds(sf_dir, ["media_ref", "width", "height"])
+    return ds.map_batches(RoiCropPlanStage, batch_format="pyarrow",
+                          batch_size=256, concurrency=2, num_cpus=1)
+
+
+def media_handwriting(sf_dir: str):
+    ds = _media_ds(sf_dir, ["media_ref", "data"])
+    return _pool(ds, HandwritingDetectStage)
+
+
 def multimodal_queries() -> dict[str, Callable]:
     return {
         "media_decode_stats": media_decode_stats,
@@ -108,4 +121,6 @@ def multimodal_queries() -> dict[str, Callable]:
         "media_frame_sample": media_frame_sample,
         "media_audio_features": media_audio_features,
         "media_embed_neighbors": media_embed_neighbors,
+        "media_roi_plan": media_roi_plan,
+        "media_handwriting": media_handwriting,
     }

@@ -163,6 +163,87 @@ class AudioFeatureStage:
         })
 
 
+class RoiCropPlanStage:
+    """ROI crop cascade plan (reference M1/M2/M4): the issuer zone
+    ``[0.40h:0.90h, 0.35w:w]`` (issuer_processor_v.py:456-458), the
+    bottom-right signature crop ``[0.55h:, 0.5w:]``
+    (issuer_batch_processor.py:110-127) and the V3 multi-ROI cascade
+    (IssuerBatchProcessorV3.py:364-393), emitted as rectangle columns.
+    Pixel cropping itself happens inside the OCR stand-in; at scale
+    these rectangles are what the GPU batch loader consumes."""
+
+    # (name, y0_frac, y1_frac, x0_frac, x1_frac) — cascade order
+    CASCADE = (
+        ("issuer_zone", 0.40, 0.90, 0.35, 1.00),
+        ("bottom_right", 0.55, 1.00, 0.50, 1.00),
+        ("bottom_half", 0.50, 1.00, 0.00, 1.00),
+        ("full_image", 0.00, 1.00, 0.00, 1.00),
+    )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, names, orders, y0s, y1s, x0s, x1s = [], [], [], [], [], [], []
+        for ref, w, h in zip(batch.column("media_ref").to_pylist(),
+                             batch.column("width").to_pylist(),
+                             batch.column("height").to_pylist()):
+            for i, (name, fy0, fy1, fx0, fx1) in enumerate(self.CASCADE):
+                refs.append(ref)
+                names.append(name)
+                orders.append(i)
+                y0s.append(int(h * fy0))
+                y1s.append(int(h * fy1))
+                x0s.append(int(w * fx0))
+                x1s.append(int(w * fx1))
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "roi": pa.array(names, pa.string()),
+            "cascade_order": pa.array(orders, pa.int32()),
+            "y0": pa.array(y0s, pa.int32()),
+            "y1": pa.array(y1s, pa.int32()),
+            "x0": pa.array(x0s, pa.int32()),
+            "x1": pa.array(x1s, pa.int32()),
+        })
+
+
+class HandwritingDetectStage:
+    """Handwriting detector (reference M5, issuer_processor_v.py:71-113:
+    Otsu binarize → contour aspect/extent/solidity scoring).  The
+    contour step needs cv2 (stubbed); the deterministic stand-in
+    derives contour-count and score proxies from payload byte
+    statistics so the decision column, thresholds and plumbing are
+    real: handwritten iff >15 "contours" and score > 1.2."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_contours, scores, handwritten = [], [], []
+        for payload in batch.column("data").to_pylist():
+            if self.strict:
+                raise NotImplementedError(
+                    "real handwriting detection requires cv2 contours; "
+                    "not available in this environment")
+            arr = np.frombuffer(payload[:32768], dtype=np.uint8)
+            if arr.size == 0:
+                n_contours.append(0)
+                scores.append(0.0)
+                handwritten.append(False)
+                continue
+            # byte-level texture proxies: sign changes ≈ contours,
+            # normalized variation ≈ stroke-irregularity score
+            diffs = np.diff(arr.astype(np.int16))
+            contours = int(np.count_nonzero(np.abs(diffs) > 64) // 97)
+            score = round(float(np.abs(diffs).mean()) / 64.0, 4)
+            n_contours.append(contours)
+            scores.append(score)
+            handwritten.append(contours > 15 and score > 1.2)
+        return pa.table({
+            "media_ref": batch.column("media_ref"),
+            "n_contours": pa.array(n_contours, pa.int32()),
+            "stroke_score": pa.array(scores, pa.float64()),
+            "handwritten": pa.array(handwritten, pa.bool_()),
+        })
+
+
 class MediaEmbedStage:
     """Deterministic fake embedding per payload (unit-norm float32
     vector from a blake2 digest) — the batched-model-inference shape

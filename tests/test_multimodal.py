@@ -76,6 +76,28 @@ def test_media_embed_stage(media_table):
     assert out["embedding"] == again["embedding"]
 
 
+def test_roi_crop_plan(media_table):
+    from cheque_ocr_project_ray.multimodal.stages import RoiCropPlanStage
+    out = RoiCropPlanStage()(media_table)
+    assert out.num_rows == media_table.num_rows * 4
+    d = out.to_pydict()
+    # first image 1600x700: issuer zone = [0.40h:0.90h, 0.35w:w]
+    assert (d["roi"][0], d["y0"][0], d["y1"][0], d["x0"][0], d["x1"][0]) \
+        == ("issuer_zone", 280, 630, 560, 1600)
+    assert d["roi"][3] == "full_image" and d["cascade_order"][3] == 3
+
+
+def test_handwriting_detect(media_table):
+    from cheque_ocr_project_ray.multimodal.stages import HandwritingDetectStage
+    out = HandwritingDetectStage()(media_table).to_pydict()
+    assert len(out["handwritten"]) == media_table.num_rows
+    assert all(isinstance(v, bool) for v in out["handwritten"])
+    again = HandwritingDetectStage()(media_table).to_pydict()
+    assert out == again  # deterministic
+    with pytest.raises(NotImplementedError, match="cv2"):
+        HandwritingDetectStage(strict=True)(media_table)
+
+
 def test_stages_in_ray_pipeline(media_table):
     """The actor-pool plumbing end-to-end in a real Dataset."""
     ds = ray.data.from_arrow(media_table)

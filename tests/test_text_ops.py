@@ -80,6 +80,16 @@ def test_simhash_properties(corpus):
     assert dict(zip(out2["doc_id"], out2["simhash"])) == by_id
 
 
+def test_simhash_near_pairs(corpus):
+    out = dedup.simhash_near_pairs(docs_ds(corpus), max_hamming=3).to_pandas()
+    found = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 1) in found                      # identical → hamming 0
+    row = out[(out["doc_a"] == 0) & (out["doc_b"] == 1)]
+    assert row["hamming"].iloc[0] == 0
+    # unrelated docs never pair at hamming<=3
+    assert not any(4 in p or 5 in p for p in found)
+
+
 def test_quality_and_token_stats():
     batch = pd.DataFrame({
         "doc_id": [1], "text": ["the cat and the hat sat"]})
