@@ -37,10 +37,13 @@ BENCH_QUERIES = [
     "revenue_by_nation",       # broadcast dimension join
     "top_orders",              # per-batch top-k + tiny global sort
     "events_hourly",           # tumbling-window aggregate
+    "events_sessions",         # gap-window sessionization (map_groups)
     "dedup_minhash",           # MinHash LSH shuffle
     "doc_simhash",             # signature map
     "doc_quality",             # vectorized text analysis
     "ann_cosine_topk",         # brute-force cosine top-k
+    "ann_ivf_topk",            # IVF coarse-quantizer scale path
+    "media_decode_stats",      # multimodal actor-pool stage
 ]
 
 

@@ -102,6 +102,65 @@ def lsh_topk(emb_ds, query_vec: np.ndarray, k: int = 10,
     return brute_force_topk(candidates, query_vec, k)
 
 
+def kmeans_centroids(sample: np.ndarray, n_centroids: int = 16,
+                     iters: int = 5, seed: int = 23) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a driver-side sample.
+
+    At corpus scale the sample is a tiny reservoir (e.g. 100k vectors)
+    — centroid building never touches the full table.
+    """
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)),
+                     replace=False)
+    cents = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        d = sample @ cents.T
+        assign = d.argmax(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return cents
+
+
+def ivf_topk(emb_ds, query_vec: np.ndarray, k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4,
+             sample_size: int = 2048):
+    """IVF approximate top-k — the coarse-quantizer scale path.
+
+    1. centroids from a driver-side sample (broadcast via ray.put)
+    2. per-batch cluster assignment (one GEMM) + probe-cluster filter
+    3. exact cosine over the probed subset only (~n_probe/n_centroids
+       of the corpus scored instead of all of it)
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+
+    sample = _batch_matrix(
+        emb_ds.limit(sample_size).to_pandas())
+    norms = np.linalg.norm(sample, axis=1)
+    sample = sample / np.where(norms == 0, 1, norms)[:, None]
+    cents = kmeans_centroids(sample, n_centroids)
+    probe = set(np.argsort(cents @ q)[::-1][:n_probe].tolist())
+    cents_ref = ray.put(cents)
+
+    class _Prober:
+        def __init__(self):
+            self.cents = ray.get(cents_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = _batch_matrix(batch)
+            assign = (m @ self.cents.T).argmax(axis=1)
+            return batch[pd.Series(assign).isin(probe).to_numpy()]
+
+    candidates = emb_ds.map_batches(_Prober, batch_format="pandas",
+                                    concurrency=(1, 4))
+    return brute_force_topk(candidates, query_vec, k)
+
+
 def cosine_neardup_pairs(emb_ds, n_planes: int = 8,
                          threshold: float = 0.95) -> pd.DataFrame:
     """Embedding-cosine near-dup pairs via LSH bucket blocking."""

@@ -49,6 +49,10 @@ def ann_lsh_topk(sf_dir: str):
     return ann.lsh_topk(_emb(sf_dir), _query_vec(sf_dir), k=10)
 
 
+def ann_ivf_topk(sf_dir: str):
+    return ann.ivf_topk(_emb(sf_dir), _query_vec(sf_dir), k=10)
+
+
 def embedding_neardup(sf_dir: str) -> pd.DataFrame:
     return ann.cosine_neardup_pairs(_emb(sf_dir), threshold=0.95)
 
@@ -88,6 +92,7 @@ def vector_queries() -> dict[str, Callable]:
     return {
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "embedding_neardup": embedding_neardup,
         "label_stats": label_stats,
     }

@@ -56,6 +56,25 @@ def test_lsh_topk_subset_of_bruteforce(emb_table, matrix):
     assert 3 in set(got["vec_id"])
 
 
+def test_ivf_topk(emb_table, matrix):
+    ids = emb_table["vec_id"].to_pylist()
+    q = matrix[3]
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    got = ann.ivf_topk(ds, q, k=10, n_centroids=8, n_probe=3).to_pandas()
+    assert 0 < len(got) <= 10
+    # hits carry true cosines; the query's own cluster is always probed
+    qn = q / np.linalg.norm(q)
+    cos = (matrix @ qn) / np.linalg.norm(matrix, axis=1)
+    by_id = dict(zip(ids, np.round(cos, 5)))
+    for vid, c in zip(got["vec_id"], got["cos"]):
+        assert c == pytest.approx(by_id[vid], abs=1e-5)
+    assert 3 in set(got["vec_id"])
+    # deterministic across runs
+    again = ann.ivf_topk(ds, q, k=10, n_centroids=8, n_probe=3).to_pandas()
+    assert got.equals(again)
+
+
 def test_neardup_pairs_on_planted_dups():
     rng = np.random.default_rng(5)
     base = rng.standard_normal(16)
