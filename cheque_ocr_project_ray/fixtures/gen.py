@@ -33,7 +33,7 @@ import pyarrow.parquet as pq
 
 from cheque_ocr_project_ray.media import encode_image
 
-FIXTURE_VERSION = 6
+FIXTURE_VERSION = 7
 DEFAULT_SEED = 42
 FIXTURE_ROOT = Path("/tmp/cheque_ray_fixtures")
 
@@ -143,6 +143,7 @@ _SCENARIOS = [
     "demand_draft", "managers_cheque", "crossed", "self_cheque",
     "for_issuer_hi", "for_issuer_lo", "fo_issuer", "prop_issuer",
     "dict_exact", "dict_near", "garbage_only", "no_text", "oversized",
+    "corrupt_media",
 ]
 
 
@@ -294,8 +295,14 @@ def make_doc(seed: int, idx: int, bucket: int) -> tuple[dict, dict, list[tuple]]
             w = rng.randrange(1200, 2600)
             h = rng.randrange(500, 1200)
             ref = f"b{bucket:03d}/{doc_id}_{ii}"
-            payload = encode_image(image_line_sets[ii], w, h, size,
-                                   seed=(seed << 20) ^ (idx * 31 + ii))
+            if scenario == "corrupt_media" and ii == 0:
+                # undecodable payload (no CHQ1 magic): exercises the
+                # per-row ERROR path (SURVEY.md §4 "retries" row)
+                payload = bytes(rng.randrange(256) for _ in range(256))
+                payload = b"RAW0" + payload
+            else:
+                payload = encode_image(image_line_sets[ii], w, h, size,
+                                       seed=(seed << 20) ^ (idx * 31 + ii))
             media_rows.append((ref, payload, w, h))
             spans.append({"kind": "image", "text": "", "media_ref": ref,
                           "offset": offset})

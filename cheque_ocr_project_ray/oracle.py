@@ -10,7 +10,7 @@ the fixed-order output span sequence defined in SURVEY.md §7.1:
   offset 1  field:govt_category 'I'|'II'|'III' or ''
   offset 2  field:payee         cleaned payee (govt rules applied)
   offset 3  field:issuer        issuer[:50]; media_ref = source image span
-  offset 4  field:status        'AUTO-UPDATED' | 'REJECTED' (truncated :20)
+  offset 4  field:status        'AUTO-UPDATED'|'REJECTED'|'ERROR' (:20)
   offset 5  field:micr          MICR triplet or ''
   offset 6  field:amount        parsed amount or ''
   offset 7  field:date          parsed date DDMMYYYY or ''
@@ -164,6 +164,29 @@ def fields_to_spans(fields: Mapping) -> list[Span]:
     ]
 
 
+def error_fields() -> dict:
+    """Per-row ERROR semantics: an undecodable media span fails the
+    whole document deterministically (the reference's per-image
+    try/except → error row, ``issuer_processor_v.py:662-664`` /
+    ``ocr_engine.py:113-126`` success=False path) instead of failing
+    the task."""
+    return {
+        "cheque_type": "",
+        "is_government": False,
+        "govt_category": "",
+        "payee_raw": "",
+        "payee": "XXX",
+        "issuer": "XXX",
+        "issuer_conf": 0.0,
+        "issuer_src": "",
+        "confidence": 0.0,
+        "status": "ERROR",
+        "micr": "",
+        "amount": "",
+        "date": "",
+    }
+
+
 def reference_extract(
     doc: Mapping,
     media_lookup: Callable[[str], Sequence[tuple[str, float]]],
@@ -171,6 +194,9 @@ def reference_extract(
     threshold: float = 0.90,
 ) -> list[Span]:
     """The per-row oracle: doc row → output span sequence."""
-    full_text, ocr_lines = assemble_document(doc["spans"], media_lookup)
+    try:
+        full_text, ocr_lines = assemble_document(doc["spans"], media_lookup)
+    except ValueError:
+        return fields_to_spans(error_fields())
     fields = extract_fields(full_text, ocr_lines, drawer_dict, threshold=threshold)
     return fields_to_spans(fields)

@@ -19,7 +19,7 @@ import pyarrow as pa
 
 import ray
 
-from cheque_ocr_project_ray.oracle import FIELD_ORDER, extract_fields
+from cheque_ocr_project_ray.oracle import FIELD_ORDER, error_fields, extract_fields
 
 SPANS_OUT_TYPE = pa.list_(pa.struct([
     ("kind", pa.string()),
@@ -46,9 +46,27 @@ class FieldExtractStage:
         confs = batch.column("ocr_confs").to_pylist()
         srcs = batch.column("ocr_srcs").to_pylist()
 
+        errors = batch.column("ocr_error").to_pylist() \
+            if "ocr_error" in batch.column_names else [False] * len(full_texts)
+
         rows = []
         spans_out = []
-        for ft, lt, lc, ls in zip(full_texts, texts, confs, srcs):
+        for ft, lt, lc, ls, err in zip(full_texts, texts, confs, srcs, errors):
+            if err:
+                # undecodable media → deterministic ERROR row (matches
+                # oracle.reference_extract's except path)
+                f = error_fields()
+                rows.append(f)
+                spans_out.append([
+                    {"kind": k, "text": str(v), "media_ref": r, "offset": i}
+                    for i, (k, v, r) in enumerate(zip(
+                        FIELD_ORDER,
+                        (f["cheque_type"], f["govt_category"], f["payee"],
+                         f["issuer"], f["status"], f["micr"], f["amount"],
+                         f["date"]),
+                        ("", "", "", f["issuer_src"], "", "", "", "")))
+                ])
+                continue
             ocr_lines = list(zip(lt, lc, ls))
             f = extract_fields(ft, ocr_lines, self.drawer_dict,
                                threshold=self.threshold,

@@ -45,10 +45,18 @@ class OcrStage:
                 for spans in spans_col for s in spans if s["kind"] == "image"]
         payloads = self.store.get_many(refs)
 
-        # 2. decode once per distinct ref; burn proportional compute
+        # 2. decode once per distinct ref; burn proportional compute.
+        # A failed decode poisons its documents (per-row ERROR
+        # semantics, oracle.error_fields) — never the task.
         decoded: dict[str, list] = {}
+        failed: set[str] = set()
         for ref, payload in payloads.items():
-            lines, w, h = decode_image(payload)
+            try:
+                lines, w, h = decode_image(payload)
+            except ValueError:
+                failed.add(ref)
+                decoded[ref] = []
+                continue
             preprocess_meta(payload, w, h, self.target_long_side)
             simulate_inference(payload, self.work_passes)
             decoded[ref] = lines
@@ -59,12 +67,14 @@ class OcrStage:
         ocr_confs: list[list[float]] = []
         ocr_srcs: list[list[str]] = []
         media_bytes: list[int] = []
+        ocr_errors: list[bool] = []
         for spans in spans_col:
             parts: list[str] = []
             texts: list[str] = []
             confs: list[float] = []
             srcs: list[str] = []
             nbytes = 0
+            doc_failed = False
             for span in sorted(spans, key=lambda s: s["offset"]):
                 if span["kind"] == "text":
                     if span["text"]:
@@ -72,6 +82,8 @@ class OcrStage:
                 elif span["kind"] == "image":
                     ref = span["media_ref"]
                     nbytes += len(payloads[ref])
+                    if ref in failed:
+                        doc_failed = True
                     for text, conf in decoded[ref]:
                         parts.append(text)
                         texts.append(text)
@@ -82,6 +94,7 @@ class OcrStage:
             ocr_confs.append(confs)
             ocr_srcs.append(srcs)
             media_bytes.append(nbytes)
+            ocr_errors.append(doc_failed)
 
         return pa.table({
             "doc_id": batch.column("doc_id"),
@@ -90,4 +103,5 @@ class OcrStage:
             "ocr_confs": pa.array(ocr_confs, pa.list_(pa.float64())),
             "ocr_srcs": pa.array(ocr_srcs, pa.list_(pa.string())),
             "media_bytes": pa.array(media_bytes, pa.int64()),
+            "ocr_error": pa.array(ocr_errors, pa.bool_()),
         })

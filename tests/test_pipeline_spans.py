@@ -66,7 +66,8 @@ def test_pipeline_matches_oracle_per_row(fixture_dir, media_lookup):
 def test_statuses_and_types_present(fixture_dir):
     ds = build_cheque_pipeline(fixture_dir)
     pdf = ds.to_pandas()
-    assert set(pdf["status"]) <= {"AUTO-UPDATED", "REJECTED"}
-    # branch coverage sanity: both statuses and several types occur
-    assert len(set(pdf["status"])) == 2
+    assert set(pdf["status"]) <= {"AUTO-UPDATED", "REJECTED", "ERROR"}
+    # branch coverage sanity: all statuses (incl. the corrupt-media
+    # ERROR path) and several types occur
+    assert len(set(pdf["status"])) == 3
     assert {"ORDER", "GOVT_GOVT_ACCOUNT", "DEMAND_DRAFT"} <= set(pdf["cheque_type"])
