@@ -65,6 +65,14 @@ def _cheque_queries() -> dict[str, Callable[[str], Any]]:
         roll.pop("max_partition_wall_s", None)  # timing is run-dependent
         return pd.DataFrame([roll])
 
+    def cheque_run_summary(sf_dir: str):
+        import pandas as pd
+        from cheque_ocr_project_ray.pipelines.metrics import run_summary
+        summary = run_summary(build_cheque_pipeline(ensure_fixture(sf_dir)))
+        for k in ("mean_confidence", "min_confidence", "max_confidence"):
+            summary[k] = round(summary[k], 4)
+        return pd.DataFrame([summary])
+
     def cheque_filename_fields(sf_dir: str):
         from cheque_ocr_project_ray.functions.filename_fields import (
             filename_fields_batch)
@@ -80,6 +88,7 @@ def _cheque_queries() -> dict[str, Callable[[str], Any]]:
         "cheque_final_join": cheque_final_join,
         "cheque_checkpoint_rollup": cheque_checkpoint_rollup,
         "cheque_filename_fields": cheque_filename_fields,
+        "cheque_run_summary": cheque_run_summary,
     }
 
 
