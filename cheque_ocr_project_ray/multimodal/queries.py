@@ -34,9 +34,11 @@ def _media_ds(sf_dir: str, columns=None):
 
 
 def _pool(ds, stage_cls, batch_size=DEFAULT_MEDIA_BATCH, **ctor):
+    import ray
+    n = max(2, int(ray.cluster_resources().get("CPU", 8)) // 3)
     return ds.map_batches(stage_cls, fn_constructor_kwargs=ctor,
                           batch_format="pyarrow", batch_size=batch_size,
-                          concurrency=4, num_cpus=1)
+                          concurrency=n, num_cpus=1)
 
 
 def media_decode_stats(sf_dir: str):
