@@ -413,6 +413,44 @@ GROUP BY user_id
 """
 
 
+# --- JSON property extraction (nested-data scalar op) ----------------
+@_hash_shuffled
+def events_props_stats(sf_dir: str, np_: int = 0):
+    """Extract a key from the JSON ``props`` column (Arrow regex
+    kernel — no per-row json.loads in the hot path) and aggregate it
+    per event_type."""
+    ds = _pq(sf_dir, "events", ["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = pc.struct_field(
+            pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?\d+)'), "k")
+        k = pc.cast(pc.fill_null(k, "0"), pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "k": k})
+        g = t.group_by("event_type").aggregate([("k", "sum"), ("k", "count")])
+        return g.rename_columns(["event_type", "sum_k", "n"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type", num_partitions=np_).aggregate(
+            Sum("sum_k", alias_name="sum_k"), Sum("n", alias_name="n"))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["mean_k"] = round_half_up(b["sum_k"] / b["n"], 4)
+        return b
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+EVENTS_PROPS_SQL = """
+SELECT event_type,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       count(*) AS n,
+       round(sum(CAST(json_extract(props, '$.k') AS BIGINT)) * 1.0
+             / count(*), 4) AS mean_k
+FROM events
+GROUP BY event_type
+"""
+
+
 def relational_queries() -> dict[str, Callable]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -426,6 +464,7 @@ def relational_queries() -> dict[str, Callable]:
         "customers_without_orders": customers_without_orders,
         "distinct_returnflag_status": distinct_returnflag_status,
         "events_sessions": events_sessions,
+        "events_props_stats": events_props_stats,
     }
 
 
@@ -442,4 +481,5 @@ def relational_oracle_sql() -> dict[str, str]:
         "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
         "distinct_returnflag_status": DISTINCT_SQL,
         "events_sessions": EVENTS_SESSIONS_SQL,
+        "events_props_stats": EVENTS_PROPS_SQL,
     }
