@@ -62,7 +62,7 @@ def _consume(result) -> int:
 def run_once(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
     import ray
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             logging_level="ERROR")
+             logging_level="ERROR", log_to_driver=False)
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
