@@ -451,6 +451,32 @@ GROUP BY event_type
 """
 
 
+# --- deterministic hash sampling (training-data subsetting) ----------
+def events_sample(sf_dir: str, pct: int = 10):
+    """~pct% deterministic sample via a multiplicative hash of the row
+    key — reproducible across engines, cluster sizes, and reruns
+    (unlike ``random_shuffle``/``random_sample``), and expressible in
+    SQL with the same arithmetic."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "value"])
+    threshold = (1 << 32) * pct // 100
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = pc.bit_wise_and(
+            pc.multiply_checked(batch["event_id"],
+                                pa.scalar(2654435761, pa.int64())),
+            pa.scalar((1 << 32) - 1, pa.int64()))
+        return batch.filter(pc.less(h, threshold))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+EVENTS_SAMPLE_SQL = """
+SELECT event_id, user_id, value
+FROM events
+WHERE (event_id * 2654435761) & 4294967295 < 429496729
+"""
+
+
 def relational_queries() -> dict[str, Callable]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -465,6 +491,7 @@ def relational_queries() -> dict[str, Callable]:
         "distinct_returnflag_status": distinct_returnflag_status,
         "events_sessions": events_sessions,
         "events_props_stats": events_props_stats,
+        "events_sample": events_sample,
     }
 
 
@@ -482,4 +509,5 @@ def relational_oracle_sql() -> dict[str, str]:
         "distinct_returnflag_status": DISTINCT_SQL,
         "events_sessions": EVENTS_SESSIONS_SQL,
         "events_props_stats": EVENTS_PROPS_SQL,
+        "events_sample": EVENTS_SAMPLE_SQL,
     }

@@ -140,6 +140,56 @@ def dedup_simhash(sf_dir: str):
     return dedup.simhash_near_pairs(_docs(sf_dir), max_hamming=3)
 
 
+def corpus_curation(sf_dir: str):
+    """Composite training-data curation pipeline: language-ID +
+    quality scoring → keep English docs with sane stopword/TTR ratios
+    → exact-dedup keep-min-doc_id → surviving doc ids.
+
+    One streaming pass computes all per-doc signals (no separate
+    scans); the only shuffle is the dedup groupby over (hash, doc_id)
+    pairs."""
+    from ray.data.aggregate import Min
+
+    def signals(batch: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+        lang = analysis.lang_id(batch)["pred_lang"]
+        q = analysis.quality_counts(batch)
+        keep = (lang == "en") & (q["stop_ratio"] >= 0.05) & (q["ttr"] >= 0.3)
+        kept = batch[keep.to_numpy()]
+        return pd.DataFrame({
+            "text_hash": kept["text"].map(
+                lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()),
+            "doc_id": kept["doc_id"],
+        })
+
+    hashed = _docs(sf_dir).map_batches(signals, batch_format="pandas")
+    return hashed.groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="doc_id")).drop_columns(["text_hash"])
+
+
+CURATION_SQL = """
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), sig AS (
+  SELECT doc_id, text,
+         len(list_filter(toks, x -> x IN ('the', 'a', 'of'))) AS en,
+         len(list_filter(toks, x -> x IN ('el', 'la', 'los'))) AS es,
+         len(list_filter(toks, x -> x IN ('le', 'les', 'des'))) AS fr,
+         round(len(list_filter(toks, x -> x IN ('a', 'the'))) * 1.0
+               / len(toks), 4) AS stop_ratio,
+         round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS ttr
+  FROM t
+), kept AS (
+  SELECT doc_id, text FROM sig
+  WHERE NOT (en = 0 AND es = 0 AND fr = 0)
+    AND en >= es AND en >= fr
+    AND stop_ratio >= 0.05 AND ttr >= 0.3
+)
+SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+"""
+
+
 def text_queries() -> dict[str, Callable]:
     return {
         "doc_token_stats": doc_token_stats,
@@ -152,6 +202,7 @@ def text_queries() -> dict[str, Callable]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "doc_simhash": doc_simhash,
         "dedup_simhash": dedup_simhash,
+        "corpus_curation": corpus_curation,
     }
 
 
@@ -163,6 +214,7 @@ def text_oracle_sql() -> dict[str, str]:
         "doc_fingerprint": FINGERPRINT_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_prefix": DEDUP_PREFIX_SQL,
+        "corpus_curation": CURATION_SQL,
         # dedup_minhash / dedup_ngram_jaccard / doc_simhash: seeded
         # hash families — not SQL-expressible → rows-only checks.
     }
