@@ -81,7 +81,11 @@ def build_cheque_pipeline(
     # and OCR the rest
     extract_max = max(1, int(avail * 0.1))
     ocr_total = max(1, min(cfg.ocr_concurrency, avail - extract_max))
-    if n_big_docs and ocr_total > 1:
+    # A limited run (--limit N = "first N docs", reference O2) must be
+    # ONE ordered read — two predicate branches would each take N of
+    # their own subset.  Skew routing only matters at full-corpus scale
+    # anyway.
+    if n_big_docs and ocr_total > 1 and cfg.limit is None:
         skew_n = min(ocr_total - 1, max(1, round(ocr_total * big_share)))
     else:
         skew_n = 0
