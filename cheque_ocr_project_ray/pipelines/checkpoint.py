@@ -73,6 +73,18 @@ def write_checkpointed(results_ds, out_dir: str | Path,
     """
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    # layout manifest: resuming with a different partition count would
+    # silently skip the wrong docs — fail loudly instead
+    layout_path = out_dir / "_LAYOUT.json"
+    if layout_path.exists():
+        prev = json.loads(layout_path.read_text())["num_partitions"]
+        if prev != num_partitions:
+            raise ValueError(
+                f"checkpoint at {out_dir} was written with "
+                f"num_partitions={prev}; resuming with {num_partitions} "
+                "would mis-route documents")
+    else:
+        layout_path.write_text(json.dumps({"num_partitions": num_partitions}))
     _clean_incomplete(out_dir)
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
@@ -139,6 +151,8 @@ def read_checkpoint(out_dir: str | Path):
     out_dir = Path(out_dir)
     paths = sorted(str(d / "data.parquet") for d in out_dir.glob("part=*")
                    if (d / "_SUCCESS.json").exists())
+    if not paths:
+        return ray.data.from_items([])
     return ray.data.read_parquet(paths)
 
 

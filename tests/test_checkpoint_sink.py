@@ -82,6 +82,20 @@ def test_resume_after_partial_failure(fixture_dir, tmp_path):
     assert resumed["issuer"].equals(reference["issuer"])
 
 
+def test_layout_mismatch_rejected(fixture_dir, tmp_path):
+    out = tmp_path / "ckpt"
+    write_checkpointed(build_cheque_pipeline(fixture_dir, CFG),
+                       out, num_partitions=N_PARTS)
+    with pytest.raises(ValueError, match="num_partitions"):
+        write_checkpointed(build_cheque_pipeline(fixture_dir, CFG),
+                           out, num_partitions=N_PARTS * 2)
+
+
+def test_read_checkpoint_empty(tmp_path):
+    empty = read_checkpoint(tmp_path / "nothing_here")
+    assert empty.count() == 0
+
+
 def test_resume_filter_partition_math(fixture_dir, tmp_path):
     # every doc routes to exactly one partition, stable across calls
     ids = [f"P_{i:017d}" for i in range(100)]
