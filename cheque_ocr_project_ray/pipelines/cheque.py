@@ -40,8 +40,15 @@ def build_cheque_pipeline(
     fixture_dir: str | Path,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     drawer_dict: list[str] | None = None,
+    resume_from: str | Path | None = None,
 ):
-    """Lazy Dataset of extraction results for one fixture tier."""
+    """Lazy Dataset of extraction results for one fixture tier.
+
+    ``resume_from``: a checkpoint dir — docs whose output partition
+    already committed are dropped AT THE READ, before any OCR compute
+    (filtering the pipeline output instead would redo all the work
+    just to throw the rows away).
+    """
     fixture_dir = Path(fixture_dir)
     media_dir = str(fixture_dir / "media")
 
@@ -109,18 +116,26 @@ def build_cheque_pipeline(
     # the parquet scan as a row predicate (rows dropped at the read;
     # row groups pruned where statistics allow).  Both branches stream;
     # union re-merges.
+    def maybe_resume(ds):
+        if resume_from is None:
+            return ds
+        from cheque_ocr_project_ray.pipelines.checkpoint import resume_filter
+        return resume_filter(ds, resume_from, cfg.num_partitions)
+
     if skew_n:
         small = read_cheques(fixture_dir, limit=cfg.limit,
                              filter_expr=pads.field("media_bytes") <= thr)
         big = read_cheques(fixture_dir, limit=cfg.limit,
                            filter_expr=pads.field("media_bytes") > thr)
-        ocred = ocr_branch(small, cfg.ocr_batch_size, small_n).union(
-            ocr_branch(big, cfg.skew_batch_size, skew_n))
+        ocred = ocr_branch(maybe_resume(small), cfg.ocr_batch_size,
+                           small_n).union(
+            ocr_branch(maybe_resume(big), cfg.skew_batch_size, skew_n))
     else:
         # no skew pool (no oversized docs, or a 1-actor cluster):
         # everything takes the one branch — never filter docs away
-        ocred = ocr_branch(read_cheques(fixture_dir, limit=cfg.limit),
-                           cfg.ocr_batch_size, small_n)
+        ocred = ocr_branch(
+            maybe_resume(read_cheques(fixture_dir, limit=cfg.limit)),
+            cfg.ocr_batch_size, small_n)
 
     return ocred.map_batches(
         FieldExtractStage,

@@ -49,18 +49,19 @@ def main() -> None:
     from cheque_ocr_project_ray.config import DEFAULT_CONFIG
     from cheque_ocr_project_ray.fixtures.gen import ensure_fixture
     from cheque_ocr_project_ray.pipelines.checkpoint import (
-        resume_filter, rollup_metrics, write_checkpointed)
+        rollup_metrics, write_checkpointed)
     from cheque_ocr_project_ray.pipelines.cheque import build_cheque_pipeline
     from cheque_ocr_project_ray.pipelines.sink import write_final
 
     fixture = args.fixture_dir or ensure_fixture(args.sf_dir)
     cfg = DEFAULT_CONFIG.with_overrides(threshold=args.threshold,
-                                        limit=args.limit)
+                                        limit=args.limit,
+                                        num_partitions=args.num_partitions)
 
     t0 = time.perf_counter()
-    results = build_cheque_pipeline(fixture, cfg)
-    if args.resume:
-        results = resume_filter(results, args.out, args.num_partitions)
+    # --resume drops committed partitions at the READ (no OCR redone)
+    results = build_cheque_pipeline(
+        fixture, cfg, resume_from=args.out if args.resume else None)
     write_checkpointed(results, args.out, args.num_partitions)
     roll = rollup_metrics(args.out)
     roll["wall_s"] = round(time.perf_counter() - t0, 2)

@@ -12,7 +12,6 @@ from cheque_ocr_project_ray.pipelines.checkpoint import (
     completed_partitions,
     partition_of,
     read_checkpoint,
-    resume_filter,
     rollup_metrics,
     write_checkpointed,
 )
@@ -21,7 +20,8 @@ from cheque_ocr_project_ray.pipelines.sink import join_results_to_meta
 
 N_DOCS = 150
 N_PARTS = 8
-CFG = DEFAULT_CONFIG.with_overrides(ocr_work_passes=4)  # fast tests
+CFG = DEFAULT_CONFIG.with_overrides(ocr_work_passes=4,  # fast tests
+                                    num_partitions=N_PARTS)
 
 
 @pytest.fixture(scope="module")
@@ -66,9 +66,9 @@ def test_resume_after_partial_failure(fixture_dir, tmp_path):
     done_before = completed_partitions(out)
     assert len(done_before) == N_PARTS - 2
 
-    # restart: only docs of the missing partitions are recomputed
-    remaining = resume_filter(build_cheque_pipeline(fixture_dir, CFG),
-                              out, num_partitions=N_PARTS)
+    # restart: only docs of the missing partitions are recomputed —
+    # the filter applies at the read (resume_from), before OCR
+    remaining = build_cheque_pipeline(fixture_dir, CFG, resume_from=out)
     n_remaining = remaining.count()
     assert 0 < n_remaining < N_DOCS
     write_checkpointed(remaining, out, num_partitions=N_PARTS)
