@@ -275,8 +275,6 @@ def make_doc(seed: int, idx: int, bucket: int) -> tuple[dict, dict, list[tuple]]
         for j, line in enumerate(aux_lines):
             image_line_sets[j % n_images].append(line)
 
-    text_iter = iter(text_spans)
-    interleave = list(text_spans) and n_images > 0
     # Interleave text and image spans deterministically.
     t_spans = list(text_spans)
     total_slots = len(t_spans) + n_images
@@ -364,7 +362,9 @@ def generate_fixture(out_dir: Path, n_docs: int, seed: int = DEFAULT_SEED,
             chunk_docs.append(doc)
             meta_rows.append(meta)
             for ref, payload, w, h in media_rows:
-                bucket = int(ref[1:4])
+                # parse up to the '/' — int(ref[1:4]) would truncate
+                # 4+-digit buckets (n_buckets > 999 at large n_docs)
+                bucket = int(ref.split("/", 1)[0][1:])
                 media_by_bucket.setdefault(bucket, []).append((ref, payload, w, h))
         table = pa.Table.from_pylist(chunk_docs, schema=CHEQUES_SCHEMA)
         # Fragment-per-file, small row groups: at corpus scale there are

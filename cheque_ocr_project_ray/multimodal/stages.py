@@ -59,7 +59,14 @@ class ImageDecodeStage:
                 hs.append(h)
                 n_lines.append(len(lines))
             elif self.strict:
-                _decode_real_image(payload)
+                # contract for a future real codec: return
+                # (format, width, height, n_text_lines) — the columns
+                # stay aligned when the stub is replaced
+                fmt, w, h, n = _decode_real_image(payload)
+                fmts.append(fmt)
+                ws.append(w)
+                hs.append(h)
+                n_lines.append(n)
             else:
                 fmts.append("unknown")
                 ws.append(0)

@@ -110,7 +110,8 @@ def revenue_by_nation(sf_dir: str, np_: int = 0):
                            columns=["n_nationkey", "n_name"])
     dim = customer.rename_columns(["o_custkey", "c_nationkey"]).join(
         nation.rename_columns(["c_nationkey", "n_name"]),
-        keys="c_nationkey").select(["o_custkey", "n_name"])
+        keys="c_nationkey",
+        join_type="inner").select(["o_custkey", "n_name"])
 
     joined = broadcast_join(orders, dim, on="o_custkey")
 
@@ -167,13 +168,16 @@ def high_discount_lineitems(sf_dir: str):
     ds = _pq(sf_dir, "lineitem",
              ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
 
+    from cheque_ocr_project_ray.util import round_half_up_arrow
+
     def fn(batch: pa.Table) -> pa.Table:
         mask = pc.greater(batch["l_discount"], 0.08)
         batch = batch.filter(mask)
-        revenue = pc.round(
+        # round half AWAY from zero to agree with the SQL oracle
+        # (pc.round is half-to-even and diverges on exact halves)
+        revenue = round_half_up_arrow(
             pc.multiply(batch["l_extendedprice"],
-                        pc.subtract(pa.scalar(1.0), batch["l_discount"])),
-            ndigits=4)
+                        pc.subtract(pa.scalar(1.0), batch["l_discount"])), 4)
         return batch.append_column("revenue", revenue)
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -452,13 +456,17 @@ GROUP BY event_type
 
 
 # --- deterministic hash sampling (training-data subsetting) ----------
+def _sample_threshold(pct: int) -> int:
+    return (1 << 32) * pct // 100
+
+
 def events_sample(sf_dir: str, pct: int = 10):
     """~pct% deterministic sample via a multiplicative hash of the row
     key — reproducible across engines, cluster sizes, and reruns
     (unlike ``random_shuffle``/``random_sample``), and expressible in
     SQL with the same arithmetic."""
     ds = _pq(sf_dir, "events", ["event_id", "user_id", "value"])
-    threshold = (1 << 32) * pct // 100
+    threshold = _sample_threshold(pct)
 
     def keep(batch: pa.Table) -> pa.Table:
         h = pc.bit_wise_and(
@@ -470,10 +478,12 @@ def events_sample(sf_dir: str, pct: int = 10):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
-EVENTS_SAMPLE_SQL = """
+# the oracle is generated from the SAME threshold as the registered
+# query (pct=10) so the two cannot drift
+EVENTS_SAMPLE_SQL = f"""
 SELECT event_id, user_id, value
 FROM events
-WHERE (event_id * 2654435761) & 4294967295 < 429496729
+WHERE (event_id * 2654435761) & 4294967295 < {_sample_threshold(10)}
 """
 
 

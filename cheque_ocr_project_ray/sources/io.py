@@ -68,23 +68,31 @@ class MediaStore:
             self._cache.move_to_end(bucket)
             return cached
         path = self.media_dir / f"bucket={bucket}" / "data.parquet"
-        table = pq.read_table(path, columns=["media_ref", "data"])
-        data = dict(zip(table["media_ref"].to_pylist(),
-                        table["data"].to_pylist()))
+        try:
+            table = pq.read_table(path, columns=["media_ref", "data"])
+            data = dict(zip(table["media_ref"].to_pylist(),
+                            table["data"].to_pylist()))
+        except FileNotFoundError:
+            data = {}  # lost/missing bucket → every ref in it is missing
         self._cache[bucket] = data
         if len(self._cache) > self.max_buckets:
             self._cache.popitem(last=False)
         return data
 
-    def get_many(self, refs: Iterable[str]) -> dict[str, bytes]:
-        """Batched GET: group refs by bucket, one bucket read each."""
+    def get_many(self, refs: Iterable[str]) -> dict[str, bytes | None]:
+        """Batched GET: group refs by bucket, one bucket read each.
+
+        A ref absent from the store maps to ``None`` — the caller owns
+        the failure semantics (OcrStage turns it into a per-row ERROR;
+        raising here would fail the whole task for one lost blob).
+        """
         by_bucket: dict[str, list[str]] = {}
         for ref in refs:
             bucket = ref.split("/", 1)[0][1:]
             by_bucket.setdefault(bucket, []).append(ref)
-        out: dict[str, bytes] = {}
+        out: dict[str, bytes | None] = {}
         for bucket, bucket_refs in by_bucket.items():
             data = self._load_bucket(bucket)
             for ref in bucket_refs:
-                out[ref] = data[ref]
+                out[ref] = data.get(ref)
         return out

@@ -19,7 +19,18 @@ import pyarrow as pa
 
 import ray
 
-from cheque_ocr_project_ray.oracle import FIELD_ORDER, error_fields, extract_fields
+from cheque_ocr_project_ray.oracle import (
+    error_fields,
+    extract_fields,
+    fields_to_spans,
+)
+
+
+def _spans_as_dicts(fields: dict) -> list[dict]:
+    """The oracle's span assembly, in Arrow-dict form — ONE source of
+    truth for field order / refs (oracle.fields_to_spans)."""
+    return [{"kind": k, "text": t, "media_ref": r, "offset": o}
+            for k, t, r, o in fields_to_spans(fields)]
 
 SPANS_OUT_TYPE = pa.list_(pa.struct([
     ("kind", pa.string()),
@@ -56,30 +67,13 @@ class FieldExtractStage:
                 # undecodable media → deterministic ERROR row (matches
                 # oracle.reference_extract's except path)
                 f = error_fields()
-                rows.append(f)
-                spans_out.append([
-                    {"kind": k, "text": str(v), "media_ref": r, "offset": i}
-                    for i, (k, v, r) in enumerate(zip(
-                        FIELD_ORDER,
-                        (f["cheque_type"], f["govt_category"], f["payee"],
-                         f["issuer"], f["status"], f["micr"], f["amount"],
-                         f["date"]),
-                        ("", "", "", f["issuer_src"], "", "", "", "")))
-                ])
-                continue
-            ocr_lines = list(zip(lt, lc, ls))
-            f = extract_fields(ft, ocr_lines, self.drawer_dict,
-                               threshold=self.threshold,
-                               match_cache=self.match_cache)
+            else:
+                f = extract_fields(ft, list(zip(lt, lc, ls)),
+                                   self.drawer_dict,
+                                   threshold=self.threshold,
+                                   match_cache=self.match_cache)
             rows.append(f)
-            values = (f["cheque_type"], f["govt_category"], f["payee"],
-                      f["issuer"], f["status"], f["micr"], f["amount"],
-                      f["date"])
-            refs = ("", "", "", f["issuer_src"], "", "", "", "")
-            spans_out.append([
-                {"kind": k, "text": str(v), "media_ref": r, "offset": i}
-                for i, (k, v, r) in enumerate(zip(FIELD_ORDER, values, refs))
-            ])
+            spans_out.append(_spans_as_dicts(f))
 
         def col(name, typ):
             return pa.array([r[name] for r in rows], typ)

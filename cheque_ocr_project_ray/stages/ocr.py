@@ -51,6 +51,10 @@ class OcrStage:
         decoded: dict[str, list] = {}
         failed: set[str] = set()
         for ref, payload in payloads.items():
+            if payload is None:  # ref missing from the media store
+                failed.add(ref)
+                decoded[ref] = []
+                continue
             try:
                 lines, w, h = decode_image(payload)
             except ValueError:
@@ -81,7 +85,7 @@ class OcrStage:
                         parts.append(span["text"])
                 elif span["kind"] == "image":
                     ref = span["media_ref"]
-                    nbytes += len(payloads[ref])
+                    nbytes += len(payloads[ref] or b"")
                     if ref in failed:
                         doc_failed = True
                     for text, conf in decoded[ref]:

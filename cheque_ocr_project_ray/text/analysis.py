@@ -29,8 +29,16 @@ LANG_PRIORITY = ("en", "es", "fr")
 STOPWORDS = ("a", "the")
 
 
+def _tokens(batch: pd.DataFrame) -> pd.Series:
+    """Tokenize matching the SQL twin's ``regexp_split_to_array(trim(
+    text), '\\s+')`` semantics: an empty/whitespace-only text yields
+    the single empty token [''] (NOT []), so ratio denominators are
+    never zero and both engines agree on empty docs."""
+    return batch["text"].map(lambda t: t.split() or [""])
+
+
 def token_stats(batch: pd.DataFrame) -> pd.DataFrame:
-    toks = batch["text"].str.split()
+    toks = _tokens(batch)
     return pd.DataFrame({
         "doc_id": batch["doc_id"],
         "n_tokens": toks.str.len().astype("int64"),
@@ -39,7 +47,7 @@ def token_stats(batch: pd.DataFrame) -> pd.DataFrame:
 
 
 def quality_counts(batch: pd.DataFrame) -> pd.DataFrame:
-    toks = batch["text"].str.split()
+    toks = _tokens(batch)
     n_tokens = toks.str.len().astype("int64")
     stop_hits = toks.map(
         lambda ws: sum(w in STOPWORDS for w in ws)).astype("int64")
@@ -55,7 +63,7 @@ def quality_counts(batch: pd.DataFrame) -> pd.DataFrame:
 
 
 def lang_id(batch: pd.DataFrame) -> pd.DataFrame:
-    toks = batch["text"].str.split()
+    toks = _tokens(batch)
 
     def predict(ws) -> str:
         hits = {lang: sum(w in markers for w in ws)

@@ -5,6 +5,18 @@ from __future__ import annotations
 import numpy as np
 
 
+def round_half_up_arrow(arr, digits: int = 4):
+    """Arrow-kernel form of :func:`round_half_up` (pc.round rounds
+    half-to-even, which disagrees with SQL on exact halves)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    scale = 10.0 ** digits
+    scaled = pc.add(pc.multiply(pc.abs(arr), pa.scalar(scale)),
+                    pa.scalar(0.5))
+    return pc.multiply(pc.divide(pc.floor(scaled), pa.scalar(scale)),
+                       pc.sign(pc.cast(arr, pa.float64())))
+
+
 def shuffle_partitions() -> int:
     """Hash-shuffle partition count sized to the cluster: half the CPU
     count — measured sweet spot locally (aggregator actors contend

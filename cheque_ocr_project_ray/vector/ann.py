@@ -162,9 +162,13 @@ def ivf_topk(emb_ds, query_vec: np.ndarray, k: int = 10,
 
 
 def cosine_neardup_pairs(emb_ds, n_planes: int = 8,
-                         threshold: float = 0.95) -> pd.DataFrame:
-    """Embedding-cosine near-dup pairs via LSH bucket blocking."""
-    planes_holder: dict = {}
+                         threshold: float = 0.95,
+                         dim: int | None = None) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs via LSH bucket blocking.
+
+    Pass ``dim`` when known (the caller usually has it from the table
+    schema/metadata) — otherwise one probe row is read to learn it.
+    """
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         m = _batch_matrix(group)
@@ -179,9 +183,9 @@ def cosine_neardup_pairs(emb_ds, n_planes: int = 8,
             "cos": np.round(cos[ii, jj], 5).astype("float64"),
         })
 
-    # need dim for planes: read lazily from the first batch via schema
-    dim_probe = emb_ds.take(1)[0]["embedding"]
-    planes = hyperplanes(len(dim_probe), n_planes)
+    if dim is None:
+        dim = len(emb_ds.take(1)[0]["embedding"])
+    planes = hyperplanes(dim, n_planes)
     bucketed = add_lsh_bucket(emb_ds, planes)
     out = bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
     pdf = out.to_pandas()

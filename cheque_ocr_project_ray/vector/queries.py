@@ -54,7 +54,8 @@ def ann_ivf_topk(sf_dir: str):
 
 
 def embedding_neardup(sf_dir: str) -> pd.DataFrame:
-    return ann.cosine_neardup_pairs(_emb(sf_dir), threshold=0.95)
+    dim = len(_query_vec(sf_dir))
+    return ann.cosine_neardup_pairs(_emb(sf_dir), threshold=0.95, dim=dim)
 
 
 def label_stats(sf_dir: str):
