@@ -1,0 +1,64 @@
+"""Tests pinning the self-review fixes: missing-media ERROR semantics,
+half-away Arrow rounding, empty-text analysis parity."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from cheque_ocr_project_ray.sources.io import MediaStore
+from cheque_ocr_project_ray.stages.ocr import OcrStage
+from cheque_ocr_project_ray.text import analysis
+from cheque_ocr_project_ray.util import round_half_up, round_half_up_arrow
+
+SPAN_TYPE = pa.list_(pa.struct([
+    ("kind", pa.string()), ("text", pa.string()),
+    ("media_ref", pa.string()), ("offset", pa.int32())]))
+
+
+def test_media_store_missing_refs(tmp_path):
+    store = MediaStore(tmp_path, max_buckets=2)
+    out = store.get_many(["b000/none", "b001/also_none"])
+    assert out == {"b000/none": None, "b001/also_none": None}
+
+
+def test_ocr_stage_missing_media_is_per_row_error(tmp_path):
+    # empty media store: every image ref is missing
+    batch = pa.Table.from_pydict({
+        "doc_id": ["d1", "d2"],
+        "spans": pa.array([
+            [{"kind": "image", "text": "", "media_ref": "b000/gone",
+              "offset": 0},
+             {"kind": "text", "text": "PAY TO : A B", "media_ref": "",
+              "offset": 1}],
+            [{"kind": "text", "text": "PAY TO : C D", "media_ref": "",
+              "offset": 0}],
+        ], SPAN_TYPE),
+        "media_bytes": [100, 0],
+    })
+    out = OcrStage(media_dir=str(tmp_path), work_passes=1)(batch)
+    d = out.to_pydict()
+    assert d["ocr_error"] == [True, False]   # only the doc with the ref
+    assert d["full_text"][1] == "PAY TO : C D"
+
+
+def test_round_half_up_arrow_matches_numpy():
+    vals = [0.03125, -0.03125, 1.00005, 2.5e-5, 0.0, 12.34565, -12.34565]
+    arr = pa.array(vals, pa.float64())
+    got = round_half_up_arrow(arr, 4).to_pylist()
+    expected = round_half_up(np.array(vals), 4).tolist()
+    assert got == pytest.approx(expected)
+    # the half case that pc.round gets wrong (banker's): 0.03125 → 0.0313
+    assert got[0] == pytest.approx(0.0313)
+
+
+def test_text_analysis_empty_doc_semantics():
+    batch = pd.DataFrame({"doc_id": [1, 2], "text": ["", "   "]})
+    q = analysis.quality_counts(batch)
+    # regexp_split_to_array(trim('')) yields [''] → 1 token, ratios 0/1
+    assert (q["n_tokens"] == 1).all()
+    assert (q["stop_ratio"] == 0.0).all() and (q["ttr"] == 1.0).all()
+    t = analysis.token_stats(batch)
+    assert t["n_tokens"].tolist() == [1, 1]
+    lang = analysis.lang_id(batch)
+    assert (lang["pred_lang"] == "und").all()
