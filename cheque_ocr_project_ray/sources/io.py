@@ -82,15 +82,29 @@ class MediaStore:
     def get_many(self, refs: Iterable[str]) -> dict[str, bytes | None]:
         """Batched GET: group refs by bucket, one bucket read each.
 
+        Two ref schemes:
+        - ``bNNN/<id>``: bucketed content-addressed store (the fixture
+          layout)
+        - ``file:<path>``: media left in place by the ingest path —
+          read directly, no bucket indirection (at corpus scale this
+          is the object-store GET the ingest deliberately avoids
+          re-shuffling)
+
         A ref absent from the store maps to ``None`` — the caller owns
         the failure semantics (OcrStage turns it into a per-row ERROR;
         raising here would fail the whole task for one lost blob).
         """
         by_bucket: dict[str, list[str]] = {}
+        out: dict[str, bytes | None] = {}
         for ref in refs:
+            if ref.startswith("file:"):
+                try:
+                    out[ref] = Path(ref[5:]).read_bytes()
+                except OSError:
+                    out[ref] = None
+                continue
             bucket = ref.split("/", 1)[0][1:]
             by_bucket.setdefault(bucket, []).append(ref)
-        out: dict[str, bytes | None] = {}
         for bucket, bucket_refs in by_bucket.items():
             data = self._load_bucket(bucket)
             for ref in bucket_refs:

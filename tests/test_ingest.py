@@ -1,0 +1,60 @@
+"""Ingest path: image directory + manifest → span table → pipeline."""
+
+from pathlib import Path
+
+import pytest
+
+from cheque_ocr_project_ray.config import DEFAULT_CONFIG
+from cheque_ocr_project_ray.media import encode_image
+from cheque_ocr_project_ray.pipelines.cheque import build_cheque_pipeline
+from cheque_ocr_project_ray.sources.ingest import ingest_directory, read_manifest
+
+
+@pytest.fixture(scope="module")
+def raw_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("raw_images")
+    rows = []
+    for i in range(6):
+        name = f"P_4020000000000{i:04d}.tiff"
+        payload = encode_image(
+            [(f"FOR ACME TRADERS", 0.95)], 1600, 700, 8000, seed=i)
+        (d / name).write_bytes(payload)
+        rows.append(f"23022026,0007035000{i:04d},543843,400259041,"
+                    f"2500{i}.00,{name}")
+    # a non-image file that the S1 extension filter must skip
+    (d / "notes.txt").write_text("not an image")
+    # an image the manifest does not know
+    (d / "P_99999999999999999.tiff").write_bytes(
+        encode_image([("PAY TO : RAVI KUMAR RUPEES", 0.9)],
+                     1400, 650, 6000, seed=99))
+    manifest = d / "23022026.txt"
+    manifest.write_text("\n".join(rows) + "\n")
+    return d, manifest
+
+
+def test_ingest_and_extract(raw_dir, tmp_path):
+    image_dir, manifest = raw_dir
+    out = ingest_directory(image_dir, tmp_path / "corpus", manifest)
+    assert (out / "cheques").exists() and (out / "meta").exists()
+
+    cfg = DEFAULT_CONFIG.with_overrides(ocr_work_passes=2)
+    pdf = build_cheque_pipeline(out, cfg).to_pandas()
+    assert len(pdf) == 7                      # 6 manifest + 1 unknown
+    assert "notes" not in set(pdf["doc_id"])  # extension filter (S1)
+    by_id = pdf.set_index("doc_id")
+    # manifest-known doc: date/amount text spans made it into full_text
+    known = by_id.loc["P_40200000000000000"]
+    assert known["date"] == "23022026"        # parsed from "Date: ..."
+    assert known["issuer"] == "ACME TRADERS"  # FOR-prefix from the image
+    # file: refs decoded in place — no media copy happened
+    assert not (out / "media").exists()
+    unknown = by_id.loc["P_99999999999999999"]
+    assert unknown["payee"] == "RAVI KUMAR"
+
+
+def test_read_manifest(raw_dir):
+    _, manifest = raw_dir
+    rows = read_manifest(manifest)
+    assert len(rows) == 6
+    r = rows["p_40200000000000000"]
+    assert r["account"].endswith("0000") and r["sort_code"] == "400259041"
