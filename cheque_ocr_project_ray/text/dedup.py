@@ -13,6 +13,14 @@ each expressed in Ray Data's shuffle vocabulary:
 All hashes are blake2b/crc-style and seeded — deterministic across
 processes and cluster sizes (Python's builtin ``hash`` is
 intentionally NOT used).
+
+Shuffle note (measured): these groupby/map_groups run over MILLIONS of
+tiny groups (one per LSH band bucket).  Ray's sort-based shuffle
+handles that shape well; the hash-shuffle strategy that speeds up the
+low-cardinality relational aggregates (util.tune_shuffle) degrades it
+by >10x (aggregator actors become the bottleneck for high-cardinality
+``map_groups``) — so this module deliberately stays on the default
+strategy.
 """
 
 from __future__ import annotations
