@@ -63,6 +63,9 @@ def _cheque_queries() -> dict[str, Callable[[str], Any]]:
         finally:
             shutil.rmtree(out, ignore_errors=True)
         roll.pop("max_partition_wall_s", None)  # timing is run-dependent
+        import json as _json
+        roll["status_counts"] = _json.dumps(roll.get("status_counts", {}),
+                                            sort_keys=True)
         return pd.DataFrame([roll])
 
     def cheque_run_summary(sf_dir: str):

@@ -113,12 +113,20 @@ def write_checkpointed(results_ds, out_dir: str | Path,
             "doc_id_max": group["doc_id"].max(),
             "media_bytes": int(group["media_bytes"].sum())
             if "media_bytes" in group else None,
+            # per-partition extraction metrics (G1): rolled up by
+            # rollup_metrics without re-reading the data
+            "status_counts": {str(k): int(v) for k, v in
+                              group["status"].value_counts().items()}
+            if "status" in group else {},
             "wall_s": round(time.perf_counter() - t0, 4),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
         }
         # commit marker LAST — its presence defines partition success
         (pdir / "_SUCCESS.json").write_text(json.dumps(lineage))
-        return pd.DataFrame([lineage])
+        # returned record keeps flat columns only (nested dicts don't
+        # unify across pandas blocks); the sidecar carries the rest
+        return pd.DataFrame(
+            [{k: v for k, v in lineage.items() if k != "status_counts"}])
 
     # layout partition count (= resume granularity) is independent of
     # the shuffle's aggregator-actor count, which is capped to the
@@ -162,10 +170,15 @@ def rollup_metrics(out_dir: str | Path) -> dict:
     parts = [json.loads((d / "_SUCCESS.json").read_text())
              for d in sorted(out_dir.glob("part=*"))
              if (d / "_SUCCESS.json").exists()]
+    status_counts: dict[str, int] = {}
+    for p in parts:
+        for k, v in p.get("status_counts", {}).items():
+            status_counts[k] = status_counts.get(k, 0) + v
     return {
         "partitions": len(parts),
         "rows": sum(p["rows"] for p in parts),
         "duplicates_dropped": sum(p["duplicates_dropped"] for p in parts),
         "media_bytes": sum(p["media_bytes"] or 0 for p in parts),
+        "status_counts": status_counts,
         "max_partition_wall_s": max((p["wall_s"] for p in parts), default=0.0),
     }
