@@ -96,28 +96,19 @@ def _cheque_queries() -> dict[str, Callable[[str], Any]]:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # no try/except here: a broken import inside a query family must
+    # fail the run loudly, not silently shrink the coverage surface
+    from cheque_ocr_project_ray.multimodal.queries import multimodal_queries
+    from cheque_ocr_project_ray.relational.queries import relational_queries
+    from cheque_ocr_project_ray.text.queries import text_queries
+    from cheque_ocr_project_ray.vector.queries import vector_queries
+
     out: dict[str, Callable[[str], Any]] = {}
     out.update(_cheque_queries())
-    try:
-        from cheque_ocr_project_ray.relational.queries import relational_queries
-        out.update(relational_queries())
-    except ImportError:
-        pass
-    try:
-        from cheque_ocr_project_ray.text.queries import text_queries
-        out.update(text_queries())
-    except ImportError:
-        pass
-    try:
-        from cheque_ocr_project_ray.vector.queries import vector_queries
-        out.update(vector_queries())
-    except ImportError:
-        pass
-    try:
-        from cheque_ocr_project_ray.multimodal.queries import multimodal_queries
-        out.update(multimodal_queries())
-    except ImportError:
-        pass
+    out.update(relational_queries())
+    out.update(text_queries())
+    out.update(vector_queries())
+    out.update(multimodal_queries())
     return out
 
 
@@ -128,20 +119,12 @@ def oracle_sql() -> dict[str, str]:
     pre-registered views) and are intentionally omitted → the driver
     records the weaker rows-only check for them.
     """
+    from cheque_ocr_project_ray.relational.queries import relational_oracle_sql
+    from cheque_ocr_project_ray.text.queries import text_oracle_sql
+    from cheque_ocr_project_ray.vector.queries import vector_oracle_sql
+
     out: dict[str, str] = {}
-    try:
-        from cheque_ocr_project_ray.relational.queries import relational_oracle_sql
-        out.update(relational_oracle_sql())
-    except ImportError:
-        pass
-    try:
-        from cheque_ocr_project_ray.text.queries import text_oracle_sql
-        out.update(text_oracle_sql())
-    except ImportError:
-        pass
-    try:
-        from cheque_ocr_project_ray.vector.queries import vector_oracle_sql
-        out.update(vector_oracle_sql())
-    except ImportError:
-        pass
+    out.update(relational_oracle_sql())
+    out.update(text_oracle_sql())
+    out.update(vector_oracle_sql())
     return out

@@ -108,8 +108,15 @@ def run_scaling(sf_dir: str, cpus_lo: int, cpus_hi: int) -> dict:
         proc = subprocess.run(
             [sys.executable, __file__, "--headline-only",
              "--cpus", str(cpus), "--sf-dir", sf_dir],
-            capture_output=True, text=True, check=True)
-        results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+            capture_output=True, text=True)
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr)
+            raise RuntimeError(
+                f"scaling sub-run at {cpus} CPUs failed "
+                f"(exit {proc.returncode}); stderr above")
+        json_lines = [ln for ln in proc.stdout.strip().splitlines()
+                      if ln.startswith("{")]
+        results[cpus] = json.loads(json_lines[-1])
     tput_lo = results[cpus_lo]["cheques_per_sec"]
     tput_hi = results[cpus_hi]["cheques_per_sec"]
     factor = cpus_hi / cpus_lo

@@ -39,10 +39,14 @@ def main() -> None:
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args()
 
+    import os
+
     import ray
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False)
+        # honor RAY_ADDRESS so `ray job submit` connects to the cluster
+        # instead of nesting a fresh local instance inside the job
+        ray.init(address=os.environ.get("RAY_ADDRESS") or "local",
+                 num_cpus=args.num_cpus, include_dashboard=False)
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 

@@ -6,20 +6,25 @@ The reference's job input is a directory of TIFFs plus a CSV-ish
 manifest (``F_23022026_010/23022026.txt``: date,account,inst_no,
 sort_code,amount,filename) and a master DBF.  Here:
 
-    ray.data.read_binary_files(image_dir)      # distributed listing+read
-      → map_batches(build_rows)                # doc_id from stem,
-                                               #   spans, media_bytes
-      → write_parquet(out/cheques)             # fragment-per-block
+    filesystem listing (metadata only — names + sizes, NO byte reads)
+      → ray.data.from_items(file records)
+      → map_batches(build_rows)              # doc_id from stem,
+                                             #   spans, media_bytes
+      → write_parquet(out/cheques)           # fragment-per-block
 
-Media is NOT copied or re-bucketed: spans carry ``file:<path>`` refs
-and ``MediaStore`` reads them in place — at 100 TB, re-shuffling image
-bytes through an ingest job would double the I/O for nothing.  The
-manifest (small) is broadcast and joined batch-local into the metadata
-side table.
+Media is NOT copied, re-bucketed, or even READ at ingest time: spans
+carry ``file:<path>`` refs and ``MediaStore`` reads them lazily at OCR
+time; ``media_bytes`` (the skew hint) comes from listing metadata.  At
+100 TB, pulling image bytes through an ingest job would double the
+corpus I/O for nothing.  The manifest (small) is broadcast and joined
+batch-local; the metadata side table is always written (empty when no
+manifest) so downstream join-back and drawer-dict builds work.
 
 S1 semantics preserved: the reference's extension filter
 (``run_production.py:24-33`` — tif/tiff/jpg/jpeg/png, case-insensitive)
 and sorted order (deterministic doc ordering for ``--limit``).
+Re-running into the same ``out_dir`` replaces the previous fragments
+(idempotent), never appends duplicates.
 """
 
 from __future__ import annotations
@@ -37,24 +42,58 @@ IMAGE_EXTS = {".tif", ".tiff", ".jpg", ".jpeg", ".png"}
 MANIFEST_FIELDS = ("date", "account", "inst_no", "sort_code", "amount",
                    "filename")
 
+META_SCHEMA = pa.schema([
+    ("doc_id", pa.string()), ("date", pa.string()),
+    ("account", pa.string()), ("inst_no", pa.string()),
+    ("sort_code", pa.string()), ("amount", pa.float64()),
+    ("image_file", pa.string()), ("file_mark", pa.bool_()),
+    ("file_name", pa.string()), ("drawer_nm", pa.string()),
+    ("cat_code", pa.int64()), ("opr_no", pa.string()),
+])
+
 
 def read_manifest(manifest_path: str | Path) -> dict[str, dict]:
-    """Manifest rows keyed by lower-cased filename stem (join key J1)."""
+    """Manifest rows keyed by lower-cased filename stem (join key J1).
+
+    Rows whose amount field doesn't parse as a number (headers,
+    comma-shifted records) are skipped rather than crashing the job.
+    """
     rows: dict[str, dict] = {}
     with open(manifest_path, newline="") as f:
         for rec in csv.reader(f):
             if len(rec) < len(MANIFEST_FIELDS):
                 continue
             row = dict(zip(MANIFEST_FIELDS, (c.strip() for c in rec)))
+            try:
+                float(row["amount"] or 0)
+            except ValueError:
+                continue
             stem = Path(row["filename"]).stem.lower()
             rows[stem] = row
     return rows
 
 
+def _list_images(image_dir: Path) -> list[dict]:
+    """Sorted (path, size) records from filesystem METADATA — no file
+    contents are read; size feeds the media_bytes skew hint."""
+    from pyarrow import fs as pafs
+    local = pafs.LocalFileSystem()
+    infos = local.get_file_info(
+        pafs.FileSelector(str(image_dir), recursive=True))
+    out = []
+    for info in infos:
+        if info.type != pafs.FileType.File:
+            continue
+        p = Path(info.path)
+        if p.suffix.lower() in IMAGE_EXTS:
+            out.append({"path": str(p), "size": int(info.size)})
+    return sorted(out, key=lambda r: r["path"])
+
+
 def ingest_directory(image_dir: str | Path, out_dir: str | Path,
                      manifest_path: str | Path | None = None) -> Path:
-    """Build ``out_dir/cheques`` (+ ``meta`` if a manifest is given)
-    from a directory of images.  Returns ``out_dir``.
+    """Build ``out_dir/cheques`` + ``out_dir/meta`` from a directory of
+    images.  Returns ``out_dir``.
 
     Each image becomes one doc: an image span (``file:`` ref) plus,
     when the manifest knows the file, text spans for the manifest's
@@ -63,12 +102,16 @@ def ingest_directory(image_dir: str | Path, out_dir: str | Path,
     """
     image_dir = Path(image_dir).resolve()
     out_dir = Path(out_dir)
-    (out_dir / "cheques").mkdir(parents=True, exist_ok=True)
+    cheques_dir = out_dir / "cheques"
+    cheques_dir.mkdir(parents=True, exist_ok=True)
+    for stale in cheques_dir.glob("*.parquet"):
+        stale.unlink()  # idempotent re-run: replace, never append
 
     manifest = read_manifest(manifest_path) if manifest_path else {}
     manifest_ref = ray.put(manifest)
 
-    files = ray.data.read_binary_files(str(image_dir), include_paths=True)
+    listed = _list_images(image_dir)
+    files = ray.data.from_items(listed)
 
     class _BuildRows:
         def __init__(self):
@@ -76,12 +119,9 @@ def ingest_directory(image_dir: str | Path, out_dir: str | Path,
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             doc_ids, spans_col, media_bytes = [], [], []
-            for path, data in zip(batch.column("path").to_pylist(),
-                                  batch.column("bytes").to_pylist()):
-                p = Path(path)
-                if p.suffix.lower() not in IMAGE_EXTS:
-                    continue
-                doc_id = p.stem
+            for path, size in zip(batch.column("path").to_pylist(),
+                                  batch.column("size").to_pylist()):
+                doc_id = Path(path).stem
                 row = self.manifest.get(doc_id.lower())
                 spans = []
                 offset = 0
@@ -92,8 +132,7 @@ def ingest_directory(image_dir: str | Path, out_dir: str | Path,
                     d = row["date"]
                     if len(d) == 8 and d.isdigit():
                         d = f"{d[:2]}/{d[2:4]}/{d[4:]}"
-                    spans.append({"kind": "text",
-                                  "text": f"Date: {d}",
+                    spans.append({"kind": "text", "text": f"Date: {d}",
                                   "media_ref": "", "offset": offset})
                     offset += 1
                     spans.append({"kind": "text",
@@ -105,7 +144,7 @@ def ingest_directory(image_dir: str | Path, out_dir: str | Path,
                               "offset": offset})
                 doc_ids.append(doc_id)
                 spans_col.append(spans)
-                media_bytes.append(len(data))
+                media_bytes.append(size)
             from cheque_ocr_project_ray.fixtures.gen import SPAN_TYPE
             return pa.table({
                 "doc_id": pa.array(doc_ids, pa.string()),
@@ -113,26 +152,35 @@ def ingest_directory(image_dir: str | Path, out_dir: str | Path,
                 "media_bytes": pa.array(media_bytes, pa.int64()),
             })
 
-    files.map_batches(_BuildRows, batch_format="pyarrow", batch_size=64,
+    files.map_batches(_BuildRows, batch_format="pyarrow", batch_size=256,
                       concurrency=(1, 4)) \
-        .write_parquet(str(out_dir / "cheques"))
+        .write_parquet(str(cheques_dir))
 
-    if manifest:
-        (out_dir / "meta").mkdir(parents=True, exist_ok=True)
-        meta_rows = [{
-            "doc_id": Path(r["filename"]).stem,
-            "date": r["date"],
-            "account": r["account"],
-            "inst_no": r["inst_no"],
-            "sort_code": r["sort_code"],
-            "amount": float(r["amount"] or 0),
-            "image_file": r["filename"],
+    # metadata side table — ALWAYS written (empty schema-stable table
+    # without a manifest) so drawer-dict builds and join-back work.
+    # doc_id uses the ON-DISK stem (same as the cheques table), not the
+    # manifest's casing, so the J1 join key always matches.
+    (out_dir / "meta").mkdir(parents=True, exist_ok=True)
+    meta_rows = []
+    for rec in listed:
+        stem = Path(rec["path"]).stem
+        row = manifest.get(stem.lower())
+        if not row:
+            continue
+        meta_rows.append({
+            "doc_id": stem,
+            "date": row["date"],
+            "account": row["account"],
+            "inst_no": row["inst_no"],
+            "sort_code": row["sort_code"],
+            "amount": float(row["amount"] or 0),
+            "image_file": row["filename"],
             "file_mark": False,
-            "file_name": r["filename"],
+            "file_name": row["filename"],
             "drawer_nm": "",
             "cat_code": 0,
             "opr_no": "",
-        } for r in manifest.values()]
-        pq.write_table(pa.Table.from_pylist(meta_rows),
-                       out_dir / "meta" / "meta.parquet")
+        })
+    pq.write_table(pa.Table.from_pylist(meta_rows, schema=META_SCHEMA),
+                   out_dir / "meta" / "meta.parquet")
     return out_dir

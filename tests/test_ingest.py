@@ -58,3 +58,29 @@ def test_read_manifest(raw_dir):
     assert len(rows) == 6
     r = rows["p_40200000000000000"]
     assert r["account"].endswith("0000") and r["sort_code"] == "400259041"
+
+
+def test_read_manifest_skips_header(tmp_path):
+    m = tmp_path / "m.txt"
+    m.write_text("date,account,inst_no,sort_code,amount,filename\n"
+                 "23022026,0007,543843,400259041,2500.00,P_1.tiff\n")
+    rows = read_manifest(m)
+    assert list(rows) == ["p_1"]  # header row skipped (amount not numeric)
+
+
+def test_ingest_without_manifest(raw_dir, tmp_path):
+    image_dir, _ = raw_dir
+    out = ingest_directory(image_dir, tmp_path / "corpus2")
+    # meta exists (empty) so the drawer-dict build and pipeline work
+    cfg = DEFAULT_CONFIG.with_overrides(ocr_work_passes=2)
+    pdf = build_cheque_pipeline(out, cfg).to_pandas()
+    assert len(pdf) == 7
+
+
+def test_ingest_rerun_is_idempotent(raw_dir, tmp_path):
+    image_dir, manifest = raw_dir
+    out = ingest_directory(image_dir, tmp_path / "corpus3", manifest)
+    out = ingest_directory(image_dir, tmp_path / "corpus3", manifest)
+    import pyarrow.parquet as pq
+    n = pq.read_table(out / "cheques").num_rows
+    assert n == 7  # re-run replaced fragments, no duplicates

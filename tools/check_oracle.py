@@ -53,15 +53,17 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> bool:
         if len(av) != len(bv):
             continue
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
-            good = np.allclose(av.astype(float), bv.astype(float),
+            # row display uses the SAME tolerances as the pass check
+            close = np.isclose(av.astype(float), bv.astype(float),
                                rtol=0, atol=1e-9, equal_nan=True)
+            good = bool(close.all())
+            mism = np.where(~close)[0][:5]
         else:
-            good = (av.astype(str) == bv.astype(str)).all()
+            eq = av.astype(str) == bv.astype(str)
+            good = bool(eq.all())
+            mism = np.where(~eq)[0][:5]
         if not good:
             print(f"  [{name}] VALUE MISMATCH col={col}")
-            mism = np.where(av.astype(str) != bv.astype(str))[0][:5] \
-                if av.dtype.kind != "f" else \
-                np.where(~np.isclose(av.astype(float), bv.astype(float)))[0][:5]
             for i in mism:
                 print(f"    row {i}: ray={av[i]!r} sql={bv[i]!r}")
             ok = False
@@ -87,6 +89,11 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    unknown = only - set(oracles)
+    if unknown:
+        print(f"unknown query names (no oracle entry): {sorted(unknown)}")
+        sys.exit(2)
 
     passed = failed = 0
     for name, sql in oracles.items():
