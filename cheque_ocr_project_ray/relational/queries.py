@@ -487,6 +487,39 @@ WHERE (event_id * 2654435761) & 4294967295 < {_sample_threshold(10)}
 """
 
 
+# --- calendar-bucketed aggregate (date kernel) -----------------------
+@_hash_shuffled
+def orders_monthly(sf_dir: str, np_: int = 0):
+    """Order count + revenue per calendar month — Arrow temporal
+    kernels (year/month extraction) feeding the combiner pattern."""
+    ds = _pq(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("o_orderdate").cast(pa.timestamp("us"))
+        ym = pc.add(pc.multiply(pc.year(ts), 100), pc.month(ts))
+        t = pa.table({"ym": ym, "o_totalprice": batch["o_totalprice"]})
+        g = t.group_by("ym").aggregate([
+            ("o_totalprice", "count"), ("o_totalprice", "sum")])
+        return g.rename_columns(["ym", "n_orders", "revenue"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("ym", num_partitions=np_).aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue", alias_name="revenue"))
+    return agg.map_batches(
+        lambda b: b.assign(revenue=round_half_up(b["revenue"], 4)),
+        batch_format="pandas")
+
+
+ORDERS_MONTHLY_SQL = """
+SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS revenue
+FROM orders
+GROUP BY ym
+"""
+
+
 def relational_queries() -> dict[str, Callable]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -502,6 +535,7 @@ def relational_queries() -> dict[str, Callable]:
         "events_sessions": events_sessions,
         "events_props_stats": events_props_stats,
         "events_sample": events_sample,
+        "orders_monthly": orders_monthly,
     }
 
 
@@ -520,4 +554,5 @@ def relational_oracle_sql() -> dict[str, str]:
         "events_sessions": EVENTS_SESSIONS_SQL,
         "events_props_stats": EVENTS_PROPS_SQL,
         "events_sample": EVENTS_SAMPLE_SQL,
+        "orders_monthly": ORDERS_MONTHLY_SQL,
     }
