@@ -1,0 +1,31 @@
+"""Driver-contract consistency: every oracle key has a query, every
+query is callable with one sf_dir argument, and names are stable."""
+
+import inspect
+
+import __ray_entry__ as entry
+
+
+def test_oracle_keys_subset_of_queries():
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    missing = set(oracles) - set(qs)
+    assert not missing, f"oracle_sql entries without queries: {missing}"
+
+
+def test_queries_take_one_sf_dir():
+    for name, fn in entry.queries().items():
+        params = [p for p in inspect.signature(fn).parameters.values()
+                  if p.default is inspect.Parameter.empty
+                  and p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)]
+        assert len(params) <= 1, f"{name} requires more than sf_dir"
+
+
+def test_expected_families_present():
+    qs = set(entry.queries())
+    for probe in ("cheque_extract", "q1_pricing_summary", "dedup_minhash",
+                  "ann_cosine_topk", "media_decode_stats",
+                  "corpus_curation", "events_sessions"):
+        assert probe in qs
+    assert len(qs) >= 44
+    assert len(entry.oracle_sql()) >= 23
