@@ -18,8 +18,13 @@ SPAN_TYPE = pa.list_(pa.struct([
 
 def test_media_store_missing_refs(tmp_path):
     store = MediaStore(tmp_path, max_buckets=2)
-    out = store.get_many(["b000/none", "b001/also_none"])
-    assert out == {"b000/none": None, "b001/also_none": None}
+    out = store.get_many(["b000/none", "b001/also_none",
+                          f"file:{tmp_path}/missing.tif"])
+    assert set(out.values()) == {None}
+    # the file: scheme reads in-place payloads
+    (tmp_path / "real.bin").write_bytes(b"CHQ-ish bytes")
+    got = store.get_many([f"file:{tmp_path}/real.bin"])
+    assert list(got.values()) == [b"CHQ-ish bytes"]
 
 
 def test_ocr_stage_missing_media_is_per_row_error(tmp_path):
