@@ -95,6 +95,35 @@ def _cheque_queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+_FILENAME_FIELDS_SQL = r"""
+SELECT doc_id, image_file,
+       CASE WHEN regexp_extract(image_file, '\d+\.\d{2}') = ''
+            THEN '0.00' ELSE regexp_extract(image_file, '\d+\.\d{2}') END
+           AS amount,
+       CASE WHEN regexp_extract(image_file, '\d+') = ''
+            THEN '0' ELSE regexp_extract(image_file, '\d+') END
+           AS account,
+       regexp_extract(image_file, '\d{8}') AS date
+FROM read_parquet('<META>')
+"""
+
+
+def _cheque_oracle_sql() -> dict[str, str]:
+    """Oracles for the cheque-family queries that ARE SQL-expressible.
+
+    The driver's correctness pass runs at sf=0.01; the fixture has no
+    pre-registered view, so the SQL reads the generated parquet by
+    absolute path (``ensure_fixture`` here makes it exist regardless of
+    Ray-vs-SQL execution order; generation is cached/idempotent).
+    """
+    from cheque_ocr_project_ray.fixtures.gen import ensure_fixture
+
+    meta = f"{ensure_fixture('sf0.01')}/meta/meta.parquet"
+    return {
+        "cheque_filename_fields": _FILENAME_FIELDS_SQL.replace("<META>", meta),
+    }
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # no try/except here: a broken import inside a query family must
     # fail the run loudly, not silently shrink the coverage surface
@@ -115,16 +144,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracles for the SQL-expressible queries.
 
-    Cheque-pipeline queries run on the generated corpus (not the
-    pre-registered views) and are intentionally omitted → the driver
-    records the weaker rows-only check for them.
+    Queries over the generated corpus get oracles too, reading the
+    fixture parquet by absolute path (filename fields, media plans).
+    Only genuinely non-SQL semantics (the extraction regex cascade,
+    seeded hash families, payload-byte statistics) stay rows-only.
     """
+    from cheque_ocr_project_ray.multimodal.queries import multimodal_oracle_sql
     from cheque_ocr_project_ray.relational.queries import relational_oracle_sql
     from cheque_ocr_project_ray.text.queries import text_oracle_sql
     from cheque_ocr_project_ray.vector.queries import vector_oracle_sql
 
     out: dict[str, str] = {}
+    out.update(_cheque_oracle_sql())
     out.update(relational_oracle_sql())
     out.update(text_oracle_sql())
     out.update(vector_oracle_sql())
+    out.update(multimodal_oracle_sql())
     return out

@@ -11,8 +11,10 @@ from __future__ import annotations
 from collections.abc import Callable
 from pathlib import Path
 
+import pandas as pd
+
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Sum
+from ray.data.aggregate import Count, Mean, Sum
 
 from cheque_ocr_project_ray.fixtures.gen import ensure_fixture
 from cheque_ocr_project_ray.multimodal.stages import (
@@ -42,20 +44,47 @@ def _pool(ds, stage_cls, batch_size=DEFAULT_MEDIA_BATCH, **ctor):
 
 
 def media_decode_stats(sf_dir: str):
+    """Per-format decode stats.  Driver-facing output sticks to the
+    SQL-expressible columns (format / count / mean dims / bytes) so the
+    DuckDB oracle can verify it; ``n_text_lines`` (needs the CHQ1
+    decode) stays on the stage and is pytest-verified."""
     decoded = _pool(_media_ds(sf_dir, ["media_ref", "data"]),
                     ImageDecodeStage)
-    return decoded.groupby("format").aggregate(
+    agg = decoded.groupby("format").aggregate(
         Count(alias_name="n"),
         Mean("width", alias_name="mean_width"),
         Mean("height", alias_name="mean_height"),
-        Max("n_text_lines", alias_name="max_lines"),
         Sum("nbytes", alias_name="total_bytes"),
     )
 
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        from cheque_ocr_project_ray.util import round_half_up
+        b["mean_width"] = round_half_up(b["mean_width"], 4)
+        b["mean_height"] = round_half_up(b["mean_height"], 4)
+        return b
+
+    return agg.map_batches(finish, batch_format="pandas")
+
 
 def media_resize_plan(sf_dir: str):
+    """Resize plan per image.  ``contrast_boosted`` (a payload-byte
+    statistic with no SQL twin) stays a stage output verified by
+    pytest; the driver-facing columns are pure arithmetic with a
+    DuckDB oracle."""
     ds = _media_ds(sf_dir, ["media_ref", "data", "width", "height"])
-    return _pool(ds, ImageResizeStage, target_long_side=1200)
+    plan = _pool(ds, ImageResizeStage, target_long_side=1200)
+
+    def finish(b):
+        import pyarrow as pa
+        from cheque_ocr_project_ray.util import round_half_up_arrow
+        return pa.table({
+            "media_ref": b["media_ref"],
+            "scale_factor": round_half_up_arrow(b["scale_factor"], 6),
+            "processed_w": b["processed_w"],
+            "processed_h": b["processed_h"],
+        })
+
+    return plan.map_batches(finish, batch_format="pyarrow")
 
 
 def media_frame_sample(sf_dir: str):
@@ -125,4 +154,85 @@ def multimodal_queries() -> dict[str, Callable]:
         "media_embed_neighbors": media_embed_neighbors,
         "media_roi_plan": media_roi_plan,
         "media_handwriting": media_handwriting,
+    }
+
+
+# --- DuckDB oracles ---------------------------------------------------
+# The driver's correctness pass runs at sf0.01 over the generated
+# fixture (no pre-registered view exists for the media store), so these
+# oracles read the fixture parquet by absolute path.  ``ensure_fixture``
+# is invoked here so the files exist regardless of whether the driver
+# runs the SQL or the Ray query first (generation is cached/idempotent).
+ORACLE_SF_DIR = "sf0.01"
+
+# CHQ1 magic bytes ("CHQ1\n") as hex — DuckDB 1.0 has no blob
+# substring, but hex(data) LIKE is an exact prefix test.
+_CHQ1_HEX_PREFIX = "434851310A%"
+
+
+def _media_glob() -> str:
+    fixture = ensure_fixture(ORACLE_SF_DIR)
+    return f"{fixture}/media/*/data.parquet"
+
+
+def multimodal_oracle_sql() -> dict[str, str]:
+    glob = _media_glob()
+    decode_stats = f"""
+WITH m AS (
+  SELECT CASE WHEN hex(data) LIKE '{_CHQ1_HEX_PREFIX}'
+              THEN 'chq1' ELSE 'unknown' END AS format,
+         width, height, octet_length(data) AS nbytes
+  FROM read_parquet('{glob}'))
+SELECT format,
+       count(*) AS n,
+       round(avg(CASE WHEN format = 'chq1' THEN width  ELSE 0 END), 4)
+           AS mean_width,
+       round(avg(CASE WHEN format = 'chq1' THEN height ELSE 0 END), 4)
+           AS mean_height,
+       CAST(sum(nbytes) AS BIGINT) AS total_bytes
+FROM m
+GROUP BY format
+"""
+    resize_plan = f"""
+SELECT media_ref,
+       round(1200.0 / greatest(width, height), 6)       AS scale_factor,
+       CAST(floor(width  * (1200.0 / greatest(width, height))) AS INTEGER)
+           AS processed_w,
+       CAST(floor(height * (1200.0 / greatest(width, height))) AS INTEGER)
+           AS processed_h
+FROM read_parquet('{glob}')
+"""
+    frame_sample = f"""
+SELECT media_ref,
+       CAST(least(16, (greatest(1, octet_length(data) // 8192) + 29) // 30)
+            AS INTEGER) AS n_sampled
+FROM read_parquet('{glob}')
+"""
+    audio_features = f"""
+SELECT media_ref,
+       CAST((least(octet_length(data), 262144) + 4095) // 4096 AS INTEGER)
+           AS n_windows
+FROM read_parquet('{glob}')
+"""
+    roi_plan = f"""
+WITH c(roi, cascade_order, fy0, fy1, fx0, fx1) AS (VALUES
+    ('issuer_zone',  0, 0.40, 0.90, 0.35, 1.00),
+    ('bottom_right', 1, 0.55, 1.00, 0.50, 1.00),
+    ('bottom_half',  2, 0.50, 1.00, 0.00, 1.00),
+    ('full_image',   3, 0.00, 1.00, 0.00, 1.00))
+SELECT m.media_ref, c.roi, CAST(c.cascade_order AS INTEGER) AS cascade_order,
+       -- fractions must multiply as DOUBLE (not DECIMAL) to truncate
+       -- exactly like the engine's float64 int(h * frac)
+       CAST(floor(m.height * c.fy0::DOUBLE) AS INTEGER) AS y0,
+       CAST(floor(m.height * c.fy1::DOUBLE) AS INTEGER) AS y1,
+       CAST(floor(m.width  * c.fx0::DOUBLE) AS INTEGER) AS x0,
+       CAST(floor(m.width  * c.fx1::DOUBLE) AS INTEGER) AS x1
+FROM read_parquet('{glob}') m CROSS JOIN c
+"""
+    return {
+        "media_decode_stats": decode_stats,
+        "media_resize_plan": resize_plan,
+        "media_frame_sample": frame_sample,
+        "media_audio_features": audio_features,
+        "media_roi_plan": roi_plan,
     }

@@ -39,8 +39,9 @@ def broadcast_join(large_ds, small_table: pa.Table, on: str,
         def __call__(self, batch: pa.Table) -> pa.Table:
             return batch.join(self.small, keys=on, join_type=how)
 
+    from cheque_ocr_project_ray.util import map_pool
     return large_ds.map_batches(_Joiner, batch_format="pyarrow",
-                                concurrency=(1, 4))
+                                concurrency=(1, map_pool()))
 
 
 _JOIN_TYPES = {"inner": "inner", "left": "left_outer",

@@ -411,7 +411,8 @@ WITH ordered AS (
          THEN 1 ELSE 0 END AS is_start
   FROM events
 )
-SELECT user_id, count(*) AS n_events, sum(is_start) AS n_sessions
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(is_start) AS BIGINT) AS n_sessions
 FROM ordered
 GROUP BY user_id
 """
@@ -446,7 +447,8 @@ def events_props_stats(sf_dir: str, np_: int = 0):
 
 EVENTS_PROPS_SQL = """
 SELECT event_type,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
        count(*) AS n,
        round(sum(CAST(json_extract(props, '$.k') AS BIGINT)) * 1.0
              / count(*), 4) AS mean_k

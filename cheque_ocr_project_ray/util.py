@@ -26,6 +26,17 @@ def shuffle_partitions() -> int:
     return max(2, cpus // 2)
 
 
+def map_pool(divisor: int = 3, floor: int = 2) -> int:
+    """Actor-pool size for a linear (map-only) stage, proportional to
+    the cluster: CPUs/divisor, min ``floor``.  A fixed small cap (the
+    round-1 ``concurrency=(1, 4)``) pins the stage to 4 actors no
+    matter how many nodes exist — a stage bottleneck at scale; sizing
+    from ``cluster_resources()`` tracks the cluster instead."""
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(floor, cpus // divisor)
+
+
 class tune_shuffle:
     """Scoped hash-shuffle: ``with tune_shuffle() as np_: build datasets``.
 

@@ -48,8 +48,9 @@ def brute_force_topk(emb_ds, query_vec: np.ndarray, k: int = 10):
             return out.sort_values(["cos", "vec_id"],
                                    ascending=[False, True]).head(k)
 
+    from cheque_ocr_project_ray.util import map_pool
     cand = emb_ds.map_batches(_Scorer, batch_format="pandas",
-                              concurrency=(1, 4))
+                              concurrency=(1, map_pool()))
     return cand.sort(["cos", "vec_id"], descending=[True, False]).limit(k)
 
 
@@ -76,8 +77,9 @@ def add_lsh_bucket(emb_ds, planes: np.ndarray):
             batch["bucket"] = lsh_signature(m, self.planes).astype("int64")
             return batch
 
+    from cheque_ocr_project_ray.util import map_pool
     return emb_ds.map_batches(_Bucketer, batch_format="pandas",
-                              concurrency=(1, 4))
+                              concurrency=(1, map_pool()))
 
 
 def lsh_topk(emb_ds, query_vec: np.ndarray, k: int = 10,
@@ -156,9 +158,60 @@ def ivf_topk(emb_ds, query_vec: np.ndarray, k: int = 10,
             assign = (m @ self.cents.T).argmax(axis=1)
             return batch[pd.Series(assign).isin(probe).to_numpy()]
 
+    from cheque_ocr_project_ray.util import map_pool
     candidates = emb_ds.map_batches(_Prober, batch_format="pandas",
-                                    concurrency=(1, 4))
+                                    concurrency=(1, map_pool()))
     return brute_force_topk(candidates, query_vec, k)
+
+
+def exact_neardup_pairs(emb_ds, ids: np.ndarray, matrix: np.ndarray,
+                        threshold: float = 0.4):
+    """EXACT embedding-cosine near-dup pairs (``vec_a < vec_b``).
+
+    Block-vs-broadcast design: the caller supplies the full corpus
+    matrix (one small-column read), which is L2-normalized once and
+    broadcast via ``ray.put``; every batch then computes one GEMM slice
+    ``batch × corpusᵀ`` — O(N²/P) distributed work, zero shuffle, and
+    the output is only the qualifying pairs.
+
+    Scale boundary (documented, by design): the broadcast side must fit
+    a worker heap (~10M × 64 float32 ≈ 2.5 GB).  Beyond that, use the
+    LSH-bucketed :func:`cosine_neardup_pairs` (recall < 1 at low
+    thresholds) or split the corpus into C chunks and join the C(C+1)/2
+    chunk pairs.
+    """
+    from cheque_ocr_project_ray.util import map_pool, round_half_up
+
+    mat = np.asarray(matrix, dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    mat = mat / np.where(norms == 0, 1, norms)[:, None]
+    ids = np.asarray(ids, dtype=np.int64)
+    mat_ref = ray.put(mat)
+    ids_ref = ray.put(ids)
+
+    class _Pairs:
+        def __init__(self):
+            self.mat = ray.get(mat_ref)
+            self.ids = ray.get(ids_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = _batch_matrix(batch)
+            bn = np.linalg.norm(m, axis=1)
+            mn = m / np.where(bn == 0, 1, bn)[:, None]
+            cos = mn @ self.mat.T
+            bids = batch["vec_id"].to_numpy().astype(np.int64)
+            ii, jj = np.where(cos >= threshold)
+            keep = bids[ii] < self.ids[jj]  # each pair emitted once
+            ii, jj = ii[keep], jj[keep]
+            return pd.DataFrame({
+                "vec_a": bids[ii],
+                "vec_b": self.ids[jj],
+                "cos": round_half_up(cos[ii, jj], 5),
+            })
+
+    out = emb_ds.map_batches(_Pairs, batch_format="pandas",
+                             concurrency=(1, map_pool()))
+    return out.sort(["vec_a", "vec_b"])
 
 
 def cosine_neardup_pairs(emb_ds, n_planes: int = 8,

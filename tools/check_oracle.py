@@ -50,6 +50,14 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> bool:
     a, b = normalize(ray_df), normalize(sql_df)
     for col in a.columns:
         av, bv = a[col].to_numpy(), b[col].to_numpy()
+        # the driver's value-hash is dtype-sensitive (r01: int64 vs
+        # HUGEINT→float64 failed the hash with identical values), so a
+        # float-vs-int kind mismatch is a hard failure here too
+        if (av.dtype.kind in "fiu") != (bv.dtype.kind in "fiu") or \
+                (av.dtype.kind == "f") != (bv.dtype.kind == "f"):
+            print(f"  [{name}] DTYPE KIND MISMATCH col={col} "
+                  f"ray={av.dtype} sql={bv.dtype}")
+            ok = False
         if len(av) != len(bv):
             continue
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
