@@ -61,22 +61,17 @@ def build_cheque_pipeline(
     # must get actors proportional to their BYTE load, not their row
     # count: oversized docs are ~25x costlier per row, and a fixed
     # 2-actor skew pool turned ~50% of the total compute into the
-    # critical path (observed: 158 s vs 44 s at sf0.1).  The split is
-    # read from the stored media_bytes hint column (a single-column
-    # scan here; at corpus scale, parquet row-group statistics give the
-    # same split without touching data).  Fixed pools (not autoscaling)
-    # start eagerly and keep the CPU budget explicit; they total
-    # ~80% of the cluster so read tasks and the executor never starve.
+    # critical path (observed: 158 s vs 44 s at sf0.1).  The split
+    # comes from parquet row-group statistics plus a BOUNDED row-group
+    # sample (sources/io.skew_profile) — the driver never scans the
+    # column (the round-1 full-column to_table would be an 8 TB driver
+    # read at corpus scale).  Fixed pools (not autoscaling) start
+    # eagerly and keep the CPU budget explicit; they total ~80% of the
+    # cluster so read tasks and the executor never starve.
     import pyarrow.dataset as pads
+    from cheque_ocr_project_ray.sources.io import skew_profile
     thr = cfg.skew_bytes_threshold
-    mb = pads.dataset(str(fixture_dir / "cheques")).to_table(
-        columns=["media_bytes"]).column("media_bytes")
-    import pyarrow.compute as pc
-    total_bytes = pc.sum(mb).as_py() or 1
-    big_mask = pc.greater(mb, thr)
-    big_bytes = pc.sum(pc.if_else(big_mask, mb, 0)).as_py() or 0
-    n_big_docs = pc.sum(pc.cast(big_mask, "int64")).as_py() or 0
-    big_share = big_bytes / total_bytes
+    big_share, n_big_docs = skew_profile(fixture_dir / "cheques", thr)
 
     # CPU budget: reserve ~2 CPUs for read tasks + shuffle aggregators
     # (fixed pools never release their CPUs — reserving everything

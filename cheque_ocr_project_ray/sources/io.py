@@ -39,6 +39,58 @@ def read_cheques(fixture_dir: str | Path, limit: int | None = None,
     return ds
 
 
+def skew_profile(cheques_dir: str | Path, threshold: int,
+                 max_sample_groups: int = 64) -> tuple[float, int]:
+    """(big_byte_share, est_n_big_docs) for the skew router — from
+    parquet METADATA plus a bounded row-group sample, never a full
+    column scan (the round-1 version did ``to_table(["media_bytes"])``
+    on the driver: an 8 TB driver materialization at 10^12 rows).
+
+    - Existence of oversized docs is exact and metadata-only: any
+      row-group max statistic above the threshold.
+    - The byte SHARE is estimated from an evenly-strided sample of at
+      most ``max_sample_groups`` row groups (the driver reads
+      ``<= max_sample_groups × row_group_size`` int64 values no matter
+      the corpus size).  Pool sizing needs a ratio, not a census.
+    """
+    files = sorted(Path(cheques_dir).glob("*.parquet"))
+    groups: list[tuple[Path, int]] = []
+    total_rows = 0
+    any_big = False
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        # leaf-column index, NOT the arrow schema index: nested columns
+        # (spans) expand into several parquet leaves before media_bytes
+        rg0 = md.row_group(0)
+        ci = next(i for i in range(rg0.num_columns)
+                  if rg0.column(i).path_in_schema == "media_bytes")
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            st = rg.column(ci).statistics
+            if st is None or not st.has_min_max or st.max > threshold:
+                any_big = True  # unknown stats count as "maybe big"
+            groups.append((f, i))
+            total_rows += rg.num_rows
+    if not groups or not any_big:
+        return 0.0, 0
+
+    stride = max(1, len(groups) // max_sample_groups)
+    sampled = groups[::stride][:max_sample_groups]
+    import pyarrow.compute as pc
+    big_bytes = total_bytes = n_big = n_rows = 0
+    for f, i in sampled:
+        col = pq.ParquetFile(f).read_row_group(
+            i, columns=["media_bytes"]).column("media_bytes")
+        total_bytes += pc.sum(col).as_py() or 0
+        big_mask = pc.greater(col, threshold)
+        big_bytes += pc.sum(pc.if_else(big_mask, col, 0)).as_py() or 0
+        n_big += pc.sum(pc.cast(big_mask, "int64")).as_py() or 0
+        n_rows += len(col)
+    if not total_bytes or not n_rows:
+        return 0.0, 0
+    return big_bytes / total_bytes, round(n_big / n_rows * total_rows)
+
+
 def read_meta(fixture_dir: str | Path, columns: list[str] | None = None):
     """Streaming read of the DBF-mirror metadata table (S4/S5)."""
     return ray.data.read_parquet(str(Path(fixture_dir) / "meta"), columns=columns)

@@ -23,16 +23,6 @@ def _docs(sf_dir: str):
                                  columns=["doc_id", "text"])
 
 
-def _docs_loader(sf_dir: str):
-    def load(ids):
-        import pyarrow.compute as pc
-        t = pq.read_table(str(Path(sf_dir) / "documents.parquet"),
-                          columns=["doc_id", "text"],
-                          filters=[("doc_id", "in", list(ids))])
-        return dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
-    return load
-
-
 def doc_token_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(analysis.token_stats,
                                      batch_format="pandas")
@@ -122,14 +112,13 @@ GROUP BY substr(text, 1, 40)
 """
 
 
-def dedup_minhash(sf_dir: str) -> pd.DataFrame:
-    return dedup.minhash_dedup_pairs(
-        _docs(sf_dir), _docs_loader(sf_dir), threshold=0.6)
+def dedup_minhash(sf_dir: str):
+    return dedup.minhash_dedup_pairs(_docs(sf_dir), threshold=0.6)
 
 
-def dedup_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
-    return dedup.ngram_jaccard_pairs(
-        _docs(sf_dir), _docs_loader(sf_dir), shingle_k=2, threshold=0.5)
+def dedup_ngram_jaccard(sf_dir: str):
+    return dedup.ngram_jaccard_pairs(_docs(sf_dir), shingle_k=2,
+                                     threshold=0.5)
 
 
 def doc_simhash(sf_dir: str):

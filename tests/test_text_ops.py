@@ -52,10 +52,8 @@ def test_exact_dedup_keeps_min_doc_id(corpus):
 
 
 def test_minhash_finds_planted_near_dups(corpus):
-    def loader(ids):
-        return {r["doc_id"]: r["text"] for r in corpus if r["doc_id"] in ids}
-
-    pairs = dedup.minhash_dedup_pairs(docs_ds(corpus), loader, threshold=0.6)
+    pairs = dedup.minhash_dedup_pairs(docs_ds(corpus),
+                                      threshold=0.6).to_pandas()
     found = set(zip(pairs["doc_a"], pairs["doc_b"]))
     # the exact dup and both near dups of doc 0 must surface
     assert (0, 1) in found
@@ -88,6 +86,26 @@ def test_simhash_near_pairs(corpus):
     assert row["hamming"].iloc[0] == 0
     # unrelated docs never pair at hamming<=3
     assert not any(4 in p or 5 in p for p in found)
+
+
+def test_degenerate_bucket_star_pairs():
+    """5k identical docs: every LSH bucket is one giant cluster.  The
+    bucket cap must keep the pair step LINEAR (star pairs), not
+    O(bucket²) ≈ 12.5M pairs, and verification must stay distributed."""
+    n = 5000
+    rows = [{"doc_id": i, "text": make_text()} for i in range(n)]
+    pairs = dedup.minhash_dedup_pairs(
+        docs_ds(rows), threshold=0.6, bucket_cap=256).to_pandas()
+    # star pairing: exactly (n-1) pairs, all anchored at doc 0
+    assert len(pairs) == n - 1
+    assert (pairs["doc_a"] == 0).all()
+    assert (pairs["jaccard"] == 1.0).all()
+
+    sim = dedup.simhash_near_pairs(
+        docs_ds(rows), max_hamming=3, bucket_cap=256).to_pandas()
+    assert len(sim) == n - 1
+    assert (sim["doc_a"] == 0).all()
+    assert (sim["hamming"] == 0).all()
 
 
 def test_quality_and_token_stats():
