@@ -76,6 +76,37 @@ def _cheque_queries() -> dict[str, Callable[[str], Any]]:
             summary[k] = round(summary[k], 4)
         return pd.DataFrame([summary])
 
+    def cheque_status_histogram_v3(sf_dir: str):
+        """Status histogram under the V3 seven-state REVIEW ladder
+        (IssuerBatchProcessorV3.py:446-473; threshold 0.85 is V3's
+        default, :519)."""
+        from cheque_ocr_project_ray.config import DEFAULT_CONFIG
+        from cheque_ocr_project_ray.pipelines.metrics import status_histogram
+        cfg = DEFAULT_CONFIG.with_overrides(status_ladder="v3",
+                                            threshold=0.85)
+        return status_histogram(
+            build_cheque_pipeline(ensure_fixture(sf_dir), cfg=cfg))
+
+    def cheque_spelling_fix(sf_dir: str):
+        """Post-extraction issuer spelling cleanup (M22,
+        dbf_processor.py:117-128 applied to every extracted issuer)."""
+        import pyarrow as pa
+        from cheque_ocr_project_ray.functions.spelling import correct_spelling
+
+        ds = build_cheque_pipeline(ensure_fixture(sf_dir))
+
+        def fix(batch: pa.Table) -> pa.Table:
+            issuers = batch.column("issuer").to_pylist()
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "issuer": batch.column("issuer"),
+                "issuer_fixed": pa.array(
+                    [correct_spelling(x) for x in issuers], pa.string()),
+                "issuer_conf": batch.column("issuer_conf"),
+            })
+
+        return ds.map_batches(fix, batch_format="pyarrow")
+
     def cheque_filename_fields(sf_dir: str):
         from cheque_ocr_project_ray.functions.filename_fields import (
             filename_fields_batch)
@@ -88,6 +119,8 @@ def _cheque_queries() -> dict[str, Callable[[str], Any]]:
         "cheque_extract": cheque_extract,
         "cheque_spans": cheque_spans,
         "cheque_status_histogram": cheque_status_histogram,
+        "cheque_status_histogram_v3": cheque_status_histogram_v3,
+        "cheque_spelling_fix": cheque_spelling_fix,
         "cheque_final_join": cheque_final_join,
         "cheque_checkpoint_rollup": cheque_checkpoint_rollup,
         "cheque_filename_fields": cheque_filename_fields,

@@ -16,6 +16,11 @@ class PipelineConfig:
     threshold: float = 0.90          # issuer confidence gate
     limit: int | None = None         # head-N of the corpus
     target_long_side: int = 1200     # preprocess resize target
+    status_ladder: str = "v1"        # 'v1' (AUTO-UPDATED/REJECTED/
+                                     # ERROR, issuer_processor_v.py) or
+                                     # 'v3' (7-state REVIEW ladder,
+                                     # IssuerBatchProcessorV3.py:446-473;
+                                     # reference default threshold 0.85)
 
     # Ray Data physical knobs
     ocr_batch_size: int = 64         # rows per OCR actor call

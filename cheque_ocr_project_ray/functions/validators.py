@@ -239,3 +239,51 @@ def looks_like_real_name(text: str | None) -> bool:
         if len(text) < 5 or is_garbage(text):
             return False
     return True
+
+
+# --- V3 lenient business-name validator ------------------------------
+# Mirrors IssuerBatchProcessorV3.py:201-257 (is_valid_business_name +
+# its is_valid_drawer wrapper).  Used only by the V3 status-ladder
+# variant (oracle.v3_status); the junk check reuses the frozen v1
+# is_junk_text (SURVEY.md §7.5 freezes one junk-semantic set — V3's
+# 45-regex JUNK_PATTERNS variant is a documented deviation).
+_V3_BANK_NAMES = (
+    "BANK", "STATE BANK", "HDFC", "ICICI", "SBI", "AXIS",
+    "YES BANK", "IDFC", "KOTAK", "INDUSIND", "PNB", "CANARA",
+    "UNION BANK", "BOB", "BARODA", "SYNDICATE", "CORPORATION",
+    "BANK OF INDIA", "BANK OF BARODA", "PUNJAB NATIONAL BANK",
+)
+
+
+def is_valid_business_name_v3(text: str | None) -> bool:
+    """V3's composition-based validator (min length 3, bank-dominance
+    rejection, alpha-ratio rules) — IssuerBatchProcessorV3.py:201-242."""
+    if not text or len(text) < 3:
+        return False
+    if is_junk_text(text):
+        return False
+
+    text_upper = text.upper()
+    for bank in _V3_BANK_NAMES:
+        if bank in text_upper and len(bank) >= len(text_upper) * 0.7:
+            return False
+
+    alpha_count = sum(1 for c in text if c.isalpha())
+    digit_count = sum(1 for c in text if c.isdigit())
+    if digit_count > 0 and alpha_count == 0:
+        return len(text) >= 8  # pure numbers: account-number length only
+    total_chars = len(text)
+    if alpha_count > 0:
+        alpha_ratio = alpha_count / total_chars
+        if alpha_ratio < 0.3 and total_chars > 5:
+            return digit_count > 5
+    return True
+
+
+def is_valid_drawer_v3(text: str | None) -> bool:
+    """V3's is_valid_drawer wrapper (IssuerBatchProcessorV3.py:244-257)."""
+    if not text or len(text) < 3:
+        return False
+    if is_junk_text(text):
+        return False
+    return is_valid_business_name_v3(text)

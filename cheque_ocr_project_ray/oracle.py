@@ -33,7 +33,11 @@ from typing import Callable, Mapping, Optional, Sequence
 
 from cheque_ocr_project_ray.functions.classifier import classify_cheque, extract_micr
 from cheque_ocr_project_ray.functions.govt_rules import enforce_payee_rule
-from cheque_ocr_project_ray.functions.issuer import OcrLine, resolve_issuer
+from cheque_ocr_project_ray.functions.issuer import (
+    OcrLine,
+    extract_issuer,
+    resolve_issuer,
+)
 from cheque_ocr_project_ray.functions.payee import (
     clean_payee,
     extract_all_fields,
@@ -78,12 +82,52 @@ def assemble_document(
     return " ".join(parts), ocr_lines
 
 
+# Short names V3 exempts from the REVIEW-SHORT demotion
+# (IssuerBatchProcessorV3.py:452).
+_V3_SHORT_WHITELIST = ("LTD", "PVT", "INC", "CO.")
+
+
+def v3_status(issuer: str, conf: float, threshold: float = 0.85,
+              *, is_junk=None, is_valid=None) -> tuple[str, str]:
+    """The V3 seven-state status ladder (IssuerBatchProcessorV3.py:
+    446-473), as a pure per-row function → ``(issuer, status)``.
+
+    ``issuer == "XXX"`` is this engine's NO_VALID_TEXT sentinel.  The
+    reference's AUTO-UPDATED vs MATCHED-NO-UPDATE split depends on
+    whether the DBF row existed; the engine's join-write always has a
+    metadata row per doc, so the matched branch is AUTO-UPDATED (the
+    MATCHED-NO-UPDATE state is unreachable by construction — deviation
+    documented here).  The validator is V3's own lenient
+    ``is_valid_drawer`` (IssuerBatchProcessorV3.py:244-257) — the
+    strict v1 validator would make REVIEW-SHORT unreachable (it
+    rejects every name under 5 chars).
+    """
+    from cheque_ocr_project_ray.functions.validators import (
+        is_junk_text, is_valid_drawer_v3)
+    is_junk = is_junk or is_junk_text
+    is_valid = is_valid or is_valid_drawer_v3
+
+    if issuer != "XXX" and is_junk(issuer):
+        return issuer, "JUNK-FILTERED"
+    if conf >= threshold and issuer and issuer != "XXX":
+        if is_valid(issuer):
+            if (len(issuer) <= 4 and issuer.isalpha()
+                    and issuer not in _V3_SHORT_WHITELIST):
+                return issuer, "REVIEW-SHORT"
+            return issuer, "AUTO-UPDATED"
+        return issuer, "INVALID-TEXT"
+    if issuer and issuer != "XXX" and is_valid(issuer):
+        return issuer, "REVIEW"
+    return "XXX", "NO-TEXT"
+
+
 def extract_fields(
     full_text: str,
     ocr_lines: Sequence[OcrLine],
     drawer_dict: Sequence[str],
     threshold: float = 0.90,
     match_cache: Optional[dict] = None,
+    status_ladder: str = "v1",
 ) -> dict:
     """Field extraction given assembled text + OCR lines.
 
@@ -92,7 +136,8 @@ def extract_fields(
     DISTRIBUTED composition (batching, actor pools, shuffles,
     checkpoint/resume) preserves it row-for-row.
     """
-    # "No text detected" early-out (ocr_engine.py:132-135).
+    # "No text detected" early-out (ocr_engine.py:132-135; V3 labels
+    # the same outcome NO-TEXT, IssuerBatchProcessorV3.py:471-473).
     if not ocr_lines and not full_text:
         return {
             "cheque_type": "",
@@ -104,7 +149,7 @@ def extract_fields(
             "issuer_conf": 0.0,
             "issuer_src": "",
             "confidence": 0.0,
-            "status": "REJECTED",
+            "status": "NO-TEXT" if status_ladder == "v3" else "REJECTED",
             "micr": "",
             "amount": "",
             "date": "",
@@ -121,10 +166,25 @@ def extract_fields(
     confidences = [c for _, c, _ in ocr_lines]
     confidence = sum(confidences) / len(confidences) if confidences else 0.0
 
-    issuer, issuer_conf, issuer_src = resolve_issuer(
-        ocr_lines, drawer_dict, threshold=threshold, cache=match_cache
-    )
-    status = "AUTO-UPDATED" if issuer != "XXX" else "REJECTED"
+    if status_ladder == "v3":
+        # V3 variant: the frozen v1 candidate machinery feeds the V3
+        # SEVEN-STATE ladder (selection semantics stay v1 per SURVEY
+        # §7.5; only the labeling — and keeping the ungated candidate
+        # text on REVIEW rows — is V3's, IssuerBatchProcessorV3.py:
+        # 446-473).  The pre-gate candidate is needed because REVIEW vs
+        # NO-TEXT is decided on the candidate resolve_issuer would have
+        # discarded.
+        cand_text, cand_conf, _score, cand_src = extract_issuer(
+            ocr_lines, drawer_dict, cache=match_cache)
+        issuer, status = v3_status(cand_text, cand_conf,
+                                   threshold=threshold)
+        issuer_conf = cand_conf if issuer != "XXX" else 0.0
+        issuer_src = cand_src if issuer != "XXX" else ""
+    else:
+        issuer, issuer_conf, issuer_src = resolve_issuer(
+            ocr_lines, drawer_dict, threshold=threshold, cache=match_cache
+        )
+        status = "AUTO-UPDATED" if issuer != "XXX" else "REJECTED"
 
     fields = extract_all_fields(full_text)
 
@@ -192,11 +252,13 @@ def reference_extract(
     media_lookup: Callable[[str], Sequence[tuple[str, float]]],
     drawer_dict: Sequence[str],
     threshold: float = 0.90,
+    status_ladder: str = "v1",
 ) -> list[Span]:
     """The per-row oracle: doc row → output span sequence."""
     try:
         full_text, ocr_lines = assemble_document(doc["spans"], media_lookup)
     except ValueError:
         return fields_to_spans(error_fields())
-    fields = extract_fields(full_text, ocr_lines, drawer_dict, threshold=threshold)
+    fields = extract_fields(full_text, ocr_lines, drawer_dict,
+                            threshold=threshold, status_ladder=status_ladder)
     return fields_to_spans(fields)

@@ -137,6 +137,7 @@ def build_cheque_pipeline(
         fn_constructor_kwargs={
             "drawer_ref": drawer_ref,
             "threshold": cfg.threshold,
+            "status_ladder": cfg.status_ladder,
         },
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,

@@ -41,7 +41,8 @@ SPANS_OUT_TYPE = pa.list_(pa.struct([
 
 
 class FieldExtractStage:
-    def __init__(self, drawer_ref, threshold: float = 0.90):
+    def __init__(self, drawer_ref, threshold: float = 0.90,
+                 status_ladder: str = "v1"):
         # drawer_ref: ray.ObjectRef of the sorted drawer dictionary, or
         # a plain list when called outside Ray (unit tests).
         if isinstance(drawer_ref, ray.ObjectRef):
@@ -49,6 +50,7 @@ class FieldExtractStage:
         else:
             self.drawer_dict = drawer_ref
         self.threshold = threshold
+        self.status_ladder = status_ladder
         self.match_cache: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -71,7 +73,8 @@ class FieldExtractStage:
                 f = extract_fields(ft, list(zip(lt, lc, ls)),
                                    self.drawer_dict,
                                    threshold=self.threshold,
-                                   match_cache=self.match_cache)
+                                   match_cache=self.match_cache,
+                                   status_ladder=self.status_ladder)
             rows.append(f)
             spans_out.append(_spans_as_dicts(f))
 

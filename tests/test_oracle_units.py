@@ -197,6 +197,31 @@ def test_extract_issuer_and_gates():
     assert resolve_issuer([], DICT)[0] == "XXX"
 
 
+# --- M24 V3 status ladder (IssuerBatchProcessorV3.py:446-473) --------
+def test_v3_status_ladder_unit_table():
+    from cheque_ocr_project_ray.oracle import v3_status
+
+    cases = [
+        # (issuer, conf, thr) -> (issuer_out, status)
+        (("PLEASE SIGN ABOVE", 0.99, 0.85),
+         ("PLEASE SIGN ABOVE", "JUNK-FILTERED")),   # junk beats everything
+        (("RAMESH GUPTA", 0.95, 0.85),
+         ("RAMESH GUPTA", "AUTO-UPDATED")),         # confident + valid
+        (("ABC", 0.95, 0.85), ("ABC", "REVIEW-SHORT")),  # short alpha name
+        (("LTD", 0.95, 0.85), ("LTD", "AUTO-UPDATED")),  # whitelisted short
+        (("1234567", 0.95, 0.85),
+         ("1234567", "INVALID-TEXT")),              # 7 pure digits: below
+                                                    # V3's 8-digit account rule
+        (("HDFC BANK", 0.95, 0.85),
+         ("HDFC BANK", "JUNK-FILTERED")),           # bank term = junk (v1 set)
+        (("RAMESH GUPTA", 0.50, 0.85),
+         ("RAMESH GUPTA", "REVIEW")),               # valid, low confidence
+        (("XXX", 0.0, 0.85), ("XXX", "NO-TEXT")),   # no candidate
+    ]
+    for (issuer, conf, thr), expected in cases:
+        assert v3_status(issuer, conf, thr) == expected, (issuer, conf)
+
+
 # --- M22/M23 ---------------------------------------------------------
 def test_spelling_and_filename_fields():
     assert correct_spelling("STEELNDUSTRIES") == "Steel Industries"

@@ -63,6 +63,31 @@ def test_pipeline_matches_oracle_per_row(fixture_dir, media_lookup):
     assert mismatches == 0
 
 
+def test_v3_ladder_pipeline_matches_oracle(fixture_dir, media_lookup):
+    """The V3 status-ladder variant must also hold span equality
+    row-for-row (oracle and pipeline share the ladder code path but
+    the distributed composition — actor pools, skew routing — must
+    preserve it)."""
+    from cheque_ocr_project_ray.config import DEFAULT_CONFIG
+    cfg = DEFAULT_CONFIG.with_overrides(status_ladder="v3", threshold=0.85)
+    drawer_dict = build_drawer_dict(fixture_dir)
+    result = build_cheque_pipeline(fixture_dir, cfg=cfg).to_pandas()
+    by_id = {row.doc_id: row for row in result.itertuples()}
+
+    docs = pq.read_table(Path(fixture_dir) / "cheques").to_pylist()
+    statuses = set()
+    for doc in docs:
+        expected = reference_extract(doc, media_lookup, drawer_dict,
+                                     threshold=0.85, status_ladder="v3")
+        got = spans_as_tuples(by_id[doc["doc_id"]].spans_out)
+        assert got == [tuple(s) for s in expected], doc["doc_id"]
+        statuses.add(got[4][1])
+    # the ladder's main states must actually occur on the corpus
+    assert {"AUTO-UPDATED", "REVIEW", "NO-TEXT", "ERROR"} <= statuses
+    assert statuses <= {"AUTO-UPDATED", "REVIEW", "REVIEW-SHORT",
+                        "JUNK-FILTERED", "INVALID-TEXT", "NO-TEXT", "ERROR"}
+
+
 def test_statuses_and_types_present(fixture_dir):
     ds = build_cheque_pipeline(fixture_dir)
     pdf = ds.to_pandas()
