@@ -1,8 +1,15 @@
 """Text analysis operators for large-scale training-data pipelines:
 token counting, quality scoring, language-ID heuristic, document
-fingerprinting.  All are vectorized ``map_batches`` stages over the
-``documents`` table; each has a DuckDB-expressible twin in
-``text/queries.py`` so the driver's correctness gate covers them.
+fingerprinting.  All are ``map_batches(batch_format="pyarrow")``
+stages over the ``documents`` table; each has a DuckDB-expressible
+twin in ``text/queries.py`` so the driver's correctness gate covers
+them.
+
+Vectorization: tokenization is an Arrow regex-split kernel; per-token
+counting (stopword hits, distinct tokens, language markers) runs on
+the FLATTENED token array with ``list_parent_indices`` + numpy
+``bincount`` — no Python loop over rows or tokens.  Only the md5
+fingerprint is a per-row loop (hashlib has no batch API).
 
 These are engine capabilities beyond the reference's own inventory
 (per the build brief): at 10^12 docs each stage is a stateless
@@ -13,7 +20,9 @@ from __future__ import annotations
 
 import hashlib
 
-import pandas as pd
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from cheque_ocr_project_ray.util import round_half_up
 
@@ -29,57 +38,92 @@ LANG_PRIORITY = ("en", "es", "fr")
 STOPWORDS = ("a", "the")
 
 
-def _tokens(batch: pd.DataFrame) -> pd.Series:
+def _token_lists(text) -> pa.ChunkedArray:
     """Tokenize matching the SQL twin's ``regexp_split_to_array(trim(
     text), '\\s+')`` semantics: an empty/whitespace-only text yields
     the single empty token [''] (NOT []), so ratio denominators are
     never zero and both engines agree on empty docs."""
-    return batch["text"].map(lambda t: t.split() or [""])
+    return pc.split_pattern_regex(pc.utf8_trim_whitespace(text),
+                                  pattern=r"\s+")
 
 
-def token_stats(batch: pd.DataFrame) -> pd.DataFrame:
-    toks = _tokens(batch)
-    return pd.DataFrame({
-        "doc_id": batch["doc_id"],
-        "n_tokens": toks.str.len().astype("int64"),
-        "n_chars": batch["text"].str.len().astype("int64"),
+def _marker_hits(flat: pa.Array, parent: np.ndarray, n_rows: int,
+                 markers) -> np.ndarray:
+    """Per-row count of tokens in ``markers`` — one is_in kernel plus
+    one bincount over the flattened token array."""
+    mask = pc.is_in(flat, value_set=pa.array(markers)).to_numpy(
+        zero_copy_only=False)
+    return np.bincount(parent[mask], minlength=n_rows)
+
+
+def token_stats(batch: pa.Table) -> pa.Table:
+    text = batch.column("text")
+    toks = _token_lists(text)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": pc.list_value_length(toks).cast(pa.int64()),
+        "n_chars": pc.utf8_length(text).cast(pa.int64()),
     })
 
 
-def quality_counts(batch: pd.DataFrame) -> pd.DataFrame:
-    toks = _tokens(batch)
-    n_tokens = toks.str.len().astype("int64")
-    stop_hits = toks.map(
-        lambda ws: sum(w in STOPWORDS for w in ws)).astype("int64")
-    distinct = toks.map(lambda ws: len(set(ws))).astype("int64")
-    return pd.DataFrame({
-        "doc_id": batch["doc_id"],
-        "n_tokens": n_tokens,
-        "stop_hits": stop_hits,
-        "distinct_tokens": distinct,
-        "stop_ratio": round_half_up(stop_hits / n_tokens, 4),
-        "ttr": round_half_up(distinct / n_tokens, 4),  # type-token ratio
+def quality_counts(batch: pa.Table) -> pa.Table:
+    n = len(batch)
+    toks = _token_lists(batch.column("text")).combine_chunks()
+    n_tokens = pc.list_value_length(toks).cast(pa.int64()).to_numpy()
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy()
+
+    stop_hits = _marker_hits(flat, parent, n, STOPWORDS)
+    # distinct tokens per row: dictionary-encode the flat tokens, then
+    # count unique (parent, code) pairs — vectorized, no per-row sets
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_codes = int(codes.max()) + 1 if len(codes) else 1
+    pair_keys = np.unique(parent.astype(np.int64) * n_codes + codes)
+    distinct = np.bincount(pair_keys // n_codes, minlength=n)
+
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+        "stop_hits": pa.array(stop_hits, pa.int64()),
+        "distinct_tokens": pa.array(distinct, pa.int64()),
+        "stop_ratio": pa.array(round_half_up(stop_hits / n_tokens, 4)),
+        "ttr": pa.array(round_half_up(distinct / n_tokens, 4)),
     })
 
 
-def lang_id(batch: pd.DataFrame) -> pd.DataFrame:
-    toks = _tokens(batch)
+def lang_id(batch: pa.Table) -> pa.Table:
+    n = len(batch)
+    toks = _token_lists(batch.column("text")).combine_chunks()
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy()
 
-    def predict(ws) -> str:
-        hits = {lang: sum(w in markers for w in ws)
-                for lang, markers in LANG_MARKERS.items()}
-        best = max(LANG_PRIORITY, key=lambda l: (hits[l], -LANG_PRIORITY.index(l)))
-        return best if hits[best] > 0 else "und"
+    hits = {lang: _marker_hits(flat, parent, n, markers)
+            for lang, markers in LANG_MARKERS.items()}
+    en, es, fr = hits["en"], hits["es"], hits["fr"]
+    # argmax with fixed priority order on ties (matches the SQL CASE)
+    pred = np.full(n, "und", dtype=object)
+    en_best = (en >= es) & (en >= fr)
+    es_best = ~en_best & (es >= fr)
+    fr_best = ~en_best & ~es_best
+    any_hit = (en + es + fr) > 0
+    pred[any_hit & en_best] = "en"
+    pred[any_hit & es_best] = "es"
+    pred[any_hit & fr_best] = "fr"
 
-    return pd.DataFrame({
-        "doc_id": batch["doc_id"],
-        "pred_lang": toks.map(predict),
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "pred_lang": pa.array(pred, pa.string()),
     })
 
 
-def fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
-    return pd.DataFrame({
-        "doc_id": batch["doc_id"],
-        "fp": batch["text"].map(
-            lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()),
+def fingerprint(batch: pa.Table) -> pa.Table:
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "fp": pa.array(
+            [hashlib.md5(t.encode("utf-8")).hexdigest()
+             for t in batch.column("text").to_pylist()],
+            pa.string()),
     })

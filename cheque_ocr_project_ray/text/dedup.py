@@ -115,14 +115,17 @@ def exact_dedup(docs_ds):
 
     Output: (text_hash, doc_id, n_dups) — one row per distinct text.
     """
-    def hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "text_hash": batch["text"].map(
-                lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()),
-            "doc_id": batch["doc_id"],
+    import pyarrow as pa
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "text_hash": pa.array(
+                [hashlib.md5(t.encode("utf-8")).hexdigest()
+                 for t in batch.column("text").to_pylist()], pa.string()),
+            "doc_id": batch.column("doc_id"),
         })
 
-    hashed = docs_ds.map_batches(hash_batch, batch_format="pandas")
+    hashed = docs_ds.map_batches(hash_batch, batch_format="pyarrow")
     return hashed.groupby("text_hash").aggregate(
         Min("doc_id", alias_name="doc_id"),
         Count(alias_name="n_dups"))
@@ -130,13 +133,17 @@ def exact_dedup(docs_ds):
 
 def prefix_dedup(docs_ds, prefix_len: int = 40):
     """Near-dup by text prefix: cheap blocking key demonstration."""
-    def key_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "prefix": batch["text"].str.slice(0, prefix_len),
-            "doc_id": batch["doc_id"],
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def key_batch(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "prefix": pc.utf8_slice_codeunits(batch.column("text"),
+                                              0, prefix_len),
+            "doc_id": batch.column("doc_id"),
         })
 
-    keyed = docs_ds.map_batches(key_batch, batch_format="pandas")
+    keyed = docs_ds.map_batches(key_batch, batch_format="pyarrow")
     return keyed.groupby("prefix").aggregate(
         Min("doc_id", alias_name="doc_id"),
         Count(alias_name="n_dups"))
@@ -147,18 +154,24 @@ def minhash_bands(docs_ds, num_perm: int = 64, bands: int = 16,
     """Stage 1-2 of MinHash LSH: signatures → exploded band rows."""
     a, b = minhash_params(num_perm)
 
-    def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
+    import pyarrow as pa
+
+    def to_bands(batch: pa.Table) -> pa.Table:
         rows_band, rows_hash, rows_doc = [], [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
             sig = minhash_signature(shingles(text, shingle_k), a, b)
             for band_id, bh in enumerate(band_hashes(sig, bands)):
                 rows_band.append(band_id)
                 rows_hash.append(bh)
                 rows_doc.append(doc_id)
-        return pd.DataFrame({
-            "band_id": rows_band, "band_hash": rows_hash, "doc_id": rows_doc})
+        return pa.table({
+            "band_id": pa.array(rows_band, pa.int64()),
+            "band_hash": pa.array(rows_hash, pa.string()),
+            "doc_id": pa.array(rows_doc),
+        })
 
-    return docs_ds.map_batches(to_bands, batch_format="pandas")
+    return docs_ds.map_batches(to_bands, batch_format="pyarrow")
 
 
 def bucket_pairs(ids: list, bucket_cap: int) -> tuple[list, list]:
@@ -199,16 +212,18 @@ def shingle_blobs(docs_ds, shingle_k: int = 3):
     to one binary cell per doc (int64 little-endian).  Binary cells
     survive distributed joins (list columns don't, in Arrow's hash
     join) and decode zero-copy with ``np.frombuffer``."""
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+    import pyarrow as pa
+
+    def fn(batch: pa.Table) -> pa.Table:
         blobs = [
             np.fromiter(sorted(shingles(t, shingle_k)),
                         dtype=np.int64).tobytes()
-            for t in batch["text"]
+            for t in batch.column("text").to_pylist()
         ]
-        return pd.DataFrame({"doc_id": batch["doc_id"],
-                             "shingle_blob": blobs})
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "shingle_blob": pa.array(blobs, pa.binary())})
 
-    return docs_ds.map_batches(fn, batch_format="pandas")
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
 
 
 def minhash_dedup_pairs(docs_ds, num_perm: int = 64,
@@ -231,14 +246,13 @@ def minhash_dedup_pairs(docs_ds, num_perm: int = 64,
     sh = shingle_blobs(docs_ds, shingle_k)
 
     def rename(side: str):
-        def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.rename(columns={"doc_id": f"doc_{side}",
-                                         "shingle_blob": f"blob_{side}"})
+        def fn(batch):
+            return batch.rename_columns([f"doc_{side}", f"blob_{side}"])
         return fn
 
-    j = hash_join(cand, sh.map_batches(rename("a"), batch_format="pandas"),
+    j = hash_join(cand, sh.map_batches(rename("a"), batch_format="pyarrow"),
                   on="doc_a")
-    j = hash_join(j, sh.map_batches(rename("b"), batch_format="pandas"),
+    j = hash_join(j, sh.map_batches(rename("b"), batch_format="pyarrow"),
                   on="doc_b")
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
@@ -260,13 +274,17 @@ def minhash_dedup_pairs(docs_ds, num_perm: int = 64,
 
 def simhash_docs(docs_ds):
     """64-bit SimHash per document (signed int64)."""
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": batch["doc_id"],
-            "simhash": batch["text"].map(simhash64).astype("int64"),
+    import pyarrow as pa
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "simhash": pa.array(
+                [simhash64(t) for t in batch.column("text").to_pylist()],
+                pa.int64()),
         })
 
-    return docs_ds.map_batches(fn, batch_format="pandas")
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
 
 
 def simhash_near_pairs(docs_ds, max_hamming: int = 3,

@@ -25,7 +25,7 @@ def _docs(sf_dir: str):
 
 def doc_token_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(analysis.token_stats,
-                                     batch_format="pandas")
+                                     batch_format="pyarrow")
 
 
 TOKEN_STATS_SQL = """
@@ -38,7 +38,7 @@ FROM documents
 
 def doc_quality(sf_dir: str):
     return _docs(sf_dir).map_batches(analysis.quality_counts,
-                                     batch_format="pandas")
+                                     batch_format="pyarrow")
 
 
 QUALITY_SQL = """
@@ -58,7 +58,8 @@ FROM t
 
 
 def doc_lang_id(sf_dir: str):
-    return _docs(sf_dir).map_batches(analysis.lang_id, batch_format="pandas")
+    return _docs(sf_dir).map_batches(analysis.lang_id,
+                                     batch_format="pyarrow")
 
 
 LANG_ID_SQL = """
@@ -83,7 +84,7 @@ FROM hits
 
 def doc_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(analysis.fingerprint,
-                                     batch_format="pandas")
+                                     batch_format="pyarrow")
 
 
 FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS fp FROM documents"
@@ -139,19 +140,25 @@ def corpus_curation(sf_dir: str):
     pairs."""
     from ray.data.aggregate import Min
 
-    def signals(batch: pd.DataFrame) -> pd.DataFrame:
+    def signals(batch):
         import hashlib
-        lang = analysis.lang_id(batch)["pred_lang"]
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        lang = analysis.lang_id(batch).column("pred_lang")
         q = analysis.quality_counts(batch)
-        keep = (lang == "en") & (q["stop_ratio"] >= 0.05) & (q["ttr"] >= 0.3)
-        kept = batch[keep.to_numpy()]
-        return pd.DataFrame({
-            "text_hash": kept["text"].map(
-                lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()),
-            "doc_id": kept["doc_id"],
+        keep = pc.and_(
+            pc.and_(pc.equal(lang, "en"),
+                    pc.greater_equal(q.column("stop_ratio"), 0.05)),
+            pc.greater_equal(q.column("ttr"), 0.3))
+        kept = batch.filter(keep)
+        return pa.table({
+            "text_hash": pa.array(
+                [hashlib.md5(t.encode("utf-8")).hexdigest()
+                 for t in kept.column("text").to_pylist()], pa.string()),
+            "doc_id": kept.column("doc_id"),
         })
 
-    hashed = _docs(sf_dir).map_batches(signals, batch_format="pandas")
+    hashed = _docs(sf_dir).map_batches(signals, batch_format="pyarrow")
     return hashed.groupby("text_hash").aggregate(
         Min("doc_id", alias_name="doc_id")).drop_columns(["text_hash"])
 

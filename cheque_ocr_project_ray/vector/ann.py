@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -24,6 +26,14 @@ import ray.data
 
 def _batch_matrix(batch: pd.DataFrame) -> np.ndarray:
     return np.asarray(batch["embedding"].to_list(), dtype=np.float64)
+
+
+def _table_matrix(batch: pa.Table) -> np.ndarray:
+    """Zero-copy-ish (one flat buffer view, no per-row Python lists)
+    list<float> column → (n, dim) float64 matrix."""
+    col = batch.column("embedding")
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    return flat.astype(np.float64, copy=False).reshape(len(batch), -1)
 
 
 def brute_force_topk(emb_ds, query_vec: np.ndarray, k: int = 10):
@@ -36,20 +46,19 @@ def brute_force_topk(emb_ds, query_vec: np.ndarray, k: int = 10):
         def __init__(self):
             self.q = ray.get(q_ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            m = _batch_matrix(batch)
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _table_matrix(batch)
             norms = np.linalg.norm(m, axis=1)
             cos = (m @ self.q) / np.where(norms == 0, 1, norms)
             from cheque_ocr_project_ray.util import round_half_up
-            out = pd.DataFrame({
-                "vec_id": batch["vec_id"].to_numpy(),
-                "cos": round_half_up(cos, 5),
-            })
-            return out.sort_values(["cos", "vec_id"],
-                                   ascending=[False, True]).head(k)
+            cos = round_half_up(cos, 5)
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            top = np.lexsort((ids, -cos))[:k]  # cos desc, vec_id asc
+            return pa.table({"vec_id": pa.array(ids[top]),
+                             "cos": pa.array(cos[top], pa.float64())})
 
     from cheque_ocr_project_ray.util import map_pool
-    cand = emb_ds.map_batches(_Scorer, batch_format="pandas",
+    cand = emb_ds.map_batches(_Scorer, batch_format="pyarrow",
                               concurrency=(1, map_pool()))
     return cand.sort(["cos", "vec_id"], descending=[True, False]).limit(k)
 
@@ -71,14 +80,13 @@ def add_lsh_bucket(emb_ds, planes: np.ndarray):
         def __init__(self):
             self.planes = ray.get(planes_ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            m = _batch_matrix(batch)
-            batch = batch.copy()
-            batch["bucket"] = lsh_signature(m, self.planes).astype("int64")
-            return batch
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _table_matrix(batch)
+            sig = lsh_signature(m, self.planes).astype("int64")
+            return batch.append_column("bucket", pa.array(sig))
 
     from cheque_ocr_project_ray.util import map_pool
-    return emb_ds.map_batches(_Bucketer, batch_format="pandas",
+    return emb_ds.map_batches(_Bucketer, batch_format="pyarrow",
                               concurrency=(1, map_pool()))
 
 
@@ -95,12 +103,13 @@ def lsh_topk(emb_ds, query_vec: np.ndarray, k: int = 10,
         probe |= {q_bucket ^ (1 << i) for i in range(n_planes)}
 
     bucketed = add_lsh_bucket(emb_ds, planes)
-    probe_list = sorted(probe)
+    probe_list = pa.array(sorted(probe), pa.int64())
 
-    def in_probe(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[batch["bucket"].isin(probe_list)]
+    def in_probe(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch.column("bucket"), value_set=probe_list))
 
-    candidates = bucketed.map_batches(in_probe, batch_format="pandas")
+    candidates = bucketed.map_batches(in_probe, batch_format="pyarrow")
     return brute_force_topk(candidates, query_vec, k)
 
 
@@ -153,13 +162,14 @@ def ivf_topk(emb_ds, query_vec: np.ndarray, k: int = 10,
         def __init__(self):
             self.cents = ray.get(cents_ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            m = _batch_matrix(batch)
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _table_matrix(batch)
             assign = (m @ self.cents.T).argmax(axis=1)
-            return batch[pd.Series(assign).isin(probe).to_numpy()]
+            mask = np.isin(assign, list(probe))
+            return batch.filter(pa.array(mask))
 
     from cheque_ocr_project_ray.util import map_pool
-    candidates = emb_ds.map_batches(_Prober, batch_format="pandas",
+    candidates = emb_ds.map_batches(_Prober, batch_format="pyarrow",
                                     concurrency=(1, map_pool()))
     return brute_force_topk(candidates, query_vec, k)
 
@@ -194,22 +204,23 @@ def exact_neardup_pairs(emb_ds, ids: np.ndarray, matrix: np.ndarray,
             self.mat = ray.get(mat_ref)
             self.ids = ray.get(ids_ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            m = _batch_matrix(batch)
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _table_matrix(batch)
             bn = np.linalg.norm(m, axis=1)
             mn = m / np.where(bn == 0, 1, bn)[:, None]
             cos = mn @ self.mat.T
-            bids = batch["vec_id"].to_numpy().astype(np.int64)
+            bids = batch.column("vec_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
             ii, jj = np.where(cos >= threshold)
             keep = bids[ii] < self.ids[jj]  # each pair emitted once
             ii, jj = ii[keep], jj[keep]
-            return pd.DataFrame({
-                "vec_a": bids[ii],
-                "vec_b": self.ids[jj],
-                "cos": round_half_up(cos[ii, jj], 5),
+            return pa.table({
+                "vec_a": pa.array(bids[ii]),
+                "vec_b": pa.array(self.ids[jj]),
+                "cos": pa.array(round_half_up(cos[ii, jj], 5)),
             })
 
-    out = emb_ds.map_batches(_Pairs, batch_format="pandas",
+    out = emb_ds.map_batches(_Pairs, batch_format="pyarrow",
                              concurrency=(1, map_pool()))
     return out.sort(["vec_a", "vec_b"])
 

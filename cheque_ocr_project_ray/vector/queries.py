@@ -86,13 +86,18 @@ def label_stats(sf_dir: str):
     ds = ray.data.read_parquet(str(Path(sf_dir) / "embeddings.parquet"),
                                columns=["label", "embedding"])
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        first = batch["embedding"].map(lambda v: float(v[0]))
-        return batch.assign(first=first).groupby("label", as_index=False).agg(
-            n=("first", "size"), sum_first=("first", "sum"))
+    def partial(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        first = pc.list_element(batch.column("embedding"), 0).cast(
+            pa.float64())
+        t = pa.table({"label": batch.column("label"), "first": first})
+        g = t.group_by("label").aggregate([
+            ("first", "count"), ("first", "sum")])
+        return g.rename_columns(["label", "n", "sum_first"])
 
     from ray.data.aggregate import Sum
-    agg = ds.map_batches(partial, batch_format="pandas") \
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("label").aggregate(
             Sum("n", alias_name="n"), Sum("sum_first", alias_name="sum_first"))
 

@@ -109,18 +109,19 @@ def test_degenerate_bucket_star_pairs():
 
 
 def test_quality_and_token_stats():
-    batch = pd.DataFrame({
+    import pyarrow as pa
+    batch = pa.table({
         "doc_id": [1], "text": ["the cat and the hat sat"]})
     ts = analysis.token_stats(batch)
-    assert ts["n_tokens"].iloc[0] == 6
-    assert ts["n_chars"].iloc[0] == len("the cat and the hat sat")
+    assert ts.column("n_tokens")[0].as_py() == 6
+    assert ts.column("n_chars")[0].as_py() == len("the cat and the hat sat")
     q = analysis.quality_counts(batch)
-    assert q["stop_hits"].iloc[0] == 2          # 'the' twice
-    assert q["distinct_tokens"].iloc[0] == 5
+    assert q.column("stop_hits")[0].as_py() == 2          # 'the' twice
+    assert q.column("distinct_tokens")[0].as_py() == 5
     lang = analysis.lang_id(batch)
-    assert lang["pred_lang"].iloc[0] == "en"
-    und = analysis.lang_id(pd.DataFrame({"doc_id": [2], "text": ["xyz qqq"]}))
-    assert und["pred_lang"].iloc[0] == "und"
+    assert lang.column("pred_lang")[0].as_py() == "en"
+    und = analysis.lang_id(pa.table({"doc_id": [2], "text": ["xyz qqq"]}))
+    assert und.column("pred_lang")[0].as_py() == "und"
 
 
 def test_prefix_dedup(corpus):
