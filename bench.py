@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "doc_quality",             # vectorized text analysis
     "ann_cosine_topk",         # brute-force cosine top-k
     "ann_ivf_topk",            # IVF coarse-quantizer scale path
+    "embedding_neardup",       # exact all-pairs near-dup (block GEMM)
     "media_decode_stats",      # multimodal actor-pool stage
 ]
 

@@ -58,12 +58,13 @@ def test_round_half_up_arrow_matches_numpy():
 
 
 def test_text_analysis_empty_doc_semantics():
-    batch = pd.DataFrame({"doc_id": [1, 2], "text": ["", "   "]})
-    q = analysis.quality_counts(batch)
+    import pyarrow as pa
+    batch = pa.table({"doc_id": [1, 2], "text": ["", "   "]})
+    q = analysis.quality_counts(batch).to_pandas()
     # regexp_split_to_array(trim('')) yields [''] → 1 token, ratios 0/1
     assert (q["n_tokens"] == 1).all()
     assert (q["stop_ratio"] == 0.0).all() and (q["ttr"] == 1.0).all()
-    t = analysis.token_stats(batch)
+    t = analysis.token_stats(batch).to_pandas()
     assert t["n_tokens"].tolist() == [1, 1]
-    lang = analysis.lang_id(batch)
+    lang = analysis.lang_id(batch).to_pandas()
     assert (lang["pred_lang"] == "und").all()
