@@ -26,6 +26,7 @@ from cheque_ocr_project_ray.multimodal.stages import (
     ImageResizeStage,
     MediaEmbedStage,
     RoiCropPlanStage,
+    VariantBestOfStage,
 )
 
 
@@ -36,11 +37,10 @@ def _media_ds(sf_dir: str, columns=None):
 
 
 def _pool(ds, stage_cls, batch_size=DEFAULT_MEDIA_BATCH, **ctor):
-    import ray
-    n = max(2, int(ray.cluster_resources().get("CPU", 8)) // 3)
+    from cheque_ocr_project_ray.util import map_pool
     return ds.map_batches(stage_cls, fn_constructor_kwargs=ctor,
                           batch_format="pyarrow", batch_size=batch_size,
-                          concurrency=n, num_cpus=1)
+                          concurrency=map_pool(), num_cpus=1)
 
 
 def media_decode_stats(sf_dir: str):
@@ -48,14 +48,22 @@ def media_decode_stats(sf_dir: str):
     SQL-expressible columns (format / count / mean dims / bytes) so the
     DuckDB oracle can verify it; ``n_text_lines`` (needs the CHQ1
     decode) stays on the stage and is pytest-verified."""
-    decoded = _pool(_media_ds(sf_dir, ["media_ref", "data"]),
-                    ImageDecodeStage)
-    agg = decoded.groupby("format").aggregate(
-        Count(alias_name="n"),
-        Mean("width", alias_name="mean_width"),
-        Mean("height", alias_name="mean_height"),
-        Sum("nbytes", alias_name="total_bytes"),
-    )
+    from cheque_ocr_project_ray.util import tune_shuffle
+    # hash-shuffle groupby (context captured at BUILD time — the whole
+    # chain must be built inside the scope) with partitions capped to
+    # the KEY CARDINALITY (media formats: ~2).  More partitions than
+    # groups guarantees empty output partitions, and empty aggregate
+    # blocks are schemaless — the source of the executor's "different
+    # schema" warning.
+    with tune_shuffle(num_partitions=2) as np_:
+        decoded = _pool(_media_ds(sf_dir, ["media_ref", "data"]),
+                        ImageDecodeStage)
+        agg = decoded.groupby("format", num_partitions=np_).aggregate(
+            Count(alias_name="n"),
+            Mean("width", alias_name="mean_width"),
+            Mean("height", alias_name="mean_height"),
+            Sum("nbytes", alias_name="total_bytes"),
+        )
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
         from cheque_ocr_project_ray.util import round_half_up
@@ -128,8 +136,9 @@ def media_embed_neighbors(sf_dir: str, k: int = 5):
                 "cosine": pa.array(np.round(sims, 5), pa.float32()),
             })
 
+    from cheque_ocr_project_ray.util import map_pool
     scored = emb.map_batches(_Score, batch_format="pyarrow",
-                             concurrency=2, num_cpus=1)
+                             concurrency=(1, map_pool()), num_cpus=1)
     return scored.sort(["cosine", "media_ref"],
                        descending=[True, False]).limit(k)
 
@@ -145,6 +154,14 @@ def media_handwriting(sf_dir: str):
     return _pool(ds, HandwritingDetectStage)
 
 
+def media_bestof_variants(sf_dir: str):
+    """Best-of ROI×preprocessing-variant selection per image (M3,
+    issuer_processor_v2.py:286-330).  Rows-only: the stand-in modifier
+    is a seeded hash, not SQL-expressible."""
+    ds = _media_ds(sf_dir, ["media_ref", "data"])
+    return _pool(ds, VariantBestOfStage)
+
+
 def multimodal_queries() -> dict[str, Callable]:
     return {
         "media_decode_stats": media_decode_stats,
@@ -154,6 +171,7 @@ def multimodal_queries() -> dict[str, Callable]:
         "media_embed_neighbors": media_embed_neighbors,
         "media_roi_plan": media_roi_plan,
         "media_handwriting": media_handwriting,
+        "media_bestof_variants": media_bestof_variants,
     }
 
 

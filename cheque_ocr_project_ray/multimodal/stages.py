@@ -211,6 +211,66 @@ class RoiCropPlanStage:
         })
 
 
+class VariantBestOfStage:
+    """Best-of preprocessing-variant cascade (reference M3,
+    ``issuer_processor_v2.py:286-330``): 4 ROIs × 3 preprocessing
+    variants (gray / equalizeHist / adaptiveThreshold), OCR each, keep
+    the highest-confidence combination with a ``len >= 3`` validity
+    gate.  The pixel transforms need cv2 (stubbed per this module's
+    contract); the stand-in derives a deterministic per-(payload, roi,
+    variant) confidence modifier from the payload bytes, so the
+    SELECTION control flow — full scan, compare, keep-best, validity
+    gate — runs for real and is testable."""
+
+    # (y0, y1, x0, x1) fractions — issuer_processor_v2.py:289-295
+    ROIS = (
+        (0.30, 0.85, 0.30, 1.00),   # wider area
+        (0.40, 0.90, 0.35, 1.00),   # original
+        (0.35, 0.80, 0.25, 1.00),   # higher up
+        (0.45, 0.95, 0.40, 1.00),   # lower
+    )
+    VARIANTS = ("gray", "equalize_hist", "adaptive_threshold")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rois, variants, confs, evals = [], [], [], []
+        for payload in batch.column("data").to_pylist():
+            if payload.startswith(MAGIC):
+                lines, _w, _h = decode_image(payload)
+            else:
+                lines = []
+            base_conf = (sum(c for _, c in lines) / len(lines)) if lines \
+                else 0.0
+            best_conf, best_roi, best_variant = 0.0, "NONE", "NONE"
+            n_eval = 0
+            for i in range(len(self.ROIS)):
+                for variant in self.VARIANTS:
+                    n_eval += 1
+                    # deterministic variant-quality modifier in
+                    # [0.85, 1.0) — the stand-in for "this preprocessing
+                    # made OCR better/worse on these pixels"
+                    h = int.from_bytes(
+                        hashlib.blake2b(
+                            payload[:512] + f"|{i}|{variant}".encode(),
+                            digest_size=4).digest(), "big")
+                    conf = round(base_conf * (0.85 + 0.15 * h / 0x100000000),
+                                 4)
+                    if conf > best_conf and lines:
+                        best_conf = conf
+                        best_roi = f"ROI_{i + 1}"
+                        best_variant = variant
+            rois.append(best_roi)
+            variants.append(best_variant)
+            confs.append(best_conf)
+            evals.append(n_eval)
+        return pa.table({
+            "media_ref": batch.column("media_ref"),
+            "best_roi": pa.array(rois, pa.string()),
+            "best_variant": pa.array(variants, pa.string()),
+            "best_conf": pa.array(confs, pa.float64()),
+            "n_evaluated": pa.array(evals, pa.int32()),
+        })
+
+
 class HandwritingDetectStage:
     """Handwriting detector (reference M5, issuer_processor_v.py:71-113:
     Otsu binarize → contour aspect/extent/solidity scoring).  The

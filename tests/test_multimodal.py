@@ -13,6 +13,7 @@ from cheque_ocr_project_ray.multimodal.stages import (
     ImageDecodeStage,
     ImageResizeStage,
     MediaEmbedStage,
+    VariantBestOfStage,
 )
 
 
@@ -41,6 +42,23 @@ def test_image_decode_stage(media_table):
 def test_image_decode_strict_raises(media_table):
     with pytest.raises(NotImplementedError, match="cv2/PIL"):
         ImageDecodeStage(strict=True)(media_table)
+
+
+def test_variant_bestof_stage(media_table):
+    out = VariantBestOfStage()(media_table)
+    d = out.to_pydict()
+    # every decodable image scanned all 4 ROIs x 3 variants and picked one
+    assert d["n_evaluated"] == [12] * 7
+    assert all(r.startswith("ROI_") for r in d["best_roi"][:6])
+    assert all(v in VariantBestOfStage.VARIANTS for v in d["best_variant"][:6])
+    # modifier is in [0.85, 1.0): best_conf near but never above base mean
+    base = (0.9 + 0.8) / 2
+    assert all(0.85 * base <= c < base for c in d["best_conf"][:6])
+    # undecodable payload -> no candidate survives the validity gate
+    assert d["best_roi"][6] == "NONE" and d["best_conf"][6] == 0.0
+    # deterministic selection
+    again = VariantBestOfStage()(media_table).to_pydict()
+    assert again == d
 
 
 def test_image_resize_stage(media_table):
