@@ -418,6 +418,50 @@ GROUP BY user_id
 """
 
 
+# --- hopping (sliding) window aggregate ------------------------------
+@_hash_shuffled
+def events_hopping(sf_dir: str, np_: int = 0):
+    """60-min windows hopping every 30 min: each event lands in exactly
+    two windows (window ids = its 30-min hop index k and k-1).  The
+    window replication happens INSIDE ``map_batches`` (a 2x row fan-out
+    followed by the combiner), so the shuffle still moves per-window
+    partials, never duplicated events — the scale-safe shape for
+    sliding windows."""
+    ds = _pq(sf_dir, "events", ["ts", "value"])
+    hop_us = 1_800_000_000  # 30 min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        k = pc.divide(us, hop_us)
+        t = pa.concat_tables([
+            pa.table({"window_id": k, "value": batch["value"]}),
+            pa.table({"window_id": pc.subtract(k, pa.scalar(1, pa.int64())),
+                      "value": batch["value"]}),
+        ])
+        g = t.group_by("window_id").aggregate([
+            ("value", "count"), ("value", "sum")])
+        return g.rename_columns(["window_id", "n_events", "sum_value"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("window_id", num_partitions=np_).aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"))
+    return agg.map_batches(
+        lambda b: b.assign(sum_value=round_half_up(b["sum_value"], 4)),
+        batch_format="pandas")
+
+
+EVENTS_HOPPING_SQL = """
+WITH e AS (SELECT epoch_us(ts) // 1800000000 AS k, value FROM events),
+w AS (SELECT k AS window_id, value FROM e
+      UNION ALL
+      SELECT k - 1 AS window_id, value FROM e)
+SELECT window_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM w
+GROUP BY window_id
+"""
+
+
 # --- JSON property extraction (nested-data scalar op) ----------------
 @_hash_shuffled
 def events_props_stats(sf_dir: str, np_: int = 0):
@@ -454,6 +498,59 @@ SELECT event_type,
              / count(*), 4) AS mean_k
 FROM events
 GROUP BY event_type
+"""
+
+
+# --- as-of join (custom operator: Ray Data has no native ASOF) -------
+@_hash_shuffled
+def events_asof_view(sf_dir: str, np_: int = 0):
+    """For every 'click' event, the most recent 'view' event of the
+    same user at or before it — an as-of join expressed as
+    ``groupby(user).map_groups`` with a vectorized ``searchsorted``
+    merge per group.
+
+    Partitioning assumption (documented per the brief's custom-operator
+    rule): one user's events fit one group.  For hot keys at corpus
+    scale, salt by coarse time range and replicate each salt's last
+    view into the next salt bucket so boundary clicks still see their
+    predecessor."""
+    ds = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def asof(group: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        clicks = group[group["event_type"] == "click"].sort_values("ts")
+        views = group[group["event_type"] == "view"].sort_values("ts")
+        empty = pd.DataFrame({
+            "click_event_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "view_event_id": pd.Series([], dtype="int64"),
+            "lag_us": pd.Series([], dtype="int64")})
+        if clicks.empty or views.empty:
+            return empty
+        cts = clicks["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        vts = views["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        idx = np.searchsorted(vts, cts, side="right") - 1
+        keep = idx >= 0
+        if not keep.any():
+            return empty
+        return pd.DataFrame({
+            "click_event_id": clicks["event_id"].to_numpy()[keep],
+            "user_id": clicks["user_id"].to_numpy()[keep],
+            "view_event_id": views["event_id"].to_numpy()[idx[keep]],
+            "lag_us": cts[keep] - vts[idx[keep]],
+        })
+
+    return ds.groupby("user_id", num_partitions=np_).map_groups(
+        asof, batch_format="pandas")
+
+
+EVENTS_ASOF_SQL = """
+SELECT c.event_id AS click_event_id, c.user_id,
+       v.event_id AS view_event_id,
+       epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
 """
 
 
@@ -535,6 +632,8 @@ def relational_queries() -> dict[str, Callable]:
         "customers_without_orders": customers_without_orders,
         "distinct_returnflag_status": distinct_returnflag_status,
         "events_sessions": events_sessions,
+        "events_hopping": events_hopping,
+        "events_asof_view": events_asof_view,
         "events_props_stats": events_props_stats,
         "events_sample": events_sample,
         "orders_monthly": orders_monthly,
@@ -554,6 +653,8 @@ def relational_oracle_sql() -> dict[str, str]:
         "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
         "distinct_returnflag_status": DISTINCT_SQL,
         "events_sessions": EVENTS_SESSIONS_SQL,
+        "events_hopping": EVENTS_HOPPING_SQL,
+        "events_asof_view": EVENTS_ASOF_SQL,
         "events_props_stats": EVENTS_PROPS_SQL,
         "events_sample": EVENTS_SAMPLE_SQL,
         "orders_monthly": ORDERS_MONTHLY_SQL,
