@@ -501,6 +501,80 @@ GROUP BY event_type
 """
 
 
+# --- grouped distinct count (combiner-first, exact) ------------------
+@_hash_shuffled
+def events_user_count(sf_dir: str, np_: int = 0):
+    """Distinct users per event type, exact, without shuffling raw
+    events: per-batch distinct (type, user) pairs → global distinct →
+    count per type.  The shuffle moves deduplicated pairs only; at
+    extreme cardinality swap in an HLL sketch partial with the same
+    external shape."""
+    from ray.data.aggregate import Count
+    ds = _pq(sf_dir, "events", ["event_type", "user_id"])
+
+    def local_pairs(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = ds.map_batches(local_pairs, batch_format="pyarrow")
+    distinct = pairs.groupby(["event_type", "user_id"],
+                             num_partitions=np_).aggregate(
+        Count(alias_name="__n")).drop_columns(["__n"])
+
+    def count_users(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("event_type").aggregate([("user_id", "count")])
+        return g.rename_columns(["event_type", "n_users"])
+
+    agg = distinct.map_batches(count_users, batch_format="pyarrow") \
+        .groupby("event_type", num_partitions=min(np_, 4)).aggregate(
+            Sum("n_users", alias_name="n_users"))
+    return agg
+
+
+EVENTS_USER_COUNT_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+# --- top-k per group (windowed rank without a window shuffle) --------
+@_hash_shuffled
+def events_top_per_type(sf_dir: str, np_: int = 0, k: int = 3):
+    """Top-k events by value within each event type — the grouped
+    form of the top-k pattern: per-batch local top-k PER GROUP, then
+    one tiny global groupby re-rank.  Never a full sort."""
+    ds = _pq(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        # per-batch, per-group candidate cut: keep k best rows of each
+        # type present in the batch
+        df = batch.to_pandas()
+        df = df.sort_values(["value", "event_id"],
+                            ascending=[False, True])
+        return pa.Table.from_pandas(df.groupby("event_type").head(k),
+                                    preserve_index=False)
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def global_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["value", "event_id"],
+                              ascending=[False, True]).head(k)
+        return g[["event_type", "event_id", "value"]]
+
+    return cand.groupby("event_type", num_partitions=min(np_, 4)) \
+        .map_groups(global_topk, batch_format="pandas")
+
+
+EVENTS_TOP_PER_TYPE_SQL = """
+SELECT event_type, event_id, value
+FROM (SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events)
+WHERE rn <= 3
+"""
+
+
 # --- as-of join (custom operator: Ray Data has no native ASOF) -------
 @_hash_shuffled
 def events_asof_view(sf_dir: str, np_: int = 0):
@@ -634,6 +708,8 @@ def relational_queries() -> dict[str, Callable]:
         "events_sessions": events_sessions,
         "events_hopping": events_hopping,
         "events_asof_view": events_asof_view,
+        "events_user_count": events_user_count,
+        "events_top_per_type": events_top_per_type,
         "events_props_stats": events_props_stats,
         "events_sample": events_sample,
         "orders_monthly": orders_monthly,
@@ -655,6 +731,8 @@ def relational_oracle_sql() -> dict[str, str]:
         "events_sessions": EVENTS_SESSIONS_SQL,
         "events_hopping": EVENTS_HOPPING_SQL,
         "events_asof_view": EVENTS_ASOF_SQL,
+        "events_user_count": EVENTS_USER_COUNT_SQL,
+        "events_top_per_type": EVENTS_TOP_PER_TYPE_SQL,
         "events_props_stats": EVENTS_PROPS_SQL,
         "events_sample": EVENTS_SAMPLE_SQL,
         "orders_monthly": ORDERS_MONTHLY_SQL,
