@@ -68,3 +68,34 @@ def test_text_analysis_empty_doc_semantics():
     assert t["n_tokens"].tolist() == [1, 1]
     lang = analysis.lang_id(batch).to_pandas()
     assert (lang["pred_lang"] == "und").all()
+
+
+def test_skew_profile_bounded_and_accurate(tmp_path):
+    """skew_profile must (a) never scan more than the sample bound,
+    (b) detect big-doc existence exactly via row-group statistics,
+    (c) estimate the byte share accurately on a uniform layout."""
+    import pyarrow.parquet as pq
+    from cheque_ocr_project_ray.sources.io import skew_profile
+
+    d = tmp_path / "cheques"
+    d.mkdir()
+    # 20 files x 4 row groups x 25 rows; every 10th doc is "big"
+    idx = 0
+    for f in range(20):
+        sizes = []
+        for _ in range(100):
+            sizes.append(300_000 if idx % 10 == 0 else 10_000)
+            idx += 1
+        t = pa.table({"doc_id": [f"d{f}_{i}" for i in range(100)],
+                      "spans": [[{"kind": "text"}]] * 100,
+                      "media_bytes": pa.array(sizes, pa.int64())})
+        pq.write_table(t, d / f"part-{f:05d}.parquet", row_group_size=25)
+
+    share, n_big = skew_profile(d, 150_000, max_sample_groups=16)
+    true_share = (200 * 300_000) / (200 * 300_000 + 1800 * 10_000)
+    assert abs(share - true_share) < 0.1
+    assert abs(n_big - 200) <= 40  # extrapolated from the sample
+
+    # no docs above threshold -> statistics alone say so (0 sample work)
+    share0, n0 = skew_profile(d, 500_000)
+    assert share0 == 0.0 and n0 == 0
