@@ -501,6 +501,60 @@ GROUP BY event_type
 """
 
 
+# --- range join against a broadcast interval table -------------------
+# Irregular price bands — defined ONCE and rendered into both engines
+# so they cannot drift.
+PRICE_BANDS = (
+    ("micro", 0, 25_000),
+    ("small", 25_000, 75_000),
+    ("mid", 75_000, 150_000),
+    ("large", 150_000, 300_000),
+    ("jumbo", 300_000, 10_000_000_000),
+)
+
+
+@_hash_shuffled
+def orders_price_band(sf_dir: str, np_: int = 0):
+    """Range join: each order matched to the interval containing its
+    price.  The interval side is tiny → broadcast it as sorted
+    boundaries and resolve containment per batch with one vectorized
+    ``searchsorted`` (the scale shape for small-interval range joins;
+    a large interval side would instead shuffle both sides bucketed
+    by range overlap)."""
+    import numpy as np
+    ds = _pq(sf_dir, "orders", ["o_totalprice"])
+    los = np.array([lo for _, lo, _ in PRICE_BANDS], dtype=np.float64)
+    labels = np.array([b for b, _, _ in PRICE_BANDS], dtype=object)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("o_totalprice").to_numpy()
+        idx = np.searchsorted(los, v, side="right") - 1
+        t = pa.table({"band": pa.array(labels[idx], pa.string()),
+                      "o_totalprice": batch["o_totalprice"]})
+        g = t.group_by("band").aggregate([
+            ("o_totalprice", "count"), ("o_totalprice", "sum")])
+        return g.rename_columns(["band", "n_orders", "revenue"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("band", num_partitions=min(np_, 4)).aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue", alias_name="revenue"))
+    return agg.map_batches(
+        lambda b: b.assign(revenue=round_half_up(b["revenue"], 4)),
+        batch_format="pandas")
+
+
+_BANDS_VALUES = ",\n    ".join(
+    f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS)
+ORDERS_PRICE_BAND_SQL = f"""
+WITH bands(band, lo, hi) AS (VALUES
+    {_BANDS_VALUES})
+SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+"""
+
+
 # --- grouped distinct count (combiner-first, exact) ------------------
 @_hash_shuffled
 def events_user_count(sf_dir: str, np_: int = 0):
@@ -535,6 +589,44 @@ SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY event_type
 """
+
+
+# --- approximate distinct count (HLL sketch) -------------------------
+def events_user_count_approx(sf_dir: str):
+    """HLL approximate distinct users per event type — the sketch form
+    of ``events_user_count`` for extreme key cardinality: the shuffle
+    payload is one fixed 4 KiB register blob per (batch, group)
+    regardless of input size.  No SQL oracle (sketch estimate);
+    pytest checks it against the exact count within the HLL error
+    bound."""
+    from cheque_ocr_project_ray.sketch import (
+        hll_estimate, hll_merge, hll_partial)
+    ds = _pq(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        types, blobs = [], []
+        tbl = batch.group_by("event_type").aggregate([
+            ("user_id", "list")])
+        for et, users in zip(tbl.column("event_type").to_pylist(),
+                             tbl.column("user_id_list").to_pylist()):
+            types.append(et)
+            blobs.append(hll_partial(np.asarray(users)).tobytes())
+        return pa.table({"event_type": pa.array(types, pa.string()),
+                         "regs": pa.array(blobs, pa.binary())})
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        regs = hll_merge(list(group["regs"]))
+        return pd.DataFrame({
+            "event_type": [group["event_type"].iloc[0]],
+            "n_users_approx": np.int64(hll_estimate(regs)),
+        })
+
+    import numpy as np
+    with tune_shuffle(num_partitions=4) as np_:
+        return ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby("event_type", num_partitions=np_) \
+            .map_groups(merge, batch_format="pandas")
 
 
 # --- top-k per group (windowed rank without a window shuffle) --------
@@ -709,7 +801,9 @@ def relational_queries() -> dict[str, Callable]:
         "events_hopping": events_hopping,
         "events_asof_view": events_asof_view,
         "events_user_count": events_user_count,
+        "events_user_count_approx": events_user_count_approx,
         "events_top_per_type": events_top_per_type,
+        "orders_price_band": orders_price_band,
         "events_props_stats": events_props_stats,
         "events_sample": events_sample,
         "orders_monthly": orders_monthly,
@@ -733,6 +827,7 @@ def relational_oracle_sql() -> dict[str, str]:
         "events_asof_view": EVENTS_ASOF_SQL,
         "events_user_count": EVENTS_USER_COUNT_SQL,
         "events_top_per_type": EVENTS_TOP_PER_TYPE_SQL,
+        "orders_price_band": ORDERS_PRICE_BAND_SQL,
         "events_props_stats": EVENTS_PROPS_SQL,
         "events_sample": EVENTS_SAMPLE_SQL,
         "orders_monthly": ORDERS_MONTHLY_SQL,
