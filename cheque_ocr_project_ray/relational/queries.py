@@ -418,6 +418,57 @@ GROUP BY user_id
 """
 
 
+# --- sessionization, hot-key-safe two-phase form ---------------------
+@_hash_shuffled
+def events_sessions_salted(sf_dir: str, np_: int = 0,
+                           gap_minutes: int = 30):
+    """Same result as ``events_sessions`` (same oracle), built the way
+    a 100 TB corpus needs it: phase 1 sessionizes per (user, DAY) —
+    the salt bounds any single group even for a user with billions of
+    events — emitting per-day partials (count, sessions, first/last
+    timestamp); phase 2 merges the tiny per-day partial rows per user,
+    subtracting one session wherever the gap across a day boundary is
+    within the session gap.  A session spanning K days loses K-1
+    boundary splits — exactly the single-pass count."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+    gap_us = gap_minutes * 60_000_000
+    day_us = 86_400_000_000
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"user_id": batch["user_id"],
+                         "us": us,
+                         "day": pc.divide(us, day_us)})
+
+    def day_partial(group: pd.DataFrame) -> pd.DataFrame:
+        us = group["us"].sort_values()
+        n_sessions = 1 + int((us.diff() > gap_us).sum())
+        return pd.DataFrame({
+            "user_id": [group["user_id"].iloc[0]],
+            "day": [group["day"].iloc[0]],
+            "n_events": [len(group)],
+            "n_sessions": [n_sessions],
+            "first_us": [int(us.iloc[0])],
+            "last_us": [int(us.iloc[-1])],
+        })
+
+    def merge_user(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("day")
+        cross = (g["first_us"].shift(-1) - g["last_us"]) <= gap_us
+        merges = int(cross.iloc[:-1].sum()) if len(g) > 1 else 0
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_events": [int(g["n_events"].sum())],
+            "n_sessions": [int(g["n_sessions"].sum()) - merges],
+        })
+
+    day = ds.map_batches(add_day, batch_format="pyarrow") \
+        .groupby(["user_id", "day"], num_partitions=np_) \
+        .map_groups(day_partial, batch_format="pandas")
+    return day.groupby("user_id", num_partitions=min(np_, 8)) \
+        .map_groups(merge_user, batch_format="pandas")
+
+
 # --- hopping (sliding) window aggregate ------------------------------
 @_hash_shuffled
 def events_hopping(sf_dir: str, np_: int = 0):
@@ -798,6 +849,7 @@ def relational_queries() -> dict[str, Callable]:
         "customers_without_orders": customers_without_orders,
         "distinct_returnflag_status": distinct_returnflag_status,
         "events_sessions": events_sessions,
+        "events_sessions_salted": events_sessions_salted,
         "events_hopping": events_hopping,
         "events_asof_view": events_asof_view,
         "events_user_count": events_user_count,
@@ -823,6 +875,7 @@ def relational_oracle_sql() -> dict[str, str]:
         "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
         "distinct_returnflag_status": DISTINCT_SQL,
         "events_sessions": EVENTS_SESSIONS_SQL,
+        "events_sessions_salted": EVENTS_SESSIONS_SQL,
         "events_hopping": EVENTS_HOPPING_SQL,
         "events_asof_view": EVENTS_ASOF_SQL,
         "events_user_count": EVENTS_USER_COUNT_SQL,
