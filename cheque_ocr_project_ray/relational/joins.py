@@ -17,7 +17,6 @@ prescribes:
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 
 import ray

@@ -10,9 +10,6 @@ from __future__ import annotations
 from collections.abc import Callable
 from pathlib import Path
 
-import pandas as pd
-import pyarrow.parquet as pq
-
 import ray.data
 
 from cheque_ocr_project_ray.text import analysis, dedup
