@@ -152,8 +152,9 @@ def ingest_directory(image_dir: str | Path, out_dir: str | Path,
                 "media_bytes": pa.array(media_bytes, pa.int64()),
             })
 
+    from cheque_ocr_project_ray.util import map_pool
     files.map_batches(_BuildRows, batch_format="pyarrow", batch_size=256,
-                      concurrency=(1, 4)) \
+                      concurrency=(1, map_pool())) \
         .write_parquet(str(cheques_dir))
 
     # metadata side table — ALWAYS written (empty schema-stable table
