@@ -70,7 +70,7 @@ def q1_pricing_summary(sf_dir: str, np_: int = 0):
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     agg = partials.groupby(["l_returnflag", "l_linestatus"],
-                           num_partitions=min(np_, 4)).aggregate(
+                           num_partitions=1).aggregate(
         Sum("sum_qty", alias_name="sum_qty"),
         Sum("sum_base_price", alias_name="sum_base_price"),
         Sum("sum_disc_price", alias_name="sum_disc_price"),
@@ -121,7 +121,7 @@ def revenue_by_nation(sf_dir: str, np_: int = 0):
         return g.rename_columns(["n_name", "revenue", "n_orders"])
 
     agg = joined.map_batches(partial, batch_format="pyarrow") \
-        .groupby("n_name", num_partitions=min(np_, 8)).aggregate(
+        .groupby("n_name", num_partitions=1).aggregate(
             Sum("revenue", alias_name="revenue"),
             Sum("n_orders", alias_name="n_orders"))
     return agg.map_batches(
@@ -213,7 +213,7 @@ def order_priority_revenue(sf_dir: str, np_: int = 0):
         return g.rename_columns(["o_orderpriority", "revenue", "n_lineitems"])
 
     agg = joined.map_batches(partial, batch_format="pyarrow") \
-        .groupby("o_orderpriority", num_partitions=min(np_, 4)).aggregate(
+        .groupby("o_orderpriority", num_partitions=1).aggregate(
             Sum("revenue", alias_name="revenue"),
             Sum("n_lineitems", alias_name="n_lineitems"))
     return agg.map_batches(
@@ -274,7 +274,7 @@ def events_type_stats(sf_dir: str, np_: int = 0):
         return g.rename_columns(["event_type", "n", "sum_value"])
 
     agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("event_type", num_partitions=min(np_, 4)).aggregate(
+        .groupby("event_type", num_partitions=1).aggregate(
             Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
@@ -304,7 +304,7 @@ def events_value_median(sf_dir: str, np_: int = 0):
     map_batches partials."""
     from ray.data.aggregate import Quantile
     ds = _pq(sf_dir, "events", ["event_type", "value"])
-    agg = ds.groupby("event_type", num_partitions=min(np_, 4)).aggregate(
+    agg = ds.groupby("event_type", num_partitions=1).aggregate(
         Quantile("value", q=0.5, alias_name="median_value"))
     return agg.map_batches(
         lambda b: b.assign(median_value=round_half_up(b["median_value"], 4)),
@@ -530,7 +530,7 @@ def events_props_stats(sf_dir: str, np_: int = 0):
         return g.rename_columns(["event_type", "sum_k", "n"])
 
     agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("event_type", num_partitions=min(np_, 4)).aggregate(
+        .groupby("event_type", num_partitions=1).aggregate(
             Sum("sum_k", alias_name="sum_k"), Sum("n", alias_name="n"))
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
@@ -587,7 +587,7 @@ def orders_price_band(sf_dir: str, np_: int = 0):
         return g.rename_columns(["band", "n_orders", "revenue"])
 
     agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("band", num_partitions=min(np_, 4)).aggregate(
+        .groupby("band", num_partitions=1).aggregate(
             Sum("n_orders", alias_name="n_orders"),
             Sum("revenue", alias_name="revenue"))
     return agg.map_batches(
@@ -630,7 +630,7 @@ def events_user_count(sf_dir: str, np_: int = 0):
         return g.rename_columns(["event_type", "n_users"])
 
     agg = distinct.map_batches(count_users, batch_format="pyarrow") \
-        .groupby("event_type", num_partitions=min(np_, 4)).aggregate(
+        .groupby("event_type", num_partitions=1).aggregate(
             Sum("n_users", alias_name="n_users"))
     return agg
 
@@ -704,7 +704,7 @@ def events_top_per_type(sf_dir: str, np_: int = 0, k: int = 3):
                               ascending=[False, True]).head(k)
         return g[["event_type", "event_id", "value"]]
 
-    return cand.groupby("event_type", num_partitions=min(np_, 4)) \
+    return cand.groupby("event_type", num_partitions=1) \
         .map_groups(global_topk, batch_format="pandas")
 
 
