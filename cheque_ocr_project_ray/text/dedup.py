@@ -78,12 +78,16 @@ def minhash_signature(sh: Iterable[int], a: np.ndarray, b: np.ndarray) -> np.nda
     return vals.min(axis=1).astype(np.int64)
 
 
-def band_hashes(sig: np.ndarray, bands: int) -> list[str]:
+def band_hashes(sig: np.ndarray, bands: int) -> list[int]:
+    """Signed-int64 band bucket ids (int keys shuffle/sort cheaper
+    than the equivalent hex strings — same bucket identity)."""
     r = len(sig) // bands
     out = []
     for i in range(bands):
         chunk = sig[i * r:(i + 1) * r].tobytes()
-        out.append(hashlib.blake2b(chunk, digest_size=8).hexdigest())
+        v = int.from_bytes(hashlib.blake2b(chunk, digest_size=8).digest(),
+                           "big")
+        out.append(v - (1 << 64) if v >= (1 << 63) else v)
     return out
 
 
@@ -167,7 +171,7 @@ def minhash_bands(docs_ds, num_perm: int = 64, bands: int = 16,
                 rows_doc.append(doc_id)
         return pa.table({
             "band_id": pa.array(rows_band, pa.int64()),
-            "band_hash": pa.array(rows_hash, pa.string()),
+            "band_hash": pa.array(rows_hash, pa.int64()),
             "doc_id": pa.array(rows_doc),
         })
 
