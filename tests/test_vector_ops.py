@@ -89,6 +89,27 @@ def test_neardup_pairs_on_planted_dups():
     assert not any(3 in p for p in found)
 
 
+def test_exact_neardup_pairs_vs_numpy(emb_table, matrix):
+    """Exact near-dup must equal the full numpy pairwise computation."""
+    ids = np.asarray(emb_table["vec_id"].to_pylist(), dtype=np.int64)
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    thr = 0.4
+    got = ann.exact_neardup_pairs(ds, ids, matrix,
+                                  threshold=thr).to_pandas()
+
+    mn = matrix / np.linalg.norm(matrix, axis=1)[:, None]
+    cos = mn @ mn.T
+    ii, jj = np.where(np.triu(cos, 1) >= thr)
+    expected = sorted(zip(np.minimum(ids[ii], ids[jj]),
+                          np.maximum(ids[ii], ids[jj])))
+    assert list(zip(got["vec_a"], got["vec_b"])) == expected
+    by_pair = {(min(ids[a], ids[b]), max(ids[a], ids[b])):
+               np.round(cos[a, b], 5) for a, b in zip(ii, jj)}
+    for a, b, c in zip(got["vec_a"], got["vec_b"], got["cos"]):
+        assert c == pytest.approx(by_pair[(a, b)], abs=1e-5)
+
+
 def test_neardup_empty_on_random(matrix):
     ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
