@@ -281,9 +281,10 @@ def is_valid_business_name_v3(text: str | None) -> bool:
 
 
 def is_valid_drawer_v3(text: str | None) -> bool:
-    """V3's is_valid_drawer wrapper (IssuerBatchProcessorV3.py:244-257)."""
-    if not text or len(text) < 3:
-        return False
-    if is_junk_text(text):
-        return False
+    """V3's is_valid_drawer wrapper (IssuerBatchProcessorV3.py:244-257).
+
+    The reference wrapper re-runs the length and junk checks that
+    is_valid_business_name_v3 already performs first, so delegating is
+    behavior-identical and skips a redundant junk-regex pass in the
+    hot extraction path."""
     return is_valid_business_name_v3(text)

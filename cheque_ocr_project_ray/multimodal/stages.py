@@ -240,24 +240,31 @@ class VariantBestOfStage:
                 lines = []
             base_conf = (sum(c for _, c in lines) / len(lines)) if lines \
                 else 0.0
+            # the reference's candidate validity gate is len(text) >= 3
+            # (issuer_processor_v2.py:324); line-level proxy here since
+            # the stand-in keeps whole-line OCR output
+            has_valid_text = any(len(t.strip()) >= 3 for t, _ in lines)
             best_conf, best_roi, best_variant = 0.0, "NONE", "NONE"
             n_eval = 0
-            for i in range(len(self.ROIS)):
-                for variant in self.VARIANTS:
-                    n_eval += 1
-                    # deterministic variant-quality modifier in
-                    # [0.85, 1.0) — the stand-in for "this preprocessing
-                    # made OCR better/worse on these pixels"
-                    h = int.from_bytes(
-                        hashlib.blake2b(
-                            payload[:512] + f"|{i}|{variant}".encode(),
-                            digest_size=4).digest(), "big")
-                    conf = round(base_conf * (0.85 + 0.15 * h / 0x100000000),
-                                 4)
-                    if conf > best_conf and lines:
-                        best_conf = conf
-                        best_roi = f"ROI_{i + 1}"
-                        best_variant = variant
+            if lines:  # an undecodable payload yields no OCR result to
+                # evaluate — n_evaluated stays 0, not 12
+                for i in range(len(self.ROIS)):
+                    for variant in self.VARIANTS:
+                        n_eval += 1
+                        # deterministic variant-quality modifier in
+                        # [0.85, 1.0) — the stand-in for "this
+                        # preprocessing made OCR better/worse on these
+                        # pixels"
+                        h = int.from_bytes(
+                            hashlib.blake2b(
+                                payload[:512] + f"|{i}|{variant}".encode(),
+                                digest_size=4).digest(), "big")
+                        conf = round(
+                            base_conf * (0.85 + 0.15 * h / 0x100000000), 4)
+                        if conf > best_conf and has_valid_text:
+                            best_conf = conf
+                            best_roi = f"ROI_{i + 1}"
+                            best_variant = variant
             rois.append(best_roi)
             variants.append(best_variant)
             confs.append(best_conf)

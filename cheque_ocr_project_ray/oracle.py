@@ -167,13 +167,16 @@ def extract_fields(
     confidence = sum(confidences) / len(confidences) if confidences else 0.0
 
     if status_ladder == "v3":
-        # V3 variant: the frozen v1 candidate machinery feeds the V3
-        # SEVEN-STATE ladder (selection semantics stay v1 per SURVEY
-        # §7.5; only the labeling — and keeping the ungated candidate
-        # text on REVIEW rows — is V3's, IssuerBatchProcessorV3.py:
-        # 446-473).  The pre-gate candidate is needed because REVIEW vs
-        # NO-TEXT is decided on the candidate resolve_issuer would have
-        # discarded.
+        # V3 variant: the shared scored-candidate machinery
+        # (extract_issuer) feeds the V3 SEVEN-STATE ladder.  v1's
+        # raw-text FOR fast path is deliberately NOT applied here —
+        # V3's own process_image has no such fast path
+        # (IssuerBatchProcessorV3.py:357-393 handles FOR only via
+        # remove_prefixes inside candidate extraction), so candidate
+        # selection under this ladder mirrors V3, not v1.  The
+        # pre-gate candidate is needed because REVIEW vs NO-TEXT is
+        # decided on the candidate resolve_issuer would have
+        # discarded (ladder: :446-473).
         cand_text, cand_conf, _score, cand_src = extract_issuer(
             ocr_lines, drawer_dict, cache=match_cache)
         issuer, status = v3_status(cand_text, cand_conf,

@@ -577,11 +577,17 @@ def orders_price_band(sf_dir: str, np_: int = 0):
     los = np.array([lo for _, lo, _ in PRICE_BANDS], dtype=np.float64)
     labels = np.array([b for b, _, _ in PRICE_BANDS], dtype=object)
 
+    hi_last = float(PRICE_BANDS[-1][2])
+
     def partial(batch: pa.Table) -> pa.Table:
         v = batch.column("o_totalprice").to_numpy()
         idx = np.searchsorted(los, v, side="right") - 1
-        t = pa.table({"band": pa.array(labels[idx], pa.string()),
-                      "o_totalprice": batch["o_totalprice"]})
+        # SQL join semantics: values outside every interval match no
+        # band row and are DROPPED (idx -1 would otherwise wrap to the
+        # last label; above the top bound must not be kept either)
+        keep = (idx >= 0) & (v < hi_last)
+        t = pa.table({"band": pa.array(labels[idx[keep]], pa.string()),
+                      "o_totalprice": pa.array(v[keep])})
         g = t.group_by("band").aggregate([
             ("o_totalprice", "count"), ("o_totalprice", "sum")])
         return g.rename_columns(["band", "n_orders", "revenue"])
@@ -735,8 +741,12 @@ def events_asof_view(sf_dir: str, np_: int = 0):
 
     def asof(group: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
-        clicks = group[group["event_type"] == "click"].sort_values("ts")
-        views = group[group["event_type"] == "view"].sort_values("ts")
+        # secondary key makes the equal-timestamp pick deterministic
+        # (highest event_id wins) regardless of input row order
+        clicks = group[group["event_type"] == "click"].sort_values(
+            ["ts", "event_id"])
+        views = group[group["event_type"] == "view"].sort_values(
+            ["ts", "event_id"])
         empty = pd.DataFrame({
             "click_event_id": pd.Series([], dtype="int64"),
             "user_id": pd.Series([], dtype="int64"),

@@ -48,15 +48,17 @@ def skew_profile(cheques_dir: str | Path, threshold: int,
 
     - Existence of oversized docs is exact and metadata-only: any
       row-group max statistic above the threshold.
-    - The byte SHARE is estimated from an evenly-strided sample of at
-      most ``max_sample_groups`` row groups (the driver reads
+    - The byte SHARE is estimated from a STRATIFIED sample of at most
+      ``max_sample_groups`` row groups: half the budget goes to groups
+      whose max statistic exceeds the threshold (so big docs can't hide
+      from an even stride — they'd silently disable skew routing), half
+      to the rest, each evenly strided.  The driver reads
       ``<= max_sample_groups × row_group_size`` int64 values no matter
-      the corpus size).  Pool sizing needs a ratio, not a census.
+      the corpus size.  Pool sizing needs a ratio, not a census.
     """
     files = sorted(Path(cheques_dir).glob("*.parquet"))
-    groups: list[tuple[Path, int]] = []
-    total_rows = 0
-    any_big = False
+    big_groups: list[tuple[Path, int]] = []    # stats say "may hold big"
+    small_groups: list[tuple[Path, int]] = []
     for f in files:
         md = pq.ParquetFile(f).metadata
         # leaf-column index, NOT the arrow schema index: nested columns
@@ -68,27 +70,49 @@ def skew_profile(cheques_dir: str | Path, threshold: int,
             rg = md.row_group(i)
             st = rg.column(ci).statistics
             if st is None or not st.has_min_max or st.max > threshold:
-                any_big = True  # unknown stats count as "maybe big"
-            groups.append((f, i))
-            total_rows += rg.num_rows
-    if not groups or not any_big:
+                big_groups.append((f, i))
+            else:
+                small_groups.append((f, i))
+    if not big_groups:  # exact: no row group can hold an oversized doc
         return 0.0, 0
 
-    stride = max(1, len(groups) // max_sample_groups)
-    sampled = groups[::stride][:max_sample_groups]
+    def strided(seq, budget):
+        if budget <= 0 or not seq:
+            return []
+        stride = max(1, len(seq) // budget)
+        return seq[::stride][:budget]
+
     import pyarrow.compute as pc
-    big_bytes = total_bytes = n_big = n_rows = 0
-    for f, i in sampled:
-        col = pq.ParquetFile(f).read_row_group(
-            i, columns=["media_bytes"]).column("media_bytes")
-        total_bytes += pc.sum(col).as_py() or 0
-        big_mask = pc.greater(col, threshold)
-        big_bytes += pc.sum(pc.if_else(big_mask, col, 0)).as_py() or 0
-        n_big += pc.sum(pc.cast(big_mask, "int64")).as_py() or 0
-        n_rows += len(col)
-    if not total_bytes or not n_rows:
+
+    def scan(sample):
+        big_b = tot_b = nb = 0
+        for f, i in sample:
+            col = pq.ParquetFile(f).read_row_group(
+                i, columns=["media_bytes"]).column("media_bytes")
+            tot_b += pc.sum(col).as_py() or 0
+            big_mask = pc.greater(col, threshold)
+            big_b += pc.sum(pc.if_else(big_mask, col, 0)).as_py() or 0
+            nb += pc.sum(pc.cast(big_mask, "int64")).as_py() or 0
+        return big_b, tot_b, nb
+
+    half = max(1, max_sample_groups // 2)
+    big_sample = strided(big_groups, half)
+    small_sample = strided(small_groups, max_sample_groups - half)
+
+    # per-stratum extrapolation: every oversized row lives in the
+    # big-stats stratum by construction (small-stratum max <= threshold)
+    fs_big = len(big_sample) / len(big_groups)
+    fs_small = (len(small_sample) / len(small_groups)) if small_groups \
+        else 1.0
+    big_b, big_tot, n_big = scan(big_sample)
+    _, small_tot, _ = scan(small_sample)
+    big_bytes_est = big_b / fs_big
+    total_bytes_est = big_tot / fs_big + \
+        (small_tot / fs_small if fs_small else 0.0)
+    if not total_bytes_est:
         return 0.0, 0
-    return big_bytes / total_bytes, round(n_big / n_rows * total_rows)
+    n_big_est = round(n_big / fs_big)
+    return big_bytes_est / total_bytes_est, n_big_est
 
 
 def read_meta(fixture_dir: str | Path, columns: list[str] | None = None):

@@ -245,20 +245,25 @@ def _verify_jaccard(blob_a, blob_b, threshold: float) -> np.ndarray:
 def minhash_dedup_pairs(docs_ds, num_perm: int = 64,
                         bands: int = 16, shingle_k: int = 3,
                         threshold: float = 0.6, bucket_cap: int = 256,
-                        broadcast_limit: int = 2_000_000):
+                        broadcast_limit: int = 2_000_000,
+                        broadcast_doc_limit: int = 250_000):
     """Full MinHash LSH dedup: candidates + exact-Jaccard verification.
 
     Verification strategy is ADAPTIVE, picked by measured candidate
-    count (the same small-side/large-side rule the join module uses):
+    size (the same small-side/large-side rule the join module uses):
 
-    - ``n_candidates <= broadcast_limit``: candidate blobs are
-      filtered DISTRIBUTED (``is_in`` over the streamed blob pass) and
-      only the bounded candidate set reaches the driver for one
-      vectorized verify — two orders of magnitude cheaper than a
-      shuffle join at this size (measured: 5 s vs 16 s at sf0.1).
-    - above the limit (high-dup-rate corpus at scale): a fully
-      distributed double hash-join against the per-doc shingle blobs —
-      nothing driver-side, unbounded pair counts.
+    - ``<= broadcast_limit`` pairs AND ``<= broadcast_doc_limit``
+      distinct candidate docs: candidate blobs are filtered
+      DISTRIBUTED (``is_in`` over the streamed blob pass) and only the
+      bounded candidate set reaches the driver for one vectorized
+      verify — two orders of magnitude cheaper than a shuffle join at
+      this size (measured: 5 s vs 16 s at sf0.1).  The DOC limit is
+      what actually bounds driver memory (the collected payload is
+      one shingle blob per distinct doc, ~250k × 8 KB ≈ 2 GB worst
+      case); the pair limit alone would not.
+    - otherwise (high-dup-rate corpus at scale): a fully distributed
+      double hash-join against the per-doc shingle blobs — nothing
+      driver-side, unbounded pair counts.
 
     Either way the corpus is read twice (bands pass + blob pass), both
     streaming; the round-1 unbounded ``to_pandas()`` + per-id point
@@ -280,6 +285,7 @@ def minhash_dedup_pairs(docs_ds, num_perm: int = 64,
     if n_cand == 0:
         return ray.data.from_arrow(empty)
 
+    ids = None
     if n_cand <= broadcast_limit:
         # Ray's aggregate can emit schemaless EMPTY blocks — drop them
         # before concat (they'd fail the schema check)
@@ -288,6 +294,10 @@ def minhash_dedup_pairs(docs_ds, num_perm: int = 64,
         ids = pa.compute.unique(pa.concat_arrays([
             cand_t.column("doc_a").combine_chunks(),
             cand_t.column("doc_b").combine_chunks()]))
+        if len(ids) > broadcast_doc_limit:
+            ids = None  # too many blobs for the driver → join path
+
+    if ids is not None:
 
         def only_candidates(batch: pa.Table) -> pa.Table:
             return batch.filter(

@@ -47,8 +47,9 @@ def test_image_decode_strict_raises(media_table):
 def test_variant_bestof_stage(media_table):
     out = VariantBestOfStage()(media_table)
     d = out.to_pydict()
-    # every decodable image scanned all 4 ROIs x 3 variants and picked one
-    assert d["n_evaluated"] == [12] * 7
+    # every decodable image scanned all 4 ROIs x 3 variants and picked
+    # one; the undecodable payload had nothing to evaluate
+    assert d["n_evaluated"] == [12] * 6 + [0]
     assert all(r.startswith("ROI_") for r in d["best_roi"][:6])
     assert all(v in VariantBestOfStage.VARIANTS for v in d["best_variant"][:6])
     # modifier is in [0.85, 1.0): best_conf near but never above base mean

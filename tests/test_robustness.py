@@ -99,3 +99,29 @@ def test_skew_profile_bounded_and_accurate(tmp_path):
     # no docs above threshold -> statistics alone say so (0 sample work)
     share0, n0 = skew_profile(d, 500_000)
     assert share0 == 0.0 and n0 == 0
+
+
+def test_skew_profile_finds_clustered_big_docs(tmp_path):
+    """Big docs concentrated in the LAST row groups must still be
+    found: the stratified sample targets groups whose max statistic
+    exceeds the threshold, so an even stride can't skip them (the
+    uniform-stride version silently returned 0.0 here and disabled
+    skew routing)."""
+    import pyarrow.parquet as pq
+    from cheque_ocr_project_ray.sources.io import skew_profile
+
+    d = tmp_path / "cheques"
+    d.mkdir()
+    # 129 files x 1 group; only the last file holds big docs — a
+    # stride of 2 over 129 groups samples even indices and misses it
+    for f in range(129):
+        big = f == 128
+        sizes = [300_000] * 25 if big else [10_000] * 25
+        t = pa.table({"doc_id": [f"d{f}_{i}" for i in range(25)],
+                      "media_bytes": pa.array(sizes, pa.int64())})
+        pq.write_table(t, d / f"part-{f:05d}.parquet", row_group_size=25)
+
+    share, n_big = skew_profile(d, 150_000, max_sample_groups=64)
+    assert n_big == 25                      # the big stratum is exact here
+    true_share = (25 * 300_000) / (25 * 300_000 + 128 * 25 * 10_000)
+    assert abs(share - true_share) < 0.05

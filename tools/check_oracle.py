@@ -103,9 +103,20 @@ def main():
         print(f"unknown query names (no oracle entry): {sorted(unknown)}")
         sys.exit(2)
 
-    passed = failed = 0
+    # oracles for generated-corpus queries embed the sf0.01 fixture
+    # path (the driver's correctness tier); at any other sf_dir the
+    # SQL would read the wrong corpus — skip instead of false-failing
+    from cheque_ocr_project_ray.fixtures.gen import ensure_fixture
+    fixture_here = str(ensure_fixture(sf_dir))
+
+    passed = failed = skipped = 0
     for name, sql in oracles.items():
         if only and name not in only:
+            continue
+        if "cheque_ray_fixtures" in sql and fixture_here not in sql:
+            print(f"  [{name}] SKIP (fixture-path oracle is pinned to "
+                  f"the driver's sf0.01 tier)")
+            skipped += 1
             continue
         ray_df = to_pandas(qs[name](sf_dir))
         sql_df = con.sql(sql).df()
@@ -114,7 +125,7 @@ def main():
             passed += 1
         else:
             failed += 1
-    print(f"passed={passed} failed={failed}")
+    print(f"passed={passed} failed={failed} skipped={skipped}")
     ray.shutdown()
     sys.exit(1 if failed else 0)
 
