@@ -33,7 +33,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from cheque_ocr_project_ray.util import shuffle_partitions, tune_shuffle
+from cheque_ocr_project_ray.util import shuffle_partitions
 
 
 def partition_of(doc_id: str, num_partitions: int) -> int:
@@ -63,14 +63,19 @@ def _clean_incomplete(out_dir: Path) -> None:
 
 
 def write_checkpointed(results_ds, out_dir: str | Path,
-                       num_partitions: int = 32):
+                       num_partitions: int = 32, resume: bool = False):
     """Write results as committed per-partition parquet + lineage.
 
     Returns the list of lineage records (one per partition written in
-    this run).  Safe to re-run after a crash: committed partitions are
-    left alone by ``resume_filter`` upstream, partial files are swept
-    here.
+    this run).  ``resume=True`` declares that the caller filtered the
+    input with ``resume_filter`` — committed partitions are kept.
+    ``resume=False`` (a fresh run) WIPES previously committed
+    partitions first: otherwise a re-run with different inputs into
+    the same dir would mix stale rows into ``read_checkpoint`` /
+    ``rollup_metrics``.  Partial files from crashes are swept either
+    way.
     """
+    import shutil
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     # layout manifest: resuming with a different partition count would
@@ -83,6 +88,9 @@ def write_checkpointed(results_ds, out_dir: str | Path,
                 f"checkpoint at {out_dir} was written with "
                 f"num_partitions={prev}; resuming with {num_partitions} "
                 "would mis-route documents")
+        if not resume:
+            for d in out_dir.glob("part=*"):
+                shutil.rmtree(d)
     else:
         layout_path.write_text(json.dumps({"num_partitions": num_partitions}))
     _clean_incomplete(out_dir)
@@ -130,17 +138,35 @@ def write_checkpointed(results_ds, out_dir: str | Path,
 
     # layout partition count (= resume granularity) is independent of
     # the shuffle's aggregator-actor count, which is capped to the
-    # cluster so aggregators don't fight the pipeline's fixed pools
-    with tune_shuffle(min(num_partitions, shuffle_partitions())) as np_:
-        lineage_ds = results_ds \
-            .map_batches(assign, batch_format="pandas") \
-            .groupby("part", num_partitions=np_) \
-            .map_groups(write_group, batch_format="pandas")
-        return lineage_ds.to_pandas().to_dict("records")
+    # cluster so aggregators don't fight the pipeline's fixed pools.
+    # NOTE on strategy: Ray copies the DataContext at ROOT-dataset
+    # creation (verified on 2.49.2), so the shuffle strategy here is
+    # whatever context ``results_ds`` was BUILT under — wrapping only
+    # this groupby in tune_shuffle would be inert.  Callers who want
+    # the hash shuffle must build the whole pipeline inside the scope.
+    np_ = min(num_partitions, shuffle_partitions())
+    lineage_ds = results_ds \
+        .map_batches(assign, batch_format="pandas") \
+        .groupby("part", num_partitions=np_) \
+        .map_groups(write_group, batch_format="pandas")
+    return lineage_ds.to_pandas().to_dict("records")
 
 
 def resume_filter(ds, out_dir: str | Path, num_partitions: int = 32):
-    """Drop docs whose output partition already committed."""
+    """Drop docs whose output partition already committed.
+
+    The partition count is validated against the checkpoint's
+    _LAYOUT.json: filtering with a different count than the one the
+    data was routed with would silently drop never-processed docs.
+    """
+    layout_path = Path(out_dir) / "_LAYOUT.json"
+    if layout_path.exists():
+        actual = json.loads(layout_path.read_text())["num_partitions"]
+        if actual != num_partitions:
+            raise ValueError(
+                f"checkpoint at {out_dir} uses num_partitions={actual}; "
+                f"resume_filter called with {num_partitions} would "
+                "mis-route documents")
     done = completed_partitions(out_dir)
     if not done:
         return ds

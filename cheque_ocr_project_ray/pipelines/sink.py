@@ -37,7 +37,14 @@ _OPR_NO = "AS601"
 
 def join_results_to_meta(results_ds, fixture_dir: str | Path,
                          broadcast: bool = True):
-    """Results ⨝ metadata on doc_id (J1) with DBF-width projection."""
+    """Results ⨝ metadata on doc_id (J1) with DBF-width projection.
+
+    LEFT join: a processed doc with no metadata row (possible for
+    ingest corpora whose manifest was partial before the meta table
+    covered every file; defensive for any external corpus) still gets
+    its output row — the reference appends an output-DBF row for every
+    processed cheque — with the metadata columns empty.
+    """
     meta_cols = ["doc_id", "account", "sort_code", "amount", "image_file",
                  "drawer_nm", "file_mark"]
     results = results_ds.select_columns([
@@ -47,20 +54,33 @@ def join_results_to_meta(results_ds, fixture_dir: str | Path,
         import pyarrow.parquet as pq
         small = pq.read_table(str(Path(fixture_dir) / "meta"),
                               columns=meta_cols)
-        joined = broadcast_join(results, small, on="doc_id")
+        joined = broadcast_join(results, small, on="doc_id",
+                                how="left outer")
     else:
         joined = hash_join(results, read_meta(fixture_dir, meta_cols),
-                           on="doc_id")
+                           on="doc_id", how="left")
 
     def project(batch: pa.Table) -> pa.Table:
         def trunc(col, width):
             return pc.utf8_slice_codeunits(col, 0, width)
 
+        # unmatched meta side → typed blanks (DBF empty-field semantics)
+        def meta_s(name):
+            return pc.fill_null(batch[name], "")
+
+        image_file = pc.fill_null(
+            batch["image_file"],
+            # reconstruct a name from the doc id when meta is absent
+            pc.binary_join_element_wise(
+                batch["doc_id"],
+                pa.array(["tiff"] * batch.num_rows), "."))
+        file_mark = pc.fill_null(batch["file_mark"], False)
+
         accepted = pc.equal(batch["status"], "AUTO-UPDATED")
         out = pa.table({
             "doc_id": batch["doc_id"],
             # K3 output-DBF row
-            "image_file": trunc(batch["image_file"], _TRUNC["image_file"]),
+            "image_file": trunc(image_file, _TRUNC["image_file"]),
             "drawer_nm_out": trunc(batch["issuer"],
                                    _TRUNC["drawer_nm_out"]),
             "confidence": pc.round(batch["issuer_conf"], ndigits=4),
@@ -70,15 +90,15 @@ def join_results_to_meta(results_ds, fixture_dir: str | Path,
             # the DBF write on validation)
             "drawer_nm_new": pc.if_else(
                 accepted, trunc(batch["issuer"], _TRUNC["drawer_nm_new"]),
-                trunc(batch["drawer_nm"], _TRUNC["drawer_nm_new"])),
+                trunc(meta_s("drawer_nm"), _TRUNC["drawer_nm_new"])),
             "opr_no": pc.if_else(accepted, _OPR_NO, ""),
             # reference clears FILE_MARK on update; untouched rows keep
             # their master-table value (issuer_processor_v.py:571)
             "file_mark": pc.if_else(
-                accepted, pa.scalar(False), batch["file_mark"]),
+                accepted, pa.scalar(False), file_mark),
             # carried metadata for the bank CSV export (custom_csv.py)
-            "account": batch["account"],
-            "sort_code": batch["sort_code"],
+            "account": meta_s("account"),
+            "sort_code": meta_s("sort_code"),
             "amount": batch["amount"],
             "cheque_type": batch["cheque_type"],
         })
@@ -95,19 +115,33 @@ def write_final(results_ds, fixture_dir: str | Path, out_dir: str | Path,
     final.write_parquet(str(out_dir))
 
 
-def to_canonical_csv(results_ds):
+def to_canonical_csv(results_ds, fixture_dir: str | Path | None = None):
     """Project results to the reference's canonical 12-column CSV
     schema (``csv_handler.py:23-36``) for human export via
     ``.write_csv``.  PROCESS_DATE/TIME are data-derived placeholders
     (the reference stamps wall-clock; a distributed run stamps at the
-    driver if needed) so output stays deterministic."""
+    driver if needed) so output stays deterministic.
+
+    Pass ``fixture_dir`` to report the REAL on-disk filename from the
+    metadata table (ingest accepts jpg/png too); without it the name
+    is reconstructed as ``<doc_id>.tiff``."""
+
+    if fixture_dir is not None:
+        import pyarrow.parquet as pq
+        names = pq.read_table(str(Path(fixture_dir) / "meta"),
+                              columns=["doc_id", "image_file"])
+        results_ds = broadcast_join(results_ds, names, on="doc_id",
+                                    how="left outer")
 
     def project(batch: pa.Table) -> pa.Table:
         empty = pa.nulls(batch.num_rows, pa.string())
+        fallback = pc.binary_join_element_wise(
+            batch["doc_id"], pa.array(["tiff"] * batch.num_rows), ".")
+        filename = pc.fill_null(batch["image_file"], fallback) \
+            if "image_file" in batch.column_names else fallback
         return pa.table({
             "IMAGE_ID": batch["doc_id"],
-            "FILENAME": pc.binary_join_element_wise(
-                batch["doc_id"], pa.array(["tiff"] * batch.num_rows), "."),
+            "FILENAME": filename,
             "CHEQUE_TYPE": batch["cheque_type"],
             "IS_GOVERNMENT": batch["is_government"],
             "GOVT_CATEGORY": batch["govt_category"],
@@ -123,6 +157,7 @@ def to_canonical_csv(results_ds):
     return results_ds.map_batches(project, batch_format="pyarrow")
 
 
-def write_csv_export(results_ds, out_dir: str | Path) -> None:
+def write_csv_export(results_ds, out_dir: str | Path,
+                     fixture_dir: str | Path | None = None) -> None:
     """Human-inspection CSV export (K1) — parquet remains the real sink."""
-    to_canonical_csv(results_ds).write_csv(str(out_dir))
+    to_canonical_csv(results_ds, fixture_dir).write_csv(str(out_dir))

@@ -66,7 +66,8 @@ def main() -> None:
     # --resume drops committed partitions at the READ (no OCR redone)
     results = build_cheque_pipeline(
         fixture, cfg, resume_from=args.out if args.resume else None)
-    write_checkpointed(results, args.out, args.num_partitions)
+    write_checkpointed(results, args.out, args.num_partitions,
+                       resume=args.resume)
     roll = rollup_metrics(args.out)
     roll["wall_s"] = round(time.perf_counter() - t0, 2)
 

@@ -111,18 +111,31 @@ def ingest_directory(image_dir: str | Path, out_dir: str | Path,
     manifest_ref = ray.put(manifest)
 
     listed = _list_images(image_dir)
+    # stems shared by several files (scan1.tif + scan1.png) would give
+    # colliding doc_ids and one file's results would be dropped by the
+    # replay-dedup guard — disambiguate those docs by full filename
+    from collections import Counter
+    stem_counts = Counter(Path(r["path"]).stem for r in listed)
+    dup_stems = frozenset(s for s, n in stem_counts.items() if n > 1)
+    dup_ref = ray.put(dup_stems)
+
+    def doc_id_for(path: str, dups) -> str:
+        p = Path(path)
+        return p.name if p.stem in dups else p.stem
+
     files = ray.data.from_items(listed)
 
     class _BuildRows:
         def __init__(self):
             self.manifest = ray.get(manifest_ref)
+            self.dups = ray.get(dup_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             doc_ids, spans_col, media_bytes = [], [], []
             for path, size in zip(batch.column("path").to_pylist(),
                                   batch.column("size").to_pylist()):
-                doc_id = Path(path).stem
-                row = self.manifest.get(doc_id.lower())
+                doc_id = doc_id_for(path, self.dups)
+                row = self.manifest.get(Path(path).stem.lower())
                 spans = []
                 offset = 0
                 if row:
@@ -157,27 +170,27 @@ def ingest_directory(image_dir: str | Path, out_dir: str | Path,
                       concurrency=(1, map_pool())) \
         .write_parquet(str(cheques_dir))
 
-    # metadata side table — ALWAYS written (empty schema-stable table
-    # without a manifest) so drawer-dict builds and join-back work.
-    # doc_id uses the ON-DISK stem (same as the cheques table), not the
-    # manifest's casing, so the J1 join key always matches.
+    # metadata side table — ALWAYS written, with a row for EVERY listed
+    # file (the reference's master DBF has one row per cheque; a row
+    # absent from the manifest still gets its on-disk filename so the
+    # final join-back never silently drops a processed doc).  doc_id
+    # uses the ON-DISK naming (same rule as the cheques table) so the
+    # J1 join key always matches.
     (out_dir / "meta").mkdir(parents=True, exist_ok=True)
     meta_rows = []
     for rec in listed:
-        stem = Path(rec["path"]).stem
-        row = manifest.get(stem.lower())
-        if not row:
-            continue
+        p = Path(rec["path"])
+        row = manifest.get(p.stem.lower()) or {}
         meta_rows.append({
-            "doc_id": stem,
-            "date": row["date"],
-            "account": row["account"],
-            "inst_no": row["inst_no"],
-            "sort_code": row["sort_code"],
-            "amount": float(row["amount"] or 0),
-            "image_file": row["filename"],
+            "doc_id": doc_id_for(rec["path"], dup_stems),
+            "date": row.get("date", ""),
+            "account": row.get("account", ""),
+            "inst_no": row.get("inst_no", ""),
+            "sort_code": row.get("sort_code", ""),
+            "amount": float(row.get("amount") or 0),
+            "image_file": row.get("filename", p.name),
             "file_mark": False,
-            "file_name": row["filename"],
+            "file_name": row.get("filename", p.name),
             "drawer_nm": "",
             "cat_code": 0,
             "opr_no": "",

@@ -34,7 +34,7 @@ def read_cheques(fixture_dir: str | Path, limit: int | None = None,
     """
     ds = ray.data.read_parquet(str(Path(fixture_dir) / "cheques"),
                                filter=filter_expr)
-    if limit:
+    if limit is not None:  # limit=0 means "zero docs", not "no limit"
         ds = ds.limit(limit)
     return ds
 

@@ -71,7 +71,7 @@ def test_resume_after_partial_failure(fixture_dir, tmp_path):
     remaining = build_cheque_pipeline(fixture_dir, CFG, resume_from=out)
     n_remaining = remaining.count()
     assert 0 < n_remaining < N_DOCS
-    write_checkpointed(remaining, out, num_partitions=N_PARTS)
+    write_checkpointed(remaining, out, num_partitions=N_PARTS, resume=True)
 
     assert completed_partitions(out) == done_before | set(victims)
     resumed = read_checkpoint(out).to_pandas().sort_values(
@@ -89,6 +89,32 @@ def test_layout_mismatch_rejected(fixture_dir, tmp_path):
     with pytest.raises(ValueError, match="num_partitions"):
         write_checkpointed(build_cheque_pipeline(fixture_dir, CFG),
                            out, num_partitions=N_PARTS * 2)
+
+
+def test_fresh_rerun_wipes_stale_partitions(fixture_dir, tmp_path):
+    """A non-resume re-run into the same out dir must not mix stale
+    committed partitions from the previous run into the result."""
+    out = tmp_path / "ckpt"
+    write_checkpointed(build_cheque_pipeline(fixture_dir, CFG),
+                       out, num_partitions=N_PARTS)
+    assert rollup_metrics(out)["rows"] == N_DOCS
+    # second FRESH run over a 10-doc subset: old partitions must go
+    limited = DEFAULT_CONFIG.with_overrides(ocr_work_passes=2, limit=10,
+                                            num_partitions=N_PARTS)
+    write_checkpointed(build_cheque_pipeline(fixture_dir, limited),
+                       out, num_partitions=N_PARTS)
+    assert rollup_metrics(out)["rows"] == 10
+    assert len(read_checkpoint(out).to_pandas()) == 10
+
+
+def test_resume_filter_rejects_layout_mismatch(fixture_dir, tmp_path):
+    from cheque_ocr_project_ray.pipelines.checkpoint import resume_filter
+    out = tmp_path / "ckpt"
+    write_checkpointed(build_cheque_pipeline(fixture_dir, CFG),
+                       out, num_partitions=N_PARTS)
+    ds = build_cheque_pipeline(fixture_dir, CFG)
+    with pytest.raises(ValueError, match="num_partitions"):
+        resume_filter(ds, out, num_partitions=N_PARTS * 2)
 
 
 def test_read_checkpoint_empty(tmp_path):

@@ -84,3 +84,38 @@ def test_ingest_rerun_is_idempotent(raw_dir, tmp_path):
     import pyarrow.parquet as pq
     n = pq.read_table(out / "cheques").num_rows
     assert n == 7  # re-run replaced fragments, no duplicates
+
+
+def test_ingest_meta_covers_all_files_and_stem_collisions(tmp_path):
+    """Every listed file gets a meta row (no processed doc can be
+    dropped by the final join-back), and same-stem files keep distinct
+    doc_ids instead of colliding into one."""
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    (d / "scan1.tif").write_bytes(
+        encode_image([("FOR A ONE", 0.9)], 1200, 600, 4000, seed=1))
+    (d / "scan1.png").write_bytes(
+        encode_image([("FOR B TWO", 0.9)], 1200, 600, 4000, seed=2))
+    (d / "scan2.jpg").write_bytes(
+        encode_image([("FOR C THREE", 0.9)], 1200, 600, 4000, seed=3))
+    out = ingest_directory(d, tmp_path / "corpus")
+
+    cheq = pq.read_table(out / "cheques")
+    ids = sorted(cheq["doc_id"].to_pylist())
+    assert ids == ["scan1.png", "scan1.tif", "scan2"]  # collision → full name
+    meta = pq.read_table(out / "meta")
+    assert sorted(meta["doc_id"].to_pylist()) == ids  # one row per FILE
+    by_id = dict(zip(meta["doc_id"].to_pylist(),
+                     meta["image_file"].to_pylist()))
+    assert by_id["scan2"] == "scan2.jpg"  # real on-disk name, not .tiff
+
+    # the pipeline + final join keep all three docs
+    from cheque_ocr_project_ray.pipelines.sink import join_results_to_meta
+    cfg = DEFAULT_CONFIG.with_overrides(ocr_work_passes=2)
+    final = join_results_to_meta(
+        build_cheque_pipeline(out, cfg), out).to_pandas()
+    assert sorted(final["doc_id"]) == ids
+    assert set(final["image_file"]) == {"scan1.tif", "scan1.png",
+                                        "scan2.jpg"}
