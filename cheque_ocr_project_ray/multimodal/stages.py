@@ -51,7 +51,9 @@ class ImageDecodeStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         fmts, ws, hs, n_lines, means, stds = [], [], [], [], [], []
-        for payload in batch.column("data").to_pylist():
+        payloads = batch.column("data").to_pylist()  # materialize ONCE —
+        # payloads dominate batch memory (see module header)
+        for payload in payloads:
             if payload.startswith(MAGIC):
                 lines, w, h = decode_image(payload)
                 fmts.append("chq1")
@@ -83,9 +85,7 @@ class ImageDecodeStage:
             "n_text_lines": pa.array(n_lines, pa.int32()),
             "pixel_mean": pa.array(means, pa.float32()),
             "pixel_std": pa.array(stds, pa.float32()),
-            "nbytes": pa.array([len(p) for p in
-                                batch.column("data").to_pylist()],
-                               pa.int64()),
+            "nbytes": pa.array([len(p) for p in payloads], pa.int64()),
         })
 
 

@@ -57,7 +57,11 @@ class OcrStage:
                 continue
             try:
                 lines, w, h = decode_image(payload)
-            except ValueError:
+            except Exception:
+                # ANY malformed payload (bad magic → ValueError, but a
+                # truncated header raises struct.error and a wrong JSON
+                # shape KeyError/TypeError) must poison only its rows —
+                # the per-row ERROR contract, never the task
                 failed.add(ref)
                 decoded[ref] = []
                 continue

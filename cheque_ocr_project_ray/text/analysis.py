@@ -66,13 +66,17 @@ def token_stats(batch: pa.Table) -> pa.Table:
     })
 
 
-def quality_counts(batch: pa.Table) -> pa.Table:
-    n = len(batch)
+def _prep(batch: pa.Table):
+    """Shared tokenization state: (toks, flat, parent) — computed ONCE
+    and reused by every per-token signal in a combined stage."""
     toks = _token_lists(batch.column("text")).combine_chunks()
-    n_tokens = pc.list_value_length(toks).cast(pa.int64()).to_numpy()
     flat = pc.list_flatten(toks)
     parent = pc.list_parent_indices(toks).to_numpy()
+    return toks, flat, parent
 
+
+def _quality_arrays(toks, flat, parent, n):
+    n_tokens = pc.list_value_length(toks).cast(pa.int64()).to_numpy()
     stop_hits = _marker_hits(flat, parent, n, STOPWORDS)
     # distinct tokens per row: dictionary-encode the flat tokens, then
     # count unique (parent, code) pairs — vectorized, no per-row sets
@@ -83,23 +87,10 @@ def quality_counts(batch: pa.Table) -> pa.Table:
     n_codes = int(codes.max()) + 1 if len(codes) else 1
     pair_keys = np.unique(parent.astype(np.int64) * n_codes + codes)
     distinct = np.bincount(pair_keys // n_codes, minlength=n)
-
-    return pa.table({
-        "doc_id": batch.column("doc_id"),
-        "n_tokens": pa.array(n_tokens, pa.int64()),
-        "stop_hits": pa.array(stop_hits, pa.int64()),
-        "distinct_tokens": pa.array(distinct, pa.int64()),
-        "stop_ratio": pa.array(round_half_up(stop_hits / n_tokens, 4)),
-        "ttr": pa.array(round_half_up(distinct / n_tokens, 4)),
-    })
+    return n_tokens, stop_hits, distinct
 
 
-def lang_id(batch: pa.Table) -> pa.Table:
-    n = len(batch)
-    toks = _token_lists(batch.column("text")).combine_chunks()
-    flat = pc.list_flatten(toks)
-    parent = pc.list_parent_indices(toks).to_numpy()
-
+def _lang_array(flat, parent, n) -> np.ndarray:
     hits = {lang: _marker_hits(flat, parent, n, markers)
             for lang, markers in LANG_MARKERS.items()}
     en, es, fr = hits["en"], hits["es"], hits["fr"]
@@ -112,18 +103,57 @@ def lang_id(batch: pa.Table) -> pa.Table:
     pred[any_hit & en_best] = "en"
     pred[any_hit & es_best] = "es"
     pred[any_hit & fr_best] = "fr"
+    return pred
 
+
+def quality_counts(batch: pa.Table) -> pa.Table:
+    n = len(batch)
+    toks, flat, parent = _prep(batch)
+    n_tokens, stop_hits, distinct = _quality_arrays(toks, flat, parent, n)
     return pa.table({
         "doc_id": batch.column("doc_id"),
-        "pred_lang": pa.array(pred, pa.string()),
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+        "stop_hits": pa.array(stop_hits, pa.int64()),
+        "distinct_tokens": pa.array(distinct, pa.int64()),
+        "stop_ratio": pa.array(round_half_up(stop_hits / n_tokens, 4)),
+        "ttr": pa.array(round_half_up(distinct / n_tokens, 4)),
     })
+
+
+def lang_id(batch: pa.Table) -> pa.Table:
+    _, flat, parent = _prep(batch)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "pred_lang": pa.array(_lang_array(flat, parent, len(batch)),
+                              pa.string()),
+    })
+
+
+def lang_quality(batch: pa.Table) -> pa.Table:
+    """pred_lang + quality signals from ONE tokenization pass — the
+    combined form composite pipelines (corpus_curation) use so the
+    regex-split kernel doesn't run twice per batch."""
+    n = len(batch)
+    toks, flat, parent = _prep(batch)
+    n_tokens, stop_hits, distinct = _quality_arrays(toks, flat, parent, n)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "pred_lang": pa.array(_lang_array(flat, parent, n), pa.string()),
+        "stop_ratio": pa.array(round_half_up(stop_hits / n_tokens, 4)),
+        "ttr": pa.array(round_half_up(distinct / n_tokens, 4)),
+    })
+
+
+def text_md5(texts) -> list[str]:
+    """One md5-hex per text — the SINGLE implementation behind
+    fingerprinting, exact dedup, and curation (all must agree with the
+    SQL ``md5()`` oracles)."""
+    return [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
 
 
 def fingerprint(batch: pa.Table) -> pa.Table:
     return pa.table({
         "doc_id": batch.column("doc_id"),
-        "fp": pa.array(
-            [hashlib.md5(t.encode("utf-8")).hexdigest()
-             for t in batch.column("text").to_pylist()],
-            pa.string()),
+        "fp": pa.array(text_md5(batch.column("text").to_pylist()),
+                       pa.string()),
     })

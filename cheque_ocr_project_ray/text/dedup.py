@@ -121,11 +121,12 @@ def exact_dedup(docs_ds):
     """
     import pyarrow as pa
 
+    from cheque_ocr_project_ray.text.analysis import text_md5
+
     def hash_batch(batch: pa.Table) -> pa.Table:
         return pa.table({
             "text_hash": pa.array(
-                [hashlib.md5(t.encode("utf-8")).hexdigest()
-                 for t in batch.column("text").to_pylist()], pa.string()),
+                text_md5(batch.column("text").to_pylist()), pa.string()),
             "doc_id": batch.column("doc_id"),
         })
 
@@ -230,7 +231,7 @@ def shingle_blobs(docs_ds, shingle_k: int = 3):
     return docs_ds.map_batches(fn, batch_format="pyarrow")
 
 
-def _verify_jaccard(blob_a, blob_b, threshold: float) -> np.ndarray:
+def _verify_jaccard(blob_a, blob_b) -> np.ndarray:
     """Exact Jaccard per pair from serialized shingle blobs."""
     jac = np.empty(len(blob_a), dtype=np.float64)
     for i, (ba, bb) in enumerate(zip(blob_a, blob_b)):
@@ -311,7 +312,7 @@ def minhash_dedup_pairs(docs_ds, num_perm: int = 64,
         a = cand_t.column("doc_a").to_pylist()
         b = cand_t.column("doc_b").to_pylist()
         jac = _verify_jaccard([blob_by_id[x] for x in a],
-                              [blob_by_id[x] for x in b], threshold)
+                              [blob_by_id[x] for x in b])
         keep = jac >= threshold
         out = pa.table({
             "doc_a": pa.array(np.asarray(a)[keep]),
@@ -334,8 +335,7 @@ def minhash_dedup_pairs(docs_ds, num_perm: int = 64,
                   on="doc_b")
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        jac = _verify_jaccard(list(batch["blob_a"]), list(batch["blob_b"]),
-                              threshold)
+        jac = _verify_jaccard(list(batch["blob_a"]), list(batch["blob_b"]))
         out = pd.DataFrame({"doc_a": batch["doc_a"],
                             "doc_b": batch["doc_b"],
                             "jaccard": jac})
@@ -409,14 +409,29 @@ def simhash_near_pairs(docs_ds, max_hamming: int = 3,
                 out_a.append(ids[i])
                 out_b.append(ids[i + 1 + j])
                 out_h.append(int(ham[j]))
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b,
-                             "hamming": out_h})
+        # typed even when no pair survives — an untyped empty frame
+        # (float64/objectless) makes the whole aggregate schemaless on
+        # a clean corpus and out['doc_a'] raises KeyError downstream
+        return pd.DataFrame({
+            "doc_a": pd.Series(out_a, dtype=g["doc_id"].dtype),
+            "doc_b": pd.Series(out_b, dtype=g["doc_id"].dtype),
+            "hamming": pd.Series(out_h, dtype="int64")})
 
     cand = banded.groupby(["band_id", "band_val"]).map_groups(
         pairs, batch_format="pandas")
     # a pair can match in several bands — keep one row per pair
-    return cand.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming"))
+    out = cand.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming")).materialize()
+    # Ray DROPS empty blocks, so an all-empty result (clean corpus)
+    # comes back schemaless; give it the contract schema instead
+    if out.count() == 0:
+        import pyarrow as pa
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64())}))
+    return out
 
 
 def ngram_jaccard_pairs(docs_ds, shingle_k: int = 2,

@@ -138,20 +138,18 @@ def corpus_curation(sf_dir: str):
     from ray.data.aggregate import Min
 
     def signals(batch):
-        import hashlib
         import pyarrow as pa
         import pyarrow.compute as pc
-        lang = analysis.lang_id(batch).column("pred_lang")
-        q = analysis.quality_counts(batch)
+        sig = analysis.lang_quality(batch)  # ONE tokenization pass
         keep = pc.and_(
-            pc.and_(pc.equal(lang, "en"),
-                    pc.greater_equal(q.column("stop_ratio"), 0.05)),
-            pc.greater_equal(q.column("ttr"), 0.3))
+            pc.and_(pc.equal(sig.column("pred_lang"), "en"),
+                    pc.greater_equal(sig.column("stop_ratio"), 0.05)),
+            pc.greater_equal(sig.column("ttr"), 0.3))
         kept = batch.filter(keep)
         return pa.table({
             "text_hash": pa.array(
-                [hashlib.md5(t.encode("utf-8")).hexdigest()
-                 for t in kept.column("text").to_pylist()], pa.string()),
+                analysis.text_md5(kept.column("text").to_pylist()),
+                pa.string()),
             "doc_id": kept.column("doc_id"),
         })
 

@@ -108,6 +108,23 @@ def test_degenerate_bucket_star_pairs():
     assert (sim["hamming"] == 0).all()
 
 
+def test_simhash_clean_corpus_keeps_schema():
+    """A corpus with band collisions but NO pair within the hamming
+    bound must still yield a typed (doc_a, doc_b, hamming) result —
+    the untyped-empty-frame version produced a schemaless 0-column
+    dataset and out['doc_a'] raised KeyError."""
+    rows = [{"doc_id": i,
+             "text": " ".join(f"w{i}x{j}" for j in range(30))}
+            for i in range(800)]  # 800 distinct docs → band collisions
+    out = dedup.simhash_near_pairs(docs_ds(rows), max_hamming=3)
+    # Dataset-level schema must be typed even when empty (to_pandas()
+    # of an empty Dataset drops columns — a Ray quirk, so assert on
+    # the schema, which is what downstream unions/joins consume)
+    assert set(out.schema().names) == {"doc_a", "doc_b", "hamming"}
+    pdf = out.to_pandas()
+    assert len(pdf) == 0 or (pdf["hamming"] <= 3).all()
+
+
 def test_quality_and_token_stats():
     import pyarrow as pa
     batch = pa.table({
