@@ -71,9 +71,11 @@ def _cheque_queries() -> dict[str, Callable[[str], Any]]:
     def cheque_run_summary(sf_dir: str):
         import pandas as pd
         from cheque_ocr_project_ray.pipelines.metrics import run_summary
+        from cheque_ocr_project_ray.util import round_half_up
         summary = run_summary(build_cheque_pipeline(ensure_fixture(sf_dir)))
         for k in ("mean_confidence", "min_confidence", "max_confidence"):
-            summary[k] = round(summary[k], 4)
+            # DuckDB round() semantics, not python banker's rounding
+            summary[k] = float(round_half_up(summary[k], 4))
         return pd.DataFrame([summary])
 
     def cheque_status_histogram_v3(sf_dir: str):
@@ -107,6 +109,29 @@ def _cheque_queries() -> dict[str, Callable[[str], Any]]:
 
         return ds.map_batches(fix, batch_format="pyarrow")
 
+    def cheque_spans_json(sf_dir: str):
+        """The north-rule per-row invariant as a driver-checkable
+        surface: the full output span sequence (kind, text, media_ref,
+        order) per doc, canonically serialized.  The oracle side is
+        the sequentially-materialized row-at-a-time oracle
+        (fixtures/expected.py), so a green row = span-sequence
+        equality verified by the driver, not just pytest."""
+        import pyarrow as pa
+        from cheque_ocr_project_ray.fixtures.expected import spans_to_json
+
+        ds = build_cheque_pipeline(ensure_fixture(sf_dir))
+
+        def serialize(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "spans_json": pa.array(
+                    [spans_to_json(s)
+                     for s in batch.column("spans_out").to_pylist()],
+                    pa.string()),
+            })
+
+        return ds.map_batches(serialize, batch_format="pyarrow")
+
     def cheque_filename_fields(sf_dir: str):
         from cheque_ocr_project_ray.functions.filename_fields import (
             filename_fields_batch)
@@ -118,6 +143,7 @@ def _cheque_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cheque_extract": cheque_extract,
         "cheque_spans": cheque_spans,
+        "cheque_spans_json": cheque_spans_json,
         "cheque_status_histogram": cheque_status_histogram,
         "cheque_status_histogram_v3": cheque_status_histogram_v3,
         "cheque_spelling_fix": cheque_spelling_fix,
@@ -142,18 +168,110 @@ FROM read_parquet('<META>')
 
 
 def _cheque_oracle_sql() -> dict[str, str]:
-    """Oracles for the cheque-family queries that ARE SQL-expressible.
+    """Oracles for the cheque family.
+
+    Two kinds, stated plainly so the verification layers aren't
+    conflated:
+
+    * ``cheque_filename_fields`` is pure SQL over the RAW fixture
+      (regexp_extract — fully independent re-derivation).
+    * Every other entry is SQL over ``expected/expected.parquet``: the
+      row-at-a-time oracle (``oracle.py``) executed SEQUENTIALLY, with
+      no Ray, by ``fixtures/expected.py``.  The extraction cascade is
+      not SQL-expressible, so the driver's check becomes: distributed
+      Ray composition == sequential oracle, row-for-row — the same
+      invariant the pytest span suite asserts, but now independently
+      executed and hashed by the driver.  Aggregate/join queries
+      (histogram, run summary, final join, rollup) re-derive their
+      aggregation/join logic in REAL SQL from that per-row base, so
+      the Ray-side groupbys/joins are still cross-checked against
+      DuckDB's.
 
     The driver's correctness pass runs at sf=0.01; the fixture has no
-    pre-registered view, so the SQL reads the generated parquet by
-    absolute path (``ensure_fixture`` here makes it exist regardless of
+    pre-registered view, so the SQL reads generated parquet by
+    absolute path (``ensure_expected`` makes it exist regardless of
     Ray-vs-SQL execution order; generation is cached/idempotent).
     """
+    from cheque_ocr_project_ray.fixtures.expected import ensure_expected
     from cheque_ocr_project_ray.fixtures.gen import ensure_fixture
 
-    meta = f"{ensure_fixture('sf0.01')}/meta/meta.parquet"
+    fixture = ensure_fixture("sf0.01")
+    meta = f"{fixture}/meta/meta.parquet"
+    exp = f"{ensure_expected('sf0.01')}/expected.parquet"
     return {
         "cheque_filename_fields": _FILENAME_FIELDS_SQL.replace("<META>", meta),
+        "cheque_extract": f"""
+SELECT doc_id, cheque_type, is_government, govt_category, payee_raw,
+       payee, issuer, issuer_conf, confidence, status, micr, amount,
+       "date", media_bytes
+FROM read_parquet('{exp}')
+""",
+        "cheque_spans_json": f"""
+SELECT doc_id, spans_json FROM read_parquet('{exp}')
+""",
+        "cheque_status_histogram": f"""
+SELECT status, count(*) AS "count()"
+FROM read_parquet('{exp}') GROUP BY status
+""",
+        "cheque_status_histogram_v3": f"""
+SELECT status_v3 AS status, count(*) AS "count()"
+FROM read_parquet('{exp}') GROUP BY status_v3
+""",
+        "cheque_spelling_fix": f"""
+SELECT doc_id, issuer, issuer_fixed, issuer_conf
+FROM read_parquet('{exp}')
+""",
+        "cheque_run_summary": f"""
+SELECT count(*) AS processed,
+       CAST(sum(CAST(is_government AS BIGINT)) AS BIGINT) AS government,
+       round(avg(confidence), 4) AS mean_confidence,
+       round(min(confidence), 4) AS min_confidence,
+       round(max(confidence), 4) AS max_confidence,
+       CAST(sum(media_bytes) AS BIGINT) AS total_media_bytes
+FROM read_parquet('{exp}')
+""",
+        # The projection re-implements sink.join_results_to_meta's
+        # DBF-width semantics in SQL (widths issuer_processor_v.py:
+        # 186-190, truncation :562, constants :569-571).
+        "cheque_final_join": f"""
+SELECT e.doc_id,
+       substr(m.image_file, 1, 50) AS image_file,
+       substr(e.issuer, 1, 100) AS drawer_nm_out,
+       round(e.issuer_conf, 4) AS confidence,
+       substr(e.status, 1, 20) AS status,
+       CASE WHEN e.status = 'AUTO-UPDATED' THEN substr(e.issuer, 1, 50)
+            ELSE substr(coalesce(m.drawer_nm, ''), 1, 50)
+       END AS drawer_nm_new,
+       CASE WHEN e.status = 'AUTO-UPDATED' THEN 'AS601' ELSE '' END
+           AS opr_no,
+       CASE WHEN e.status = 'AUTO-UPDATED' THEN FALSE
+            ELSE coalesce(m.file_mark, FALSE) END AS file_mark,
+       coalesce(m.account, '') AS account,
+       coalesce(m.sort_code, '') AS sort_code,
+       m.amount AS amount,
+       e.cheque_type AS cheque_type
+FROM read_parquet('{exp}') e
+LEFT JOIN read_parquet('{meta}') m USING (doc_id)
+""",
+        # partitions=16 / duplicates_dropped=0 are part of the checked
+        # contract: the query writes 16 partitions and the corpus has
+        # unique doc_ids, so all 16 must commit and the checkpointed
+        # write must not drop or duplicate rows.  status_counts string
+        # mirrors json.dumps(..., sort_keys=True).
+        "cheque_checkpoint_rollup": f"""
+WITH sc AS (
+  SELECT status, count(*) AS n
+  FROM read_parquet('{exp}') GROUP BY status
+)
+SELECT CAST(16 AS BIGINT) AS partitions,
+       (SELECT count(*) FROM read_parquet('{exp}')) AS "rows",
+       CAST(0 AS BIGINT) AS duplicates_dropped,
+       (SELECT CAST(sum(media_bytes) AS BIGINT)
+        FROM read_parquet('{exp}')) AS media_bytes,
+       '{{' || string_agg('"' || status || '": ' || n, ', '
+                          ORDER BY status) || '}}' AS status_counts
+FROM sc
+""",
     }
 
 
