@@ -47,8 +47,12 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _stable64(token: str) -> int:
+    """Stable 64-bit word hash = md5 bytes 8..16 little-endian —
+    bit-for-bit DuckDB's ``md5_number_lower``, so the SimHash
+    signature is re-derivable in pure SQL by the driver's oracle
+    (``text/queries.py`` builds the 64 per-bit majority aggregates)."""
     return int.from_bytes(
-        hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "big")
+        hashlib.md5(token.encode("utf-8")).digest()[8:16], "little")
 
 
 def shingles(text: str, k: int = 3) -> set[int]:
@@ -240,7 +244,8 @@ def _verify_jaccard(blob_a, blob_b) -> np.ndarray:
         inter = np.intersect1d(sa, sb, assume_unique=True).size
         union = sa.size + sb.size - inter
         jac[i] = inter / union if union else 1.0
-    return np.round(jac, 4)
+    from cheque_ocr_project_ray.util import round_half_up
+    return round_half_up(jac, 4)  # DuckDB round() semantics (oracle)
 
 
 def minhash_dedup_pairs(docs_ds, num_perm: int = 64,

@@ -1,8 +1,12 @@
 """Driver-facing text queries over the ``documents`` table, with
 DuckDB oracles where SQL can express the same deterministic rule.
 
-MinHash/SimHash/Jaccard entries are genuinely non-SQL-expressible
-(seeded hash families) → rows-only checks, as the contract allows.
+Every entry is oracled, including the dedup family: SimHash is
+re-derived bit-for-bit in SQL (md5_number_lower word hashes, 64
+majority aggregates), and the MinHash-LSH pair output is checked
+against brute-force all-pairs shingle Jaccard — see the docstrings on
+the SQL builders for exactly what each equality does and doesn't
+assert.
 """
 
 from __future__ import annotations
@@ -127,6 +131,110 @@ def dedup_simhash(sf_dir: str):
     return dedup.simhash_near_pairs(_docs(sf_dir), max_hamming=3)
 
 
+def _jaccard_pairs_sql(k: int, threshold: float) -> str:
+    """Exact all-pairs shingle-Jaccard in SQL — the oracle for the
+    MinHash-LSH dedup output.
+
+    The engine emits (doc_a, doc_b, exact-Jaccard) for every pair its
+    LSH candidates produce; this SQL computes the same from first
+    principles with NO LSH: every pair of docs sharing a word k-gram,
+    kept when Jaccard >= threshold.  Equality therefore asserts BOTH
+    no-false-positives (the engine verifies candidates exactly) AND
+    100% recall of the banding on this corpus — verified to hold on
+    the driver's deterministic sf0.01 table (seeded hashes, fixed
+    data; checked by tools/check_oracle.py).  Two deliberate deltas
+    from the engine's internals, both value-neutral here: shingles are
+    hashed strings in the engine (crc32) but raw strings in SQL (same
+    SETS absent collisions — none on this corpus), and docs with
+    zero tokens never pair (none exist).
+    """
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           CASE WHEN len(ws) < {k} THEN array_to_string(ws, ' ')
+                ELSE array_to_string(ws[i.gen:i.gen + {k - 1}], ' ')
+           END AS g
+    FROM words,
+         LATERAL (SELECT unnest(generate_series(
+                      1, greatest(len(ws) - {k - 1}, 1))) AS gen) i
+    WHERE len(ws) > 0
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i * 1.0 / (na.n + nb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE i * 1.0 / (na.n + nb.n - i) >= {threshold}
+"""
+
+
+def _simhash_sql() -> str:
+    """The 64-bit SimHash signature re-derived in pure SQL.
+
+    The engine's word hash is md5 bytes 8..16 little-endian — exactly
+    DuckDB's ``md5_number_lower`` (dedup._stable64) — so the whole
+    signature is 64 per-bit majority aggregates over the unnested word
+    multiset (occurrences count, like the engine's word list)."""
+    bit_terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f" > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(64))
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), tok AS (
+  SELECT doc_id, md5_number_lower(t.w) AS h
+  FROM words, LATERAL unnest(ws) AS t(w)
+), usig AS (
+  SELECT doc_id, {bit_terms} AS u
+  FROM tok GROUP BY doc_id
+), sig AS (
+  SELECT doc_id,
+         CAST(CASE WHEN u >= {1 << 63} THEN u - {1 << 64} ELSE u END
+              AS BIGINT) AS simhash
+  FROM usig
+)
+"""
+
+
+def doc_simhash_sql() -> str:
+    # zero-token docs hash to 0 in the engine; LEFT JOIN keeps them
+    return _simhash_sql() + """
+SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+FROM documents d LEFT JOIN sig s USING (doc_id)
+"""
+
+
+def dedup_simhash_sql(max_hamming: int = 3) -> str:
+    """All pairs within the Hamming bound, from the SQL-derived
+    signatures.  The engine's 4x16-bit banding is provably complete
+    for hamming <= 3 (pigeonhole) and verifies exactly in-group, so
+    engine == this brute-force SQL whenever no bucket exceeds the
+    degenerate-bucket cap (none does on the driver corpus)."""
+    return _simhash_sql() + f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
 def corpus_curation(sf_dir: str):
     """Composite training-data curation pipeline: language-ID +
     quality scoring → keep English docs with sane stopword/TTR ratios
@@ -206,6 +314,8 @@ def text_oracle_sql() -> dict[str, str]:
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_prefix": DEDUP_PREFIX_SQL,
         "corpus_curation": CURATION_SQL,
-        # dedup_minhash / dedup_ngram_jaccard / doc_simhash: seeded
-        # hash families — not SQL-expressible → rows-only checks.
+        "dedup_minhash": _jaccard_pairs_sql(k=3, threshold=0.6),
+        "dedup_ngram_jaccard": _jaccard_pairs_sql(k=2, threshold=0.5),
+        "doc_simhash": doc_simhash_sql(),
+        "dedup_simhash": dedup_simhash_sql(max_hamming=3),
     }
