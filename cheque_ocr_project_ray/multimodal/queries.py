@@ -1,5 +1,6 @@
 """Multimodal pipelines over the fixture media store (driver-contract
-entries; rows-only checks — binary media has no SQL oracle).
+entries; metadata-arithmetic outputs carry DuckDB oracles, see below —
+only the payload-byte-statistic stages stay rows-only).
 
 Each pipeline is: streaming ``read_parquet`` of the bucketed media
 store → actor-pool ``map_batches`` stage (small batches — payloads are

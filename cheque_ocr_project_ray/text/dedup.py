@@ -183,17 +183,61 @@ def minhash_bands(docs_ds, num_perm: int = 64, bands: int = 16,
     return docs_ds.map_batches(to_bands, batch_format="pyarrow")
 
 
-def bucket_pairs(ids: list, bucket_cap: int) -> tuple[list, list]:
+def bucket_pairs(ids, bucket_cap: int) -> tuple[np.ndarray, np.ndarray]:
     """All pairs for a normal bucket; star pairs (min × rest) for a
-    degenerate one — linear instead of O(bucket²)."""
+    degenerate one — linear instead of O(bucket²).  Vectorized: the
+    python double loop took ~35 s for the loose k=2 blocking at sf0.1
+    (capped buckets still emit 32k pairs each)."""
+    ids = np.asarray(ids)
     if len(ids) > bucket_cap:
-        return [ids[0]] * (len(ids) - 1), list(ids[1:])
-    out_a, out_b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            out_a.append(ids[i])
-            out_b.append(ids[j])
-    return out_a, out_b
+        return np.broadcast_to(ids[0], len(ids) - 1), ids[1:]
+    ii, jj = np.triu_indices(len(ids), k=1)
+    return ids[ii], ids[jj]
+
+
+def _dedup_pair_rows(raw_ds, agg: str, agg_col: str, out_col: str,
+                     broadcast_limit: int = 2_000_000):
+    """One row per (doc_a, doc_b) from a multi-band candidate stream.
+
+    Ray's groupby/aggregate dispatches per group, and candidate-pair
+    keys are almost all singletons — measured 28-33 s for 162k groups
+    at sf0.1 under BOTH shuffle strategies, vs 0.07 s for the same
+    dedup as one vectorized Arrow ``group_by`` on the driver.  So:
+    when the raw pair stream is bounded (it is whenever the verify
+    stage will broadcast anyway), collect + Arrow-dedup on the driver;
+    beyond the bound fall back to the distributed groupby (correct,
+    unbounded, slower per group).
+
+    ``agg``: arrow aggregate name ("count_all" | "min"); ``agg_col``:
+    input column for min ("" for count_all); ``out_col``: output name.
+    """
+    import pyarrow as pa
+    import ray.data
+
+    raw = raw_ds.materialize()
+    typed_empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                            "doc_b": pa.array([], pa.int64()),
+                            out_col: pa.array([], pa.int64())})
+    if raw.count() <= broadcast_limit:
+        # drop empty blocks: schemaless (0-column) AND null-typed ones
+        # (an empty pandas group output arrives as doc_a: null)
+        parts = [t for t in ray.get(raw.to_arrow_refs())
+                 if t.num_columns and t.num_rows]
+        if not parts:
+            return ray.data.from_arrow(typed_empty)
+        t = pa.concat_tables(parts).combine_chunks()
+        spec = [([], "count_all")] if agg == "count_all" \
+            else [(agg_col, "min")]
+        g = t.group_by(["doc_a", "doc_b"]).aggregate(spec)
+        agg_name = "count_all" if agg == "count_all" else f"{agg_col}_min"
+        g = g.select(["doc_a", "doc_b", agg_name]) \
+            .rename_columns(["doc_a", "doc_b", out_col])
+        return ray.data.from_arrow(g if g.num_rows else typed_empty)
+    if agg == "count_all":
+        return raw.groupby(["doc_a", "doc_b"]).aggregate(
+            Count(alias_name=out_col))
+    return raw.groupby(["doc_a", "doc_b"]).aggregate(
+        Min(agg_col, alias_name=out_col))
 
 
 def minhash_candidates(docs_ds, num_perm: int = 64, bands: int = 16,
@@ -211,9 +255,8 @@ def minhash_candidates(docs_ds, num_perm: int = 64, bands: int = 16,
 
     cand = banded.groupby(["band_id", "band_hash"]).map_groups(
         pairs, batch_format="pandas")
-    # same pair can surface from several bands — dedup via groupby
-    return cand.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="n_bands"))
+    # same pair can surface from several bands — keep one row per pair
+    return _dedup_pair_rows(cand, "count_all", "", "n_bands")
 
 
 def shingle_blobs(docs_ds, shingle_k: int = 3):
@@ -283,7 +326,6 @@ def minhash_dedup_pairs(docs_ds, num_perm: int = 64,
                               bucket_cap).materialize()  # small by
     # construction: bucket cap bounds pairs linearly in corpus size
     n_cand = cand.count()
-    sh = shingle_blobs(docs_ds, shingle_k)
 
     empty = pa.table({"doc_a": pa.array([], pa.int64()),
                       "doc_b": pa.array([], pa.int64()),
@@ -309,25 +351,54 @@ def minhash_dedup_pairs(docs_ds, num_perm: int = 64,
             return batch.filter(
                 pc.is_in(batch.column("doc_id"), value_set=ids))
 
-        blobs = pa.concat_tables(ray.get(
-            sh.map_batches(only_candidates, batch_format="pyarrow")
-            .to_arrow_refs()))
+        # filter to candidate docs BEFORE shingling: the second corpus
+        # pass then re-shingles only the (bounded) candidate set, not
+        # every doc — at corpus scale the blob compute is proportional
+        # to dups, not corpus size
+        blobs = pa.concat_tables(
+            [t for t in ray.get(
+                shingle_blobs(
+                    docs_ds.map_batches(only_candidates,
+                                        batch_format="pyarrow"),
+                    shingle_k).to_arrow_refs())
+             if t.num_columns])  # Ray can emit schemaless empty blocks
         blob_by_id = dict(zip(blobs.column("doc_id").to_pylist(),
                               blobs.column("shingle_blob").to_pylist()))
-        a = cand_t.column("doc_a").to_pylist()
-        b = cand_t.column("doc_b").to_pylist()
-        jac = _verify_jaccard([blob_by_id[x] for x in a],
-                              [blob_by_id[x] for x in b])
-        keep = jac >= threshold
-        out = pa.table({
-            "doc_a": pa.array(np.asarray(a)[keep]),
-            "doc_b": pa.array(np.asarray(b)[keep]),
-            "jaccard": pa.array(jac[keep]),
-        })
-        return ray.data.from_arrow(out if len(out) else empty) \
-            .sort(["doc_a", "doc_b"])
+        # verification is DISTRIBUTED even on this path: the bounded
+        # blob dict broadcasts once (ray.put) and the candidate pairs
+        # fan out over an actor pool — the round-2 driver-side python
+        # loop was single-threaded and took 38 s on the loose k=2
+        # blocking at sf0.1 (vs ~3 s distributed)
+        blob_ref = ray.put(blob_by_id)
+
+        class _Verify:
+            def __init__(self):
+                self.blobs = ray.get(blob_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                a = batch.column("doc_a").to_pylist()
+                b = batch.column("doc_b").to_pylist()
+                jac = _verify_jaccard([self.blobs[x] for x in a],
+                                      [self.blobs[y] for y in b])
+                keep = jac >= threshold
+                return pa.table({
+                    "doc_a": pa.array(np.asarray(a)[keep]),
+                    "doc_b": pa.array(np.asarray(b)[keep]),
+                    "jaccard": pa.array(jac[keep]),
+                })
+
+        from cheque_ocr_project_ray.util import map_pool
+        verified = ray.data.from_arrow(cand_t.select(["doc_a", "doc_b"])) \
+            .map_batches(_Verify, batch_format="pyarrow",
+                         batch_size=4096,
+                         concurrency=(1, map_pool())).materialize()
+        if verified.count() == 0:
+            return ray.data.from_arrow(empty)
+        return verified.sort(["doc_a", "doc_b"])
 
     from cheque_ocr_project_ray.relational.joins import hash_join
+
+    sh = shingle_blobs(docs_ds, shingle_k)  # join path: all docs' blobs
 
     def rename(side: str):
         def fn(batch):
@@ -424,19 +495,9 @@ def simhash_near_pairs(docs_ds, max_hamming: int = 3,
 
     cand = banded.groupby(["band_id", "band_val"]).map_groups(
         pairs, batch_format="pandas")
-    # a pair can match in several bands — keep one row per pair
-    out = cand.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming")).materialize()
-    # Ray DROPS empty blocks, so an all-empty result (clean corpus)
-    # comes back schemaless; give it the contract schema instead
-    if out.count() == 0:
-        import pyarrow as pa
-        import ray.data
-        return ray.data.from_arrow(pa.table({
-            "doc_a": pa.array([], pa.int64()),
-            "doc_b": pa.array([], pa.int64()),
-            "hamming": pa.array([], pa.int64())}))
-    return out
+    # a pair can match in several bands — keep one row per pair (min
+    # hamming); typed-empty-safe and driver-vectorized when bounded
+    return _dedup_pair_rows(cand, "min", "hamming", "hamming")
 
 
 def ngram_jaccard_pairs(docs_ds, shingle_k: int = 2,
