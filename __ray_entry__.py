@@ -140,6 +140,19 @@ def _cheque_queries() -> dict[str, Callable[[str], Any]]:
                          columns=["doc_id", "image_file"])
         return meta.map_batches(filename_fields_batch, batch_format="pyarrow")
 
+    def cheque_span_explode(sf_dir: str):
+        """Interleaved table → one row per span (the relational view
+        of the Lance-shaped input; vectorized list_flatten)."""
+        from cheque_ocr_project_ray.sources.io import read_cheques
+        from cheque_ocr_project_ray.spans import explode_spans
+        return explode_spans(read_cheques(ensure_fixture(sf_dir)))
+
+    def cheque_span_stats(sf_dir: str):
+        """Per-doc span-composition stats over the interleaved table."""
+        from cheque_ocr_project_ray.sources.io import read_cheques
+        from cheque_ocr_project_ray.spans import span_stats
+        return span_stats(read_cheques(ensure_fixture(sf_dir)))
+
     return {
         "cheque_extract": cheque_extract,
         "cheque_spans": cheque_spans,
@@ -150,6 +163,8 @@ def _cheque_queries() -> dict[str, Callable[[str], Any]]:
         "cheque_final_join": cheque_final_join,
         "cheque_checkpoint_rollup": cheque_checkpoint_rollup,
         "cheque_filename_fields": cheque_filename_fields,
+        "cheque_span_explode": cheque_span_explode,
+        "cheque_span_stats": cheque_span_stats,
         "cheque_run_summary": cheque_run_summary,
     }
 
@@ -195,11 +210,16 @@ def _cheque_oracle_sql() -> dict[str, str]:
     from cheque_ocr_project_ray.fixtures.expected import ensure_expected
     from cheque_ocr_project_ray.fixtures.gen import ensure_fixture
 
+    from cheque_ocr_project_ray.spans import span_explode_sql, span_stats_sql
+
     fixture = ensure_fixture("sf0.01")
     meta = f"{fixture}/meta/meta.parquet"
+    cheques = f"{fixture}/cheques/*.parquet"
     exp = f"{ensure_expected('sf0.01')}/expected.parquet"
     return {
         "cheque_filename_fields": _FILENAME_FIELDS_SQL.replace("<META>", meta),
+        "cheque_span_explode": span_explode_sql(cheques),
+        "cheque_span_stats": span_stats_sql(cheques),
         "cheque_extract": f"""
 SELECT doc_id, cheque_type, is_government, govt_category, payee_raw,
        payee, issuer, issuer_conf, confidence, status, micr, amount,

@@ -157,3 +157,43 @@ def fingerprint(batch: pa.Table) -> pa.Table:
         "fp": pa.array(text_md5(batch.column("text").to_pylist()),
                        pa.string()),
     })
+
+
+# GPT-2-style pre-tokenizer, restricted to constructs with IDENTICAL
+# semantics in python re and DuckDB's RE2 (no \p classes, no
+# lookahead): contraction suffixes, space-prefixed letter/digit runs,
+# space-prefixed punctuation runs, whitespace runs.
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+import re as _re  # noqa: E402
+_BPE_RE = _re.compile(BPE_PATTERN)  # once per worker process
+
+
+def bpe_token_count(batch: pa.Table) -> pa.Table:
+    """Per-doc BPE-ish token count (the ~cost-model input for LLM
+    training-data budgeting).  The regex scan is per-document but
+    C-level; the work is inherent — every byte is scanned once."""
+    counts = [len(_BPE_RE.findall(t))
+              for t in batch.column("text").to_pylist()]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_bpe_tokens": pa.array(counts, pa.int64()),
+    })
+
+
+# train/val/test assignment: bucket = md5-low-64(str(doc_id)) % 100 —
+# deterministic, uniform, and reproducible in SQL via
+# md5_number_lower (the same hash _stable64 uses).
+SPLIT_BUCKETS = (("train", 90), ("val", 95), ("test", 100))
+
+
+def train_split(batch: pa.Table) -> pa.Table:
+    from cheque_ocr_project_ray.text.dedup import _stable64
+    ids = batch.column("doc_id").to_pylist()
+    buckets = [_stable64(str(i)) % 100 for i in ids]
+    splits = [next(name for name, hi in SPLIT_BUCKETS if b < hi)
+              for b in buckets]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "bucket": pa.array(buckets, pa.int64()),
+        "split": pa.array(splits, pa.string()),
+    })

@@ -91,6 +91,43 @@ def doc_fingerprint(sf_dir: str):
 FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS fp FROM documents"
 
 
+def doc_bpe_tokens(sf_dir: str):
+    return _docs(sf_dir).map_batches(analysis.bpe_token_count,
+                                     batch_format="pyarrow")
+
+
+# the SQL literal needs the leading quote of the pattern doubled
+BPE_TOKENS_SQL = (
+    "SELECT doc_id, CAST(len(regexp_extract_all(text, '"
+    + analysis.BPE_PATTERN.replace("'", "''")
+    + "')) AS BIGINT) AS n_bpe_tokens FROM documents"
+)
+
+
+def doc_split(sf_dir: str):
+    """Deterministic hash-based train/val/test assignment (90/5/5):
+    the standard reproducible corpus split — bucket is a pure function
+    of doc_id, so re-runs, resumes and incremental additions land each
+    doc in the same split on any cluster."""
+    return _docs(sf_dir).map_batches(analysis.train_split,
+                                     batch_format="pyarrow")
+
+
+SPLIT_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 AS BIGINT)
+             AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
 def dedup_exact(sf_dir: str):
     return dedup.exact_dedup(_docs(sf_dir))
 
@@ -295,6 +332,8 @@ def text_queries() -> dict[str, Callable]:
         "doc_quality": doc_quality,
         "doc_lang_id": doc_lang_id,
         "doc_fingerprint": doc_fingerprint,
+        "doc_bpe_tokens": doc_bpe_tokens,
+        "doc_split": doc_split,
         "dedup_exact": dedup_exact,
         "dedup_prefix": dedup_prefix,
         "dedup_minhash": dedup_minhash,
@@ -311,6 +350,8 @@ def text_oracle_sql() -> dict[str, str]:
         "doc_quality": QUALITY_SQL,
         "doc_lang_id": LANG_ID_SQL,
         "doc_fingerprint": FINGERPRINT_SQL,
+        "doc_bpe_tokens": BPE_TOKENS_SQL,
+        "doc_split": SPLIT_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_prefix": DEDUP_PREFIX_SQL,
         "corpus_curation": CURATION_SQL,

@@ -149,3 +149,61 @@ def test_prefix_dedup(corpus):
     pref = corpus[0]["text"][:25]
     row = out[out["prefix"] == pref].iloc[0]
     assert row["doc_id"] == 0 and row["n_dups"] == 3
+
+
+def test_bpe_token_count_matches_duckdb():
+    import duckdb
+    rows = [{"doc_id": 0, "text": "I'll say don't, it's 42 degrees!"},
+            {"doc_id": 1, "text": "hello   world... re-do 3.14 x"},
+            {"doc_id": 2, "text": make_text()}]
+    out = analysis.bpe_token_count(
+        ray.data.from_items(rows).take_batch(10, batch_format="pyarrow"))
+    got = dict(zip(out["doc_id"].to_pylist(),
+                   out["n_bpe_tokens"].to_pylist()))
+    pat = analysis.BPE_PATTERN.replace("'", "''")
+    for r in rows:
+        t = r["text"].replace("'", "''")
+        n = duckdb.sql(
+            f"SELECT len(regexp_extract_all('{t}', '{pat}'))").fetchone()[0]
+        assert got[r["doc_id"]] == n, r
+
+
+def test_train_split_deterministic_and_complete():
+    rows = [{"doc_id": i, "text": "x"} for i in range(1000)]
+    out = docs_ds(rows).map_batches(
+        analysis.train_split, batch_format="pyarrow").to_pandas()
+    assert len(out) == 1000
+    counts = out["split"].value_counts()
+    # 90/5/5 within generous tolerance on 1000 uniform hashes
+    assert 820 <= counts["train"] <= 960
+    assert (out["bucket"] == out["doc_id"].map(
+        lambda i: dedup._stable64(str(i)) % 100)).all()
+    out2 = docs_ds(rows).map_batches(
+        analysis.train_split, batch_format="pyarrow").to_pandas()
+    assert out.sort_values("doc_id").reset_index(drop=True).equals(
+        out2.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_span_explode_and_stats():
+    import pyarrow as pa
+    from cheque_ocr_project_ray import spans as sp
+    batch = pa.table({
+        "doc_id": ["d1", "d2"],
+        "spans": pa.array([
+            [{"kind": "text", "text": "hello", "media_ref": "", "offset": 0},
+             {"kind": "image", "text": "", "media_ref": "m1", "offset": 1}],
+            [{"kind": "text", "text": "ab", "media_ref": "", "offset": 0},
+             {"kind": "text", "text": "cde", "media_ref": "", "offset": 1},
+             {"kind": "image", "text": "", "media_ref": "m2", "offset": 2}],
+        ]),
+    })
+    flat = sp.explode_spans_batch(batch)
+    assert flat.num_rows == 5
+    assert flat.column("doc_id").to_pylist() == ["d1", "d1", "d2", "d2", "d2"]
+    assert flat.column("kind").to_pylist() == [
+        "text", "image", "text", "text", "image"]
+    st = sp.span_stats_batch(batch).to_pylist()
+    assert st[0] == {"doc_id": "d1", "n_spans": 2, "n_text_spans": 1,
+                     "n_image_spans": 1, "text_chars": 5}
+    assert st[1] == {"doc_id": "d2", "n_spans": 3, "n_text_spans": 2,
+                     "n_image_spans": 1, "text_chars": 5}
