@@ -97,9 +97,15 @@ def label_stats(sf_dir: str):
         return g.rename_columns(["label", "n", "sum_first"])
 
     from ray.data.aggregate import Sum
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("label").aggregate(
-            Sum("n", alias_name="n"), Sum("sum_first", alias_name="sum_first"))
+    from cheque_ocr_project_ray.util import tune_shuffle
+    # partitions capped at key cardinality (10 labels): more partitions
+    # than groups guarantees schemaless empty aggregate blocks (the
+    # executor's "different schema" warning) and buys no parallelism
+    with tune_shuffle(num_partitions=4) as np_:
+        agg = ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby("label", num_partitions=np_).aggregate(
+                Sum("n", alias_name="n"),
+                Sum("sum_first", alias_name="sum_first"))
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
         from cheque_ocr_project_ray.util import round_half_up
