@@ -244,10 +244,11 @@ def events_hourly(sf_dir: str, np_: int = 0):
             ("value", "count"), ("value", "sum")])
         return g.rename_columns(["user_id", "hour", "n_events", "sum_value"])
 
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["user_id", "hour"], num_partitions=np_).aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("sum_value", alias_name="sum_value"))
+    from cheque_ocr_project_ray.util import final_merge_sums
+    agg = final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["user_id", "hour"], sum_cols=["n_events", "sum_value"],
+        np_=np_)
     return agg.map_batches(
         lambda b: b.assign(sum_value=round_half_up(b["sum_value"], 4)),
         batch_format="pandas")

@@ -240,10 +240,66 @@ def _dedup_pair_rows(raw_ds, agg: str, agg_col: str, out_col: str,
         Min(agg_col, alias_name=out_col))
 
 
+def _pairs_from_banded_table(t, bucket_cap: int):
+    """Vectorized candidate pairs from a collected banded table:
+    lexsort by (band, hash), slice bucket boundaries, emit pairs per
+    collided bucket — no per-group dataframe dispatch."""
+    band = t.column("band_id").to_numpy()
+    bh = t.column("band_hash").to_numpy()
+    doc = t.column("doc_id").to_numpy()
+    order = np.lexsort((doc, bh, band))
+    band, bh, doc = band[order], bh[order], doc[order]
+    boundary = np.flatnonzero((np.diff(band) != 0) | (np.diff(bh) != 0))
+    starts = np.concatenate(([0], boundary + 1))
+    ends = np.concatenate((boundary + 1, [len(band)]))
+    out_a, out_b = [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        ids = np.unique(doc[s:e])
+        if len(ids) < 2:
+            continue
+        a, b = bucket_pairs(ids, bucket_cap)
+        out_a.append(a)
+        out_b.append(b)
+    import pyarrow as pa
+    if not out_a:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64())})
+    return pa.table({"doc_a": pa.array(np.concatenate(out_a)),
+                     "doc_b": pa.array(np.concatenate(out_b))})
+
+
 def minhash_candidates(docs_ds, num_perm: int = 64, bands: int = 16,
-                       shingle_k: int = 3, bucket_cap: int = 256):
-    """Candidate duplicate pairs from LSH buckets (doc_a < doc_b)."""
-    banded = minhash_bands(docs_ds, num_perm, bands, shingle_k)
+                       shingle_k: int = 3, bucket_cap: int = 256,
+                       banded_bound: int = 5_000_000):
+    """Candidate duplicate pairs from LSH buckets (doc_a < doc_b).
+
+    Adaptive like the pair dedup: the banded stream is ``bands`` rows
+    per doc; when it is within ``banded_bound`` the bucket grouping is
+    one driver-side lexsort + vectorized slice (Ray's map_groups costs
+    ~50 µs per group × one group per distinct band bucket — the
+    dominant cost of the whole dedup at sf0.1), else the distributed
+    groupby/map_groups path runs (the only shape that scales past
+    driver memory; same pair semantics, same caps)."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    banded = minhash_bands(docs_ds, num_perm, bands, shingle_k) \
+        .materialize()
+    if banded.count() <= banded_bound:
+        parts = [t for t in ray.get(banded.to_arrow_refs())
+                 if t.num_columns and t.num_rows]
+        if not parts:
+            return ray.data.from_arrow(pa.table({
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "n_bands": pa.array([], pa.int64())}))
+        raw = _pairs_from_banded_table(
+            pa.concat_tables(parts).combine_chunks(), bucket_cap)
+        return _dedup_pair_rows(ray.data.from_arrow(raw),
+                                "count_all", "", "n_bands")
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(group["doc_id"].unique())
@@ -436,8 +492,44 @@ def simhash_docs(docs_ds):
     return docs_ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _simhash_pairs_from_table(t, max_hamming: int, bucket_cap: int):
+    """Vectorized near-pair search from a collected banded signature
+    table (driver path of :func:`simhash_near_pairs`)."""
+    import pyarrow as pa
+    band = t.column("band_id").to_numpy()
+    bv = t.column("band_val").to_numpy()
+    doc = t.column("doc_id").to_numpy()
+    sig = t.column("simhash").to_numpy().astype(np.uint64)
+    order = np.lexsort((doc, bv, band))
+    band, bv, doc, sig = band[order], bv[order], doc[order], sig[order]
+    boundary = np.flatnonzero((np.diff(band) != 0) | (np.diff(bv) != 0))
+    starts = np.concatenate(([0], boundary + 1))
+    ends = np.concatenate((boundary + 1, [len(band)]))
+    out_a, out_b, out_h = [], [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        ids, idx = np.unique(doc[s:e], return_index=True)
+        if len(ids) < 2:
+            continue
+        hs = sig[s:e][idx]
+        upper = 1 if len(ids) > bucket_cap else len(ids)
+        for i in range(upper):
+            x = hs[i] ^ hs[i + 1:]
+            ham = np.array([bin(int(v)).count("1") for v in x])
+            keep = np.nonzero(ham <= max_hamming)[0]
+            for j in keep:
+                out_a.append(int(ids[i]))
+                out_b.append(int(ids[i + 1 + j]))
+                out_h.append(int(ham[j]))
+    return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                     "doc_b": pa.array(out_b, pa.int64()),
+                     "hamming": pa.array(out_h, pa.int64())})
+
+
 def simhash_near_pairs(docs_ds, max_hamming: int = 3,
-                       bucket_cap: int = 256):
+                       bucket_cap: int = 256,
+                       banded_bound: int = 5_000_000):
     """SimHash near-dup pairs via band blocking.
 
     A 64-bit signature is split into 4 disjoint 16-bit bands; two
@@ -464,7 +556,27 @@ def simhash_near_pairs(docs_ds, max_hamming: int = 3,
             }))
         return pd.concat(out, ignore_index=True)
 
-    banded = sigs.map_batches(to_bands, batch_format="pandas")
+    banded = sigs.map_batches(to_bands, batch_format="pandas") \
+        .materialize()
+    # same bounded-adaptive shape as minhash_candidates: 4 rows/doc,
+    # driver lexsort + vectorized slicing when within bound, else the
+    # distributed groupby/map_groups (unbounded corpora)
+    if banded.count() <= banded_bound:
+        import pyarrow as pa
+        import ray
+        import ray.data
+        parts = [t for t in ray.get(banded.to_arrow_refs())
+                 if t.num_columns and t.num_rows]
+        if not parts:
+            return ray.data.from_arrow(pa.table({
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64())}))
+        raw = _simhash_pairs_from_table(
+            pa.concat_tables(parts).combine_chunks(), max_hamming,
+            bucket_cap)
+        return _dedup_pair_rows(ray.data.from_arrow(raw),
+                                "min", "hamming", "hamming")
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates("doc_id").sort_values("doc_id")

@@ -88,3 +88,37 @@ def round_half_up(x, digits: int = 4):
     arr = np.asarray(x, dtype=np.float64)
     scale = 10.0 ** digits
     return np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale
+
+
+def final_merge_sums(partials_ds, keys: list, sum_cols: list,
+                     np_: int = 0, bound: int = 2_000_000):
+    """Merge per-batch combiner partials into final per-key sums.
+
+    Ray's groupby/aggregate dispatches per group (measured ~30-60 µs
+    each — 4-5 s for the 95k (user, hour) groups of events_hourly at
+    sf0.1, under either shuffle strategy).  The partial stream is
+    already combiner-reduced, so when it is bounded the final merge is
+    ONE vectorized Arrow ``group_by`` on the driver (0.1 s for the same
+    95k groups; the result is driver-collected right after anyway).
+    Beyond ``bound`` partial rows — corpus-scale key cardinality —
+    fall back to the distributed groupby, which is the only shape that
+    scales past driver memory.
+    """
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    part = partials_ds.materialize()
+    if part.count() <= bound:
+        parts = [t for t in ray.get(part.to_arrow_refs())
+                 if t.num_columns and t.num_rows]
+        if parts:
+            t = pa.concat_tables(parts).combine_chunks()
+            g = t.group_by(keys).aggregate([(c, "sum") for c in sum_cols])
+            g = g.select(list(keys) + [f"{c}_sum" for c in sum_cols]) \
+                .rename_columns(list(keys) + list(sum_cols))
+            return ray.data.from_arrow(g)
+        return part  # typed-empty input: nothing to merge
+    return part.groupby(list(keys), num_partitions=np_).aggregate(
+        *[Sum(c, alias_name=c) for c in sum_cols])
