@@ -180,6 +180,47 @@ def bpe_token_count(batch: pa.Table) -> pa.Table:
     })
 
 
+WINNOW_K = 8    # char-gram width
+WINNOW_W = 16   # winnowing window (fingerprint = min hash per window)
+
+
+def winnow_fingerprints(batch: pa.Table) -> pa.Table:
+    """Winnowing fingerprints (Schleimer et al., MOSS): hash every
+    k-char gram, keep the min hash of each w-window, emit the distinct
+    set per doc.  The gram hash is md5 bytes 8..16 LE == DuckDB
+    ``md5_number_lower``, so the whole op has a pure-SQL oracle
+    (window min over generate_series positions).  Output: one row per
+    (doc_id, fp) — the inverted-index shape a fingerprint-match join
+    consumes."""
+    import hashlib
+
+    ids_out, fps_out = [], []
+    for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+        n = len(text) - WINNOW_K + 1
+        if n <= 0:
+            continue
+        # slice by CHARACTERS (DuckDB substr semantics), encode per gram
+        hs = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(text[i:i + WINNOW_K].encode("utf-8"))
+                .digest()[8:16], "little") for i in range(n)),
+            dtype=np.uint64, count=n)
+        if n <= WINNOW_W:
+            fps = np.unique(hs.min(keepdims=True))
+        else:
+            wins = np.lib.stride_tricks.sliding_window_view(hs, WINNOW_W)
+            fps = np.unique(wins.min(axis=1))
+        ids_out.extend([doc_id] * len(fps))
+        fps_out.append(fps)
+    fp_arr = np.concatenate(fps_out) if fps_out else \
+        np.array([], dtype=np.uint64)
+    return pa.table({
+        "doc_id": pa.array(ids_out, pa.int64()),
+        "fp": pa.array(fp_arr, pa.uint64()),
+    })
+
+
 # train/val/test assignment: bucket = md5-low-64(str(doc_id)) % 100 —
 # deterministic, uniform, and reproducible in SQL via
 # md5_number_lower (the same hash _stable64 uses).

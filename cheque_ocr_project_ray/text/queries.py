@@ -128,6 +128,38 @@ FROM b
 """
 
 
+def doc_winnow(sf_dir: str):
+    """Winnowing (rolling-hash) fingerprints per doc — the MOSS-style
+    near-dup index primitive; (doc_id, fp) inverted rows."""
+    return _docs(sf_dir).map_batches(analysis.winnow_fingerprints,
+                                     batch_format="pyarrow")
+
+
+WINNOW_SQL = f"""
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(
+             1, length(text) - {analysis.WINNOW_K} + 1)) AS i
+  FROM documents
+  WHERE length(text) >= {analysis.WINNOW_K}
+), h AS (
+  SELECT doc_id, i,
+         md5_number_lower(substr(text, i, {analysis.WINNOW_K})) AS hv,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM pos
+), w AS (
+  SELECT doc_id, i, n,
+         min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW
+                       AND {analysis.WINNOW_W - 1} FOLLOWING) AS mh
+  FROM h
+)
+SELECT DISTINCT doc_id, mh AS fp
+FROM w
+WHERE i <= greatest(n - {analysis.WINNOW_W} + 1, 1)
+"""
+
+
 def dedup_exact(sf_dir: str):
     return dedup.exact_dedup(_docs(sf_dir))
 
@@ -334,6 +366,7 @@ def text_queries() -> dict[str, Callable]:
         "doc_fingerprint": doc_fingerprint,
         "doc_bpe_tokens": doc_bpe_tokens,
         "doc_split": doc_split,
+        "doc_winnow": doc_winnow,
         "dedup_exact": dedup_exact,
         "dedup_prefix": dedup_prefix,
         "dedup_minhash": dedup_minhash,
@@ -352,6 +385,7 @@ def text_oracle_sql() -> dict[str, str]:
         "doc_fingerprint": FINGERPRINT_SQL,
         "doc_bpe_tokens": BPE_TOKENS_SQL,
         "doc_split": SPLIT_SQL,
+        "doc_winnow": WINNOW_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_prefix": DEDUP_PREFIX_SQL,
         "corpus_curation": CURATION_SQL,

@@ -207,3 +207,32 @@ def test_span_explode_and_stats():
                      "n_image_spans": 1, "text_chars": 5}
     assert st[1] == {"doc_id": "d2", "n_spans": 3, "n_text_spans": 2,
                      "n_image_spans": 1, "text_chars": 5}
+
+
+def test_winnow_fingerprints_edges():
+    import numpy as np
+    import pyarrow as pa
+    batch = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["short",                      # < K chars: no fingerprints
+                 "exactly8",                   # n=1 hash, one window
+                 "a" * 30,                     # uniform text: 1 distinct fp
+                 "the quick brown fox jumps over the dog"],
+    })
+    out = analysis.winnow_fingerprints(batch)
+    ids = out.column("doc_id").to_pylist()
+    assert 1 not in ids                        # too short
+    assert ids.count(2) == 1
+    assert ids.count(3) == 1                   # all grams identical
+    assert ids.count(4) >= 1
+    # deterministic
+    out2 = analysis.winnow_fingerprints(batch)
+    assert out.equals(out2)
+    # every fp is a real gram hash of its doc (spot-check doc 4)
+    import hashlib
+    text = batch.column("text")[3].as_py()
+    grams = {int.from_bytes(
+        hashlib.md5(text[i:i + analysis.WINNOW_K].encode()).digest()[8:16],
+        "little") for i in range(len(text) - analysis.WINNOW_K + 1)}
+    got = {f for d, f in zip(ids, out.column("fp").to_pylist()) if d == 4}
+    assert got <= grams
