@@ -240,18 +240,22 @@ def _dedup_pair_rows(raw_ds, agg: str, agg_col: str, out_col: str,
         Min(agg_col, alias_name=out_col))
 
 
-def _pairs_from_banded_table(t, bucket_cap: int):
-    """Vectorized candidate pairs from a collected banded table:
-    lexsort by (band, hash), slice bucket boundaries, emit pairs per
-    collided bucket — no per-group dataframe dispatch."""
-    band = t.column("band_id").to_numpy()
-    bh = t.column("band_hash").to_numpy()
-    doc = t.column("doc_id").to_numpy()
-    order = np.lexsort((doc, bh, band))
-    band, bh, doc = band[order], bh[order], doc[order]
-    boundary = np.flatnonzero((np.diff(band) != 0) | (np.diff(bh) != 0))
+def _pairs_grouped(key_arrays: list, doc: np.ndarray, bucket_cap: int):
+    """Vectorized candidate pairs from collected bucket rows: lexsort
+    by the key tuple, slice bucket boundaries, emit pairs per collided
+    bucket — no per-group dataframe dispatch."""
+    import pyarrow as pa
+
+    order = np.lexsort(tuple([doc] + key_arrays[::-1]))
+    keys = [k[order] for k in key_arrays]
+    doc = doc[order]
+    diff = np.zeros(len(doc) - 1, dtype=bool) if len(doc) else \
+        np.zeros(0, dtype=bool)
+    for k in keys:
+        diff |= np.diff(k) != 0
+    boundary = np.flatnonzero(diff)
     starts = np.concatenate(([0], boundary + 1))
-    ends = np.concatenate((boundary + 1, [len(band)]))
+    ends = np.concatenate((boundary + 1, [len(doc)]))
     out_a, out_b = [], []
     for s, e in zip(starts, ends):
         if e - s < 2:
@@ -262,12 +266,17 @@ def _pairs_from_banded_table(t, bucket_cap: int):
         a, b = bucket_pairs(ids, bucket_cap)
         out_a.append(a)
         out_b.append(b)
-    import pyarrow as pa
     if not out_a:
         return pa.table({"doc_a": pa.array([], pa.int64()),
                          "doc_b": pa.array([], pa.int64())})
     return pa.table({"doc_a": pa.array(np.concatenate(out_a)),
                      "doc_b": pa.array(np.concatenate(out_b))})
+
+
+def _pairs_from_banded_table(t, bucket_cap: int):
+    return _pairs_grouped(
+        [t.column("band_id").to_numpy(), t.column("band_hash").to_numpy()],
+        t.column("doc_id").to_numpy(), bucket_cap)
 
 
 def minhash_candidates(docs_ds, num_perm: int = 64, bands: int = 16,
@@ -610,6 +619,68 @@ def simhash_near_pairs(docs_ds, max_hamming: int = 3,
     # a pair can match in several bands — keep one row per pair (min
     # hamming); typed-empty-safe and driver-vectorized when bounded
     return _dedup_pair_rows(cand, "min", "hamming", "hamming")
+
+
+def winnow_dedup_pairs(docs_ds, min_shared: int = 3, max_df: int = 50,
+                       bucket_cap: int = 256,
+                       bound: int = 5_000_000):
+    """Near-dup pairs by shared winnowing fingerprints: docs sharing
+    >= ``min_shared`` distinct fingerprints (doc_a < doc_b, n_shared).
+
+    ``max_df`` drops stopword-grams first: a fingerprint present in
+    more than ``max_df`` docs carries no dedup signal (common phrases)
+    and would otherwise create quadratic buckets — the standard
+    document-frequency cap, applied identically in the SQL oracle so
+    equality is exact.  Shape: fingerprint rows → df filter → bucket
+    by fp → pairs per collided bucket → count shared fps per pair.
+    Bounded-adaptive like the LSH paths: driver lexsort+slice within
+    ``bound`` fingerprint rows, distributed groupby beyond."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from cheque_ocr_project_ray.text.analysis import winnow_fingerprints
+
+    fps = docs_ds.map_batches(winnow_fingerprints,
+                              batch_format="pyarrow").materialize()
+
+    if fps.count() <= bound:
+        parts = [t for t in ray.get(fps.to_arrow_refs())
+                 if t.num_columns and t.num_rows]
+        if not parts:
+            return ray.data.from_arrow(pa.table({
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "n_shared": pa.array([], pa.int64())}))
+        t = pa.concat_tables(parts).combine_chunks()
+        # df filter: rows are distinct (doc, fp), so value_counts = df
+        vc = t.column("fp").value_counts()
+        keep_fps = vc.field("values").filter(
+            pc.less_equal(vc.field("counts"), max_df))
+        t = t.filter(pc.is_in(t.column("fp"), value_set=keep_fps))
+        raw = _pairs_grouped([t.column("fp").to_numpy()],
+                             t.column("doc_id").to_numpy(), bucket_cap)
+        pairs = _dedup_pair_rows(ray.data.from_arrow(raw),
+                                 "count_all", "", "n_shared")
+    else:
+        def bucket(group: pd.DataFrame) -> pd.DataFrame:
+            ids = sorted(group["doc_id"].unique())
+            empty = group["doc_id"].iloc[:0]
+            if len(ids) < 2 or len(ids) > max_df:  # df cap distributed
+                return pd.DataFrame({"doc_a": empty, "doc_b": empty.copy()})
+            a, b = bucket_pairs(ids, bucket_cap)
+            return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+        cand = fps.groupby("fp").map_groups(bucket, batch_format="pandas")
+        pairs = _dedup_pair_rows(cand, "count_all", "", "n_shared")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(
+            pc.greater_equal(batch.column("n_shared"), min_shared))
+
+    return pairs.map_batches(keep, batch_format="pyarrow")
 
 
 def ngram_jaccard_pairs(docs_ds, shingle_k: int = 2,

@@ -160,6 +160,26 @@ WHERE i <= greatest(n - {analysis.WINNOW_W} + 1, 1)
 """
 
 
+def dedup_winnow(sf_dir: str):
+    """Near-dup pairs sharing >= 3 winnowing fingerprints (after the
+    df<=50 stopword-gram cap)."""
+    return dedup.winnow_dedup_pairs(_docs(sf_dir), min_shared=3,
+                                    max_df=50)
+
+
+DEDUP_WINNOW_SQL = f"""
+WITH w AS ({WINNOW_SQL}),
+wf AS (
+  SELECT * FROM w
+  WHERE fp IN (SELECT fp FROM w GROUP BY fp HAVING count(*) <= 50)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM wf a JOIN wf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+
+
 def dedup_exact(sf_dir: str):
     return dedup.exact_dedup(_docs(sf_dir))
 
@@ -367,6 +387,7 @@ def text_queries() -> dict[str, Callable]:
         "doc_bpe_tokens": doc_bpe_tokens,
         "doc_split": doc_split,
         "doc_winnow": doc_winnow,
+        "dedup_winnow": dedup_winnow,
         "dedup_exact": dedup_exact,
         "dedup_prefix": dedup_prefix,
         "dedup_minhash": dedup_minhash,
@@ -386,6 +407,7 @@ def text_oracle_sql() -> dict[str, str]:
         "doc_bpe_tokens": BPE_TOKENS_SQL,
         "doc_split": SPLIT_SQL,
         "doc_winnow": WINNOW_SQL,
+        "dedup_winnow": DEDUP_WINNOW_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_prefix": DEDUP_PREFIX_SQL,
         "corpus_curation": CURATION_SQL,

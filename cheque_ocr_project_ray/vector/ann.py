@@ -63,7 +63,57 @@ def brute_force_topk(emb_ds, query_vec: np.ndarray, k: int = 10):
     return cand.sort(["cos", "vec_id"], descending=[True, False]).limit(k)
 
 
-def hyperplanes(dim: int, n_planes: int = 8, seed: int = 11) -> np.ndarray:
+def knn_join(emb_ds, query_ids: np.ndarray, query_matrix: np.ndarray,
+             k: int = 5):
+    """Batched exact cosine top-k: EVERY query at once against the
+    corpus — the broadcast-query-MATRIX pattern (one GEMM slice
+    ``batch × Qᵀ`` per block, local top-k per query per block, tiny
+    global re-rank).  Output: (query_id, vec_id, cos), k rows per
+    query.  At corpus scale the per-block partials are
+    k × |Q| × num_blocks rows — driver-bounded for broadcastable Q."""
+    from cheque_ocr_project_ray.util import map_pool, round_half_up
+
+    q = np.asarray(query_matrix, dtype=np.float64)
+    qn = np.linalg.norm(q, axis=1)
+    q = q / np.where(qn == 0, 1, qn)[:, None]
+    qids = np.asarray(query_ids, dtype=np.int64)
+    q_ref = ray.put((qids, q))
+
+    class _Scorer:
+        def __init__(self):
+            self.qids, self.q = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _table_matrix(batch)
+            norms = np.linalg.norm(m, axis=1)
+            mn = m / np.where(norms == 0, 1, norms)[:, None]
+            cos = round_half_up(mn @ self.q.T, 5)      # (n, |Q|)
+            ids = batch.column("vec_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            out_q, out_v, out_c = [], [], []
+            for col in range(cos.shape[1]):
+                top = np.lexsort((ids, -cos[:, col]))[:k]
+                out_q.append(np.full(len(top), self.qids[col]))
+                out_v.append(ids[top])
+                out_c.append(cos[top, col])
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "cos": pa.array(np.concatenate(out_c), pa.float64()),
+            })
+
+    cand = emb_ds.map_batches(_Scorer, batch_format="pyarrow",
+                              concurrency=(1, map_pool()))
+    # global re-rank: k best per query among the per-block candidates
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.sort_values(["query_id", "cos", "vec_id"],
+                                  ascending=[True, False, True])
+        return batch.groupby("query_id", sort=True).head(k) \
+            .reset_index(drop=True)
+
+    # candidates are tiny (k x |Q| x blocks): one final single-block pass
+    return cand.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None)
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))
 

@@ -45,6 +45,43 @@ LIMIT 10
 """
 
 
+N_KNN_QUERIES = 8
+KNN_K = 5
+
+
+def ann_knn_join(sf_dir: str):
+    """Batched multi-query exact top-k (query MATRIX broadcast, one
+    GEMM per block) — k nearest corpus vectors for each of the first
+    N_KNN_QUERIES vectors."""
+    t = pq.read_table(str(Path(sf_dir) / "embeddings.parquet"),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", N_KNN_QUERIES)])
+    qids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False),
+                      dtype=np.int64)
+    qm = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    return ann.knn_join(_emb(sf_dir), qids, qm, k=KNN_K)
+
+
+KNN_JOIN_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_KNN_QUERIES}
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), s AS (
+  SELECT q.qid, e.vec_id,
+         round(list_cosine_similarity(e.v, q.qv), 5) AS cos
+  FROM e, q
+), r AS (
+  SELECT qid, vec_id, cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, vec_id) AS rn
+  FROM s
+)
+SELECT qid AS query_id, vec_id, cos FROM r WHERE rn <= {KNN_K}
+"""
+
+
 def ann_lsh_topk(sf_dir: str):
     return ann.lsh_topk(_emb(sf_dir), _query_vec(sf_dir), k=10)
 
@@ -126,6 +163,7 @@ GROUP BY label
 def vector_queries() -> dict[str, Callable]:
     return {
         "ann_cosine_topk": ann_cosine_topk,
+        "ann_knn_join": ann_knn_join,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "embedding_neardup": embedding_neardup,
@@ -136,6 +174,7 @@ def vector_queries() -> dict[str, Callable]:
 def vector_oracle_sql() -> dict[str, str]:
     return {
         "ann_cosine_topk": ANN_TOPK_SQL,
+        "ann_knn_join": KNN_JOIN_SQL,
         "embedding_neardup": NEARDUP_SQL,
         "label_stats": LABEL_STATS_SQL,
     }

@@ -236,3 +236,15 @@ def test_winnow_fingerprints_edges():
         "little") for i in range(len(text) - analysis.WINNOW_K + 1)}
     got = {f for d, f in zip(ids, out.column("fp").to_pylist()) if d == 4}
     assert got <= grams
+
+
+def test_winnow_dedup_paths_agree():
+    """Driver-adaptive and distributed winnow-dedup paths must emit
+    identical pairs (bound=0 forces the distributed groupby)."""
+    rows = [{"doc_id": i, "text": make_text(drop=i % 5)} for i in range(12)]
+    fast = dedup.winnow_dedup_pairs(docs_ds(rows), min_shared=3)\
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    dist = dedup.winnow_dedup_pairs(docs_ds(rows), min_shared=3, bound=0)\
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert len(fast) > 0
+    pd.testing.assert_frame_equal(fast, dist)
