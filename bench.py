@@ -39,9 +39,11 @@ BENCH_QUERIES = [
     "events_hourly",           # tumbling-window aggregate
     "events_sessions",         # gap-window sessionization (map_groups)
     "dedup_minhash",           # MinHash LSH shuffle
+    "dedup_winnow",            # winnow fingerprint-sharing near-dup
     "doc_simhash",             # signature map
     "doc_quality",             # vectorized text analysis
     "ann_cosine_topk",         # brute-force cosine top-k
+    "ann_knn_join",            # batched multi-query GEMM top-k
     "ann_ivf_topk",            # IVF coarse-quantizer scale path
     "embedding_neardup",       # exact all-pairs near-dup (block GEMM)
     "media_decode_stats",      # multimodal actor-pool stage

@@ -114,6 +114,9 @@ def knn_join(emb_ds, query_ids: np.ndarray, query_matrix: np.ndarray,
     # candidates are tiny (k x |Q| x blocks): one final single-block pass
     return cand.repartition(1).map_batches(
         finish, batch_format="pandas", batch_size=None)
+
+
+def hyperplanes(dim: int, n_planes: int = 8, seed: int = 11) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))
 
