@@ -378,6 +378,59 @@ SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
 """
 
 
+def corpus_pipeline(sf_dir: str):
+    """The end-to-end training-data shape, composed from the family:
+    curate (lang+quality filters) → exact-dedup keep-min-doc_id →
+    hash-split assignment → BPE-token budget per split.
+
+    Scale shape: one signals pass over the corpus (one tokenization),
+    one (hash, doc_id) shuffle for the dedup, then a hash JOIN of the
+    surviving ids against the per-doc (split, tokens) pass — the
+    survivor set is corpus-sized at 100 TB, so it is joined, never
+    broadcast.  Final rollup is 3 groups."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Sum
+
+    from cheque_ocr_project_ray.relational.joins import hash_join
+
+    kept = corpus_curation(sf_dir)  # Dataset[doc_id] of survivors
+
+    def split_tokens(batch: pa.Table) -> pa.Table:
+        s = analysis.train_split(batch)
+        b = analysis.bpe_token_count(batch)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "split": s.column("split"),
+            "n_bpe_tokens": b.column("n_bpe_tokens"),
+        })
+
+    per_doc = _docs(sf_dir).map_batches(split_tokens,
+                                        batch_format="pyarrow")
+    joined = hash_join(kept, per_doc, on="doc_id")
+    return joined.groupby("split", num_partitions=1).aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_bpe_tokens", alias_name="total_tokens"))
+
+
+CORPUS_PIPELINE_SQL = f"""
+WITH kept AS ({CURATION_SQL}),
+s AS (
+  SELECT doc_id,
+         CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 90
+              THEN 'train'
+              WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 95
+              THEN 'val' ELSE 'test' END AS split,
+         len(regexp_extract_all(text,
+             '{analysis.BPE_PATTERN.replace("'", "''")}')) AS toks
+  FROM documents
+)
+SELECT split, count(*) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS total_tokens
+FROM kept JOIN s USING (doc_id)
+GROUP BY split
+"""
+
+
 def text_queries() -> dict[str, Callable]:
     return {
         "doc_token_stats": doc_token_stats,
@@ -395,6 +448,7 @@ def text_queries() -> dict[str, Callable]:
         "doc_simhash": doc_simhash,
         "dedup_simhash": dedup_simhash,
         "corpus_curation": corpus_curation,
+        "corpus_pipeline": corpus_pipeline,
     }
 
 
@@ -411,6 +465,7 @@ def text_oracle_sql() -> dict[str, str]:
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_prefix": DEDUP_PREFIX_SQL,
         "corpus_curation": CURATION_SQL,
+        "corpus_pipeline": CORPUS_PIPELINE_SQL,
         "dedup_minhash": _jaccard_pairs_sql(k=3, threshold=0.6),
         "dedup_ngram_jaccard": _jaccard_pairs_sql(k=2, threshold=0.5),
         "doc_simhash": doc_simhash_sql(),
