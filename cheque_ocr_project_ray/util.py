@@ -120,5 +120,6 @@ def final_merge_sums(partials_ds, keys: list, sum_cols: list,
                 .rename_columns(list(keys) + list(sum_cols))
             return ray.data.from_arrow(g)
         return part  # typed-empty input: nothing to merge
-    return part.groupby(list(keys), num_partitions=np_).aggregate(
+    return part.groupby(list(keys),
+                        num_partitions=np_ or None).aggregate(
         *[Sum(c, alias_name=c) for c in sum_cols])

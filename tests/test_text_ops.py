@@ -248,3 +248,18 @@ def test_winnow_dedup_paths_agree():
         .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     assert len(fast) > 0
     pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_final_merge_sums_paths_agree():
+    """Driver Arrow merge and distributed-groupby fallback of
+    util.final_merge_sums must produce identical finals."""
+    import pyarrow as pa
+    from cheque_ocr_project_ray.util import final_merge_sums
+    rows = [{"k": i % 7, "n": 1, "v": float(i)} for i in range(500)]
+    ds = ray.data.from_items(rows)
+    fast = final_merge_sums(ds, ["k"], ["n", "v"]).to_pandas()
+    dist = final_merge_sums(ds, ["k"], ["n", "v"], bound=0).to_pandas()
+    fast = fast.sort_values("k").reset_index(drop=True)
+    dist = dist.sort_values("k").reset_index(drop=True)
+    assert len(fast) == 7
+    pd.testing.assert_frame_equal(fast, dist[fast.columns])
