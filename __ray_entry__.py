@@ -255,7 +255,10 @@ FROM read_parquet('{exp}')
         # 186-190, truncation :562, constants :569-571).
         "cheque_final_join": f"""
 SELECT e.doc_id,
-       substr(m.image_file, 1, 50) AS image_file,
+       -- engine reconstructs '<doc_id>.tiff' when the meta row is
+       -- absent (sink.py LEFT-join fallback) — mirror it
+       substr(coalesce(m.image_file, e.doc_id || '.tiff'), 1, 50)
+           AS image_file,
        substr(e.issuer, 1, 100) AS drawer_nm_out,
        round(e.issuer_conf, 4) AS confidence,
        substr(e.status, 1, 20) AS status,

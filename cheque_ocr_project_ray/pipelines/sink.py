@@ -24,6 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from cheque_ocr_project_ray.relational.joins import broadcast_join, hash_join
+from cheque_ocr_project_ray.util import round_half_up_arrow
 from cheque_ocr_project_ray.sources.io import read_meta
 
 # Output-DBF field widths (issuer_processor_v.py:186-190): IMAGE_FILE
@@ -83,7 +84,10 @@ def join_results_to_meta(results_ds, fixture_dir: str | Path,
             "image_file": trunc(image_file, _TRUNC["image_file"]),
             "drawer_nm_out": trunc(batch["issuer"],
                                    _TRUNC["drawer_nm_out"]),
-            "confidence": pc.round(batch["issuer_conf"], ndigits=4),
+            # round_half_up (DuckDB round() semantics): the driver's
+            # final-join oracle re-derives this column in SQL, and
+            # pc.round's half-to-even diverges on exact halves
+            "confidence": round_half_up_arrow(batch["issuer_conf"], 4),
             "status": trunc(batch["status"], _TRUNC["status"]),
             # K4 master-table update columns (applied only when the
             # status ladder accepted the issuer, as the reference gates
@@ -147,7 +151,7 @@ def to_canonical_csv(results_ds, fixture_dir: str | Path | None = None):
             "GOVT_CATEGORY": batch["govt_category"],
             "PAYEE_RAW": batch["payee_raw"],
             "PAYEE_CLEANED": batch["payee"],
-            "CONFIDENCE": pc.round(batch["confidence"], ndigits=4),
+            "CONFIDENCE": round_half_up_arrow(batch["confidence"], 4),
             "PROCESS_DATE": empty,
             "PROCESS_TIME_MS": pa.nulls(batch.num_rows, pa.float64()),
             "STATUS": batch["status"],

@@ -79,16 +79,26 @@ FROM (SELECT doc_id, unnest(spans) AS s
 
 
 def span_stats_sql(cheques_glob: str) -> str:
+    # LEFT JOIN back to the doc list: a doc with spans == [] has no
+    # unnested rows but the engine still emits its all-zero stats row
     return f"""
-SELECT doc_id,
-       count(*) AS n_spans,
-       CAST(sum(CASE WHEN s.kind = 'text' THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_text_spans,
-       CAST(sum(CASE WHEN s.kind = 'image' THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_image_spans,
-       CAST(sum(CASE WHEN s.kind = 'text' THEN length(s.text) ELSE 0 END)
-            AS BIGINT) AS text_chars
-FROM (SELECT doc_id, unnest(spans) AS s
-      FROM read_parquet('{cheques_glob}'))
-GROUP BY doc_id
+WITH g AS (
+  SELECT doc_id,
+         count(*) AS n_spans,
+         CAST(sum(CASE WHEN s.kind = 'text' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_text_spans,
+         CAST(sum(CASE WHEN s.kind = 'image' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_image_spans,
+         CAST(sum(CASE WHEN s.kind = 'text' THEN length(s.text) ELSE 0 END)
+              AS BIGINT) AS text_chars
+  FROM (SELECT doc_id, unnest(spans) AS s
+        FROM read_parquet('{cheques_glob}'))
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(g.n_spans, 0) AS n_spans,
+       coalesce(g.n_text_spans, 0) AS n_text_spans,
+       coalesce(g.n_image_spans, 0) AS n_image_spans,
+       coalesce(g.text_chars, 0) AS text_chars
+FROM read_parquet('{cheques_glob}') d LEFT JOIN g USING (doc_id)
 """

@@ -315,11 +315,17 @@ def dedup_simhash_sql(max_hamming: int = 3) -> str:
     signatures.  The engine's 4x16-bit banding is provably complete
     for hamming <= 3 (pigeonhole) and verifies exactly in-group, so
     engine == this brute-force SQL whenever no bucket exceeds the
-    degenerate-bucket cap (none does on the driver corpus)."""
+    degenerate-bucket cap (none does on the driver corpus).  Pairs
+    come from the COALESCED signature set (zero-token docs hash to 0
+    in the engine and pair with each other at hamming 0)."""
     return _simhash_sql() + f"""
+, sig_all AS (
+  SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+  FROM documents d LEFT JOIN sig s USING (doc_id)
+)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+FROM sig_all a JOIN sig_all b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
