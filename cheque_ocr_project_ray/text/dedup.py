@@ -195,9 +195,29 @@ def bucket_pairs(ids, bucket_cap: int) -> tuple[np.ndarray, np.ndarray]:
     return ids[ii], ids[jj]
 
 
+def _pair_typed_empty(out_col: str):
+    import pyarrow as pa
+    return pa.table({"doc_a": pa.array([], pa.int64()),
+                     "doc_b": pa.array([], pa.int64()),
+                     out_col: pa.array([], pa.int64())})
+
+
+def _dedup_pair_table(t, agg: str, agg_col: str, out_col: str):
+    """Local core: one row per (doc_a, doc_b) via vectorized Arrow
+    group_by.  ``agg``: "count_all" | "min"; ``agg_col``: input column
+    for min ("" for count_all); ``out_col``: output name."""
+    spec = [([], "count_all")] if agg == "count_all" \
+        else [(agg_col, "min")]
+    g = t.group_by(["doc_a", "doc_b"]).aggregate(spec)
+    agg_name = "count_all" if agg == "count_all" else f"{agg_col}_min"
+    g = g.select(["doc_a", "doc_b", agg_name]) \
+        .rename_columns(["doc_a", "doc_b", out_col])
+    return g if g.num_rows else _pair_typed_empty(out_col)
+
+
 def _dedup_pair_rows(raw_ds, agg: str, agg_col: str, out_col: str,
                      broadcast_limit: int = 2_000_000):
-    """One row per (doc_a, doc_b) from a multi-band candidate stream.
+    """Dataset form of :func:`_dedup_pair_table`.
 
     Ray's groupby/aggregate dispatches per group, and candidate-pair
     keys are almost all singletons — measured 28-33 s for 162k groups
@@ -207,32 +227,18 @@ def _dedup_pair_rows(raw_ds, agg: str, agg_col: str, out_col: str,
     stage will broadcast anyway), collect + Arrow-dedup on the driver;
     beyond the bound fall back to the distributed groupby (correct,
     unbounded, slower per group).
-
-    ``agg``: arrow aggregate name ("count_all" | "min"); ``agg_col``:
-    input column for min ("" for count_all); ``out_col``: output name.
     """
-    import pyarrow as pa
     import ray.data
 
+    from cheque_ocr_project_ray.util import collect_table
+
     raw = raw_ds.materialize()
-    typed_empty = pa.table({"doc_a": pa.array([], pa.int64()),
-                            "doc_b": pa.array([], pa.int64()),
-                            out_col: pa.array([], pa.int64())})
     if raw.count() <= broadcast_limit:
-        # drop empty blocks: schemaless (0-column) AND null-typed ones
-        # (an empty pandas group output arrives as doc_a: null)
-        parts = [t for t in ray.get(raw.to_arrow_refs())
-                 if t.num_columns and t.num_rows]
-        if not parts:
-            return ray.data.from_arrow(typed_empty)
-        t = pa.concat_tables(parts).combine_chunks()
-        spec = [([], "count_all")] if agg == "count_all" \
-            else [(agg_col, "min")]
-        g = t.group_by(["doc_a", "doc_b"]).aggregate(spec)
-        agg_name = "count_all" if agg == "count_all" else f"{agg_col}_min"
-        g = g.select(["doc_a", "doc_b", agg_name]) \
-            .rename_columns(["doc_a", "doc_b", out_col])
-        return ray.data.from_arrow(g if g.num_rows else typed_empty)
+        t = collect_table(raw)
+        if t is None:
+            return ray.data.from_arrow(_pair_typed_empty(out_col))
+        return ray.data.from_arrow(
+            _dedup_pair_table(t, agg, agg_col, out_col))
     if agg == "count_all":
         return raw.groupby(["doc_a", "doc_b"]).aggregate(
             Count(alias_name=out_col))
@@ -295,20 +301,19 @@ def minhash_candidates(docs_ds, num_perm: int = 64, bands: int = 16,
     import ray
     import ray.data
 
+    from cheque_ocr_project_ray.util import collect_table
+
     banded = minhash_bands(docs_ds, num_perm, bands, shingle_k) \
         .materialize()
     if banded.count() <= banded_bound:
-        parts = [t for t in ray.get(banded.to_arrow_refs())
-                 if t.num_columns and t.num_rows]
-        if not parts:
-            return ray.data.from_arrow(pa.table({
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "n_bands": pa.array([], pa.int64())}))
-        raw = _pairs_from_banded_table(
-            pa.concat_tables(parts).combine_chunks(), bucket_cap)
-        return _dedup_pair_rows(ray.data.from_arrow(raw),
-                                "count_all", "", "n_bands")
+        t = collect_table(banded)
+        if t is None:
+            return ray.data.from_arrow(_pair_typed_empty("n_bands"))
+        raw = _pairs_from_banded_table(t, bucket_cap)
+        # the raw pair table is already local: dedup it here, don't
+        # round-trip it through the object store
+        return ray.data.from_arrow(
+            _dedup_pair_table(raw, "count_all", "", "n_bands"))
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(group["doc_id"].unique())
@@ -398,12 +403,11 @@ def minhash_dedup_pairs(docs_ds, num_perm: int = 64,
     if n_cand == 0:
         return ray.data.from_arrow(empty)
 
+    from cheque_ocr_project_ray.util import collect_table
+
     ids = None
     if n_cand <= broadcast_limit:
-        # Ray's aggregate can emit schemaless EMPTY blocks — drop them
-        # before concat (they'd fail the schema check)
-        parts = [t for t in ray.get(cand.to_arrow_refs()) if t.num_columns]
-        cand_t = pa.concat_tables(parts).combine_chunks()
+        cand_t = collect_table(cand)  # non-None: n_cand > 0
         ids = pa.compute.unique(pa.concat_arrays([
             cand_t.column("doc_a").combine_chunks(),
             cand_t.column("doc_b").combine_chunks()]))
@@ -420,13 +424,11 @@ def minhash_dedup_pairs(docs_ds, num_perm: int = 64,
         # pass then re-shingles only the (bounded) candidate set, not
         # every doc — at corpus scale the blob compute is proportional
         # to dups, not corpus size
-        blobs = pa.concat_tables(
-            [t for t in ray.get(
-                shingle_blobs(
-                    docs_ds.map_batches(only_candidates,
-                                        batch_format="pyarrow"),
-                    shingle_k).to_arrow_refs())
-             if t.num_columns])  # Ray can emit schemaless empty blocks
+        blobs = collect_table(
+            shingle_blobs(
+                docs_ds.map_batches(only_candidates,
+                                    batch_format="pyarrow"),
+                shingle_k).materialize())
         blob_by_id = dict(zip(blobs.column("doc_id").to_pylist(),
                               blobs.column("shingle_blob").to_pylist()))
         # verification is DISTRIBUTED even on this path: the bounded
@@ -521,19 +523,30 @@ def _simhash_pairs_from_table(t, max_hamming: int, bucket_cap: int):
         ids, idx = np.unique(doc[s:e], return_index=True)
         if len(ids) < 2:
             continue
-        hs = sig[s:e][idx]
-        upper = 1 if len(ids) > bucket_cap else len(ids)
-        for i in range(upper):
-            x = hs[i] ^ hs[i + 1:]
-            ham = np.array([bin(int(v)).count("1") for v in x])
-            keep = np.nonzero(ham <= max_hamming)[0]
-            for j in keep:
-                out_a.append(int(ids[i]))
-                out_b.append(int(ids[i + 1 + j]))
-                out_h.append(int(ham[j]))
+        _bucket_hamming_pairs(ids, sig[s:e][idx], max_hamming,
+                              bucket_cap, out_a, out_b, out_h)
     return pa.table({"doc_a": pa.array(out_a, pa.int64()),
                      "doc_b": pa.array(out_b, pa.int64()),
                      "hamming": pa.array(out_h, pa.int64())})
+
+
+def _bucket_hamming_pairs(ids, hs, max_hamming: int, bucket_cap: int,
+                          out_a: list, out_b: list, out_h: list) -> None:
+    """Exact-Hamming compare within one bucket (sorted unique ids with
+    their signatures) — appends qualifying pairs.  The ONE copy of the
+    star/full compare semantics shared by the driver and distributed
+    paths (a divergence here would silently break their promised
+    equality).  Degenerate bucket (> cap) → star comparison only
+    (linear, transitively complete for keep-one-per-cluster)."""
+    upper = 1 if len(ids) > bucket_cap else len(ids)
+    for i in range(upper):
+        x = hs[i] ^ hs[i + 1:]
+        ham = np.array([bin(int(v)).count("1") for v in x])
+        keep = np.nonzero(ham <= max_hamming)[0]
+        for j in keep:
+            out_a.append(int(ids[i]))
+            out_b.append(int(ids[i + 1 + j]))
+            out_h.append(int(ham[j]))
 
 
 def simhash_near_pairs(docs_ds, max_hamming: int = 3,
@@ -571,21 +584,15 @@ def simhash_near_pairs(docs_ds, max_hamming: int = 3,
     # driver lexsort + vectorized slicing when within bound, else the
     # distributed groupby/map_groups (unbounded corpora)
     if banded.count() <= banded_bound:
-        import pyarrow as pa
-        import ray
         import ray.data
-        parts = [t for t in ray.get(banded.to_arrow_refs())
-                 if t.num_columns and t.num_rows]
-        if not parts:
-            return ray.data.from_arrow(pa.table({
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "hamming": pa.array([], pa.int64())}))
-        raw = _simhash_pairs_from_table(
-            pa.concat_tables(parts).combine_chunks(), max_hamming,
-            bucket_cap)
-        return _dedup_pair_rows(ray.data.from_arrow(raw),
-                                "min", "hamming", "hamming")
+
+        from cheque_ocr_project_ray.util import collect_table
+        t = collect_table(banded)
+        if t is None:
+            return ray.data.from_arrow(_pair_typed_empty("hamming"))
+        raw = _simhash_pairs_from_table(t, max_hamming, bucket_cap)
+        return ray.data.from_arrow(
+            _dedup_pair_table(raw, "min", "hamming", "hamming"))
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates("doc_id").sort_values("doc_id")
@@ -595,17 +602,9 @@ def simhash_near_pairs(docs_ds, max_hamming: int = 3,
                                  "hamming": pd.Series([], dtype="int64")})
         ids = g["doc_id"].to_numpy()
         hs = g["simhash"].to_numpy().astype(np.uint64)
-        # degenerate bucket → star comparison only (linear)
-        upper = 1 if len(ids) > bucket_cap else len(ids)
         out_a, out_b, out_h = [], [], []
-        for i in range(upper):
-            x = hs[i] ^ hs[i + 1:]
-            ham = np.array([bin(int(v)).count("1") for v in x])
-            keep = np.nonzero(ham <= max_hamming)[0]
-            for j in keep:
-                out_a.append(ids[i])
-                out_b.append(ids[i + 1 + j])
-                out_h.append(int(ham[j]))
+        _bucket_hamming_pairs(ids, hs, max_hamming, bucket_cap,
+                              out_a, out_b, out_h)
         # typed even when no pair survives — an untyped empty frame
         # (float64/objectless) makes the whole aggregate schemaless on
         # a clean corpus and out['doc_a'] raises KeyError downstream
@@ -645,15 +644,12 @@ def winnow_dedup_pairs(docs_ds, min_shared: int = 3, max_df: int = 50,
     fps = docs_ds.map_batches(winnow_fingerprints,
                               batch_format="pyarrow").materialize()
 
+    from cheque_ocr_project_ray.util import collect_table
+
     if fps.count() <= bound:
-        parts = [t for t in ray.get(fps.to_arrow_refs())
-                 if t.num_columns and t.num_rows]
-        if not parts:
-            return ray.data.from_arrow(pa.table({
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "n_shared": pa.array([], pa.int64())}))
-        t = pa.concat_tables(parts).combine_chunks()
+        t = collect_table(fps)
+        if t is None:
+            return ray.data.from_arrow(_pair_typed_empty("n_shared"))
         # df filter: rows are distinct (doc, fp), so value_counts = df
         vc = t.column("fp").value_counts()
         keep_fps = vc.field("values").filter(
@@ -661,8 +657,8 @@ def winnow_dedup_pairs(docs_ds, min_shared: int = 3, max_df: int = 50,
         t = t.filter(pc.is_in(t.column("fp"), value_set=keep_fps))
         raw = _pairs_grouped([t.column("fp").to_numpy()],
                              t.column("doc_id").to_numpy(), bucket_cap)
-        pairs = _dedup_pair_rows(ray.data.from_arrow(raw),
-                                 "count_all", "", "n_shared")
+        pairs = ray.data.from_arrow(
+            _dedup_pair_table(raw, "count_all", "", "n_shared"))
     else:
         def bucket(group: pd.DataFrame) -> pd.DataFrame:
             ids = sorted(group["doc_id"].unique())

@@ -111,10 +111,8 @@ def final_merge_sums(partials_ds, keys: list, sum_cols: list,
 
     part = partials_ds.materialize()
     if part.count() <= bound:
-        parts = [t for t in ray.get(part.to_arrow_refs())
-                 if t.num_columns and t.num_rows]
-        if parts:
-            t = pa.concat_tables(parts).combine_chunks()
+        t = collect_table(part)
+        if t is not None:
             g = t.group_by(keys).aggregate([(c, "sum") for c in sum_cols])
             g = g.select(list(keys) + [f"{c}_sum" for c in sum_cols]) \
                 .rename_columns(list(keys) + list(sum_cols))
@@ -123,3 +121,23 @@ def final_merge_sums(partials_ds, keys: list, sum_cols: list,
     return part.groupby(list(keys),
                         num_partitions=np_ or None).aggregate(
         *[Sum(c, alias_name=c) for c in sum_cols])
+
+
+def collect_table(materialized_ds):
+    """Concat a (small, bounded) materialized Dataset's blocks into one
+    local Arrow table, or None when nothing real was produced.
+
+    Centralizes the empty-block hygiene every bounded-adaptive path
+    needs: Ray emits schemaless (0-column) blocks for some empty
+    outputs and null-typed blocks for empty pandas frames — both must
+    be dropped before pyarrow.concat_tables or it raises on the mixed
+    schemas.
+    """
+    import pyarrow as pa
+    import ray
+
+    parts = [t for t in ray.get(materialized_ds.to_arrow_refs())
+             if t.num_columns and t.num_rows]
+    if not parts:
+        return None
+    return pa.concat_tables(parts).combine_chunks()
