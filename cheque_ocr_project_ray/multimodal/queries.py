@@ -18,6 +18,7 @@ import ray.data
 from ray.data.aggregate import Count, Mean, Sum
 
 from cheque_ocr_project_ray.fixtures.gen import ensure_fixture
+from cheque_ocr_project_ray.util import round_half_up
 from cheque_ocr_project_ray.multimodal.stages import (
     DEFAULT_MEDIA_BATCH,
     AudioFeatureStage,
@@ -134,7 +135,9 @@ def media_embed_neighbors(sf_dir: str, k: int = 5):
             sims = mat @ self.q
             return pa.table({
                 "media_ref": batch.column("media_ref"),
-                "cosine": pa.array(np.round(sims, 5), pa.float32()),
+                "cosine": pa.array(
+                    round_half_up(sims, 5).astype(np.float32),
+                    pa.float32()),
             })
 
     from cheque_ocr_project_ray.util import map_pool

@@ -287,6 +287,8 @@ def cosine_neardup_pairs(emb_ds, n_planes: int = 8,
     schema/metadata) — otherwise one probe row is read to learn it.
     """
 
+    from cheque_ocr_project_ray.util import round_half_up
+
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         m = _batch_matrix(group)
         norms = np.linalg.norm(m, axis=1)
@@ -297,7 +299,7 @@ def cosine_neardup_pairs(emb_ds, n_planes: int = 8,
         return pd.DataFrame({
             "vec_a": np.minimum(ids[ii], ids[jj]).astype("int64"),
             "vec_b": np.maximum(ids[ii], ids[jj]).astype("int64"),
-            "cos": np.round(cos[ii, jj], 5).astype("float64"),
+            "cos": round_half_up(cos[ii, jj], 5).astype("float64"),
         })
 
     if dim is None:
