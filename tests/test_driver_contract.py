@@ -23,9 +23,12 @@ def test_queries_take_one_sf_dir():
 
 def test_expected_families_present():
     qs = set(entry.queries())
-    for probe in ("cheque_extract", "q1_pricing_summary", "dedup_minhash",
-                  "ann_cosine_topk", "media_decode_stats",
-                  "corpus_curation", "events_sessions"):
+    for probe in ("cheque_extract", "cheque_spans_json",
+                  "cheque_span_explode", "q1_pricing_summary",
+                  "dedup_minhash", "dedup_winnow", "doc_split",
+                  "ann_cosine_topk", "ann_knn_join",
+                  "media_decode_stats", "corpus_curation",
+                  "corpus_pipeline", "events_sessions"):
         assert probe in qs
-    assert len(qs) >= 44
-    assert len(entry.oracle_sql()) >= 23
+    assert len(qs) >= 63
+    assert len(entry.oracle_sql()) >= 56

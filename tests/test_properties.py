@@ -89,3 +89,56 @@ def test_simhash_range_and_shingles(s):
     assert simhash64(s) == h                              # deterministic
     sh = shingles(s, 3)
     assert all(isinstance(x, int) and 0 <= x < (1 << 32) for x in sh)
+
+
+@settings(max_examples=200, deadline=None)
+@given(any_text)
+def test_bpe_pattern_covers_every_char(s):
+    """The BPE-ish pre-tokenizer must consume the whole string: the
+    concatenation of matches reconstructs the input exactly (no char
+    is unmatchable), so token counts are a true partition size."""
+    import re
+
+    from cheque_ocr_project_ray.text.analysis import BPE_PATTERN
+    toks = re.findall(BPE_PATTERN, s)
+    assert "".join(toks) == s
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=string.printable, min_size=0, max_size=200))
+def test_winnow_fps_subset_of_gram_hashes(s):
+    """Every winnowing fingerprint is the hash of a real k-gram of the
+    doc, and the op is deterministic."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from cheque_ocr_project_ray.text import analysis
+    batch = pa.table({"doc_id": [1], "text": [s]})
+    out = analysis.winnow_fingerprints(batch)
+    K = analysis.WINNOW_K
+    grams = {int.from_bytes(
+        hashlib.md5(s[i:i + K].encode("utf-8")).digest()[8:16], "little")
+        for i in range(max(0, len(s) - K + 1))}
+    fps = set(out.column("fp").to_pylist())
+    assert fps <= grams
+    if len(s) >= K:
+        assert fps  # at least one window fingerprint
+    out2 = analysis.winnow_fingerprints(batch)
+    assert out.equals(out2)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=-10**12, max_value=10**12))
+def test_split_stable_and_total(doc_id):
+    """Split assignment is a pure function of doc_id and always lands
+    in exactly one of train/val/test with bucket < 100."""
+    import pyarrow as pa
+
+    from cheque_ocr_project_ray.text import analysis
+    batch = pa.table({"doc_id": [doc_id], "text": ["x"]})
+    a = analysis.train_split(batch).to_pylist()[0]
+    b = analysis.train_split(batch).to_pylist()[0]
+    assert a == b
+    assert 0 <= a["bucket"] < 100
+    assert a["split"] in ("train", "val", "test")
