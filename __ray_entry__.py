@@ -153,6 +153,18 @@ def _cheque_queries() -> dict[str, Callable[[str], Any]]:
         from cheque_ocr_project_ray.spans import span_stats
         return span_stats(read_cheques(ensure_fixture(sf_dir)))
 
+    def cheque_span_roundtrip(sf_dir: str):
+        """explode → reassemble → canonical JSON: proves the span-row
+        relational view is lossless (kind, text, media_ref, order all
+        survive the round trip) against a straight-from-parquet
+        serialization oracle."""
+        from cheque_ocr_project_ray.sources.io import read_cheques
+        from cheque_ocr_project_ray.spans import (
+            assemble_spans, explode_spans, spans_json_batch)
+        flat = explode_spans(read_cheques(ensure_fixture(sf_dir)))
+        return assemble_spans(flat).map_batches(spans_json_batch,
+                                                batch_format="pyarrow")
+
     return {
         "cheque_extract": cheque_extract,
         "cheque_spans": cheque_spans,
@@ -165,6 +177,7 @@ def _cheque_queries() -> dict[str, Callable[[str], Any]]:
         "cheque_filename_fields": cheque_filename_fields,
         "cheque_span_explode": cheque_span_explode,
         "cheque_span_stats": cheque_span_stats,
+        "cheque_span_roundtrip": cheque_span_roundtrip,
         "cheque_run_summary": cheque_run_summary,
     }
 
@@ -210,7 +223,8 @@ def _cheque_oracle_sql() -> dict[str, str]:
     from cheque_ocr_project_ray.fixtures.expected import ensure_expected
     from cheque_ocr_project_ray.fixtures.gen import ensure_fixture
 
-    from cheque_ocr_project_ray.spans import span_explode_sql, span_stats_sql
+    from cheque_ocr_project_ray.spans import (
+        span_explode_sql, span_roundtrip_sql, span_stats_sql)
 
     fixture = ensure_fixture("sf0.01")
     meta = f"{fixture}/meta/meta.parquet"
@@ -220,6 +234,7 @@ def _cheque_oracle_sql() -> dict[str, str]:
         "cheque_filename_fields": _FILENAME_FIELDS_SQL.replace("<META>", meta),
         "cheque_span_explode": span_explode_sql(cheques),
         "cheque_span_stats": span_stats_sql(cheques),
+        "cheque_span_roundtrip": span_roundtrip_sql(cheques),
         "cheque_extract": f"""
 SELECT doc_id, cheque_type, is_government, govt_category, payee_raw,
        payee, issuer, issuer_conf, confidence, status, micr, amount,

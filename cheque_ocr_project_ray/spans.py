@@ -69,6 +69,66 @@ def span_stats(cheques_ds):
     return cheques_ds.map_batches(span_stats_batch, batch_format="pyarrow")
 
 
+def assemble_spans(flat_ds):
+    """Inverse of :func:`explode_spans`: span rows → one document row
+    per doc_id with the span list rebuilt in offset order.
+
+    Shape: groupby(doc_id).map_groups — the partitioning assumption is
+    one document's spans fit one group (they do by construction; a
+    10^12-doc corpus has bounded spans per doc, and doc_id hashing
+    spreads groups evenly)."""
+    import pandas as pd
+
+    def rebuild(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("offset")
+        spans = [{"kind": k, "text": t, "media_ref": r, "offset": int(o)}
+                 for k, t, r, o in zip(g["kind"], g["text"],
+                                       g["media_ref"], g["offset"])]
+        return pd.DataFrame({"doc_id": [g["doc_id"].iloc[0]],
+                             "spans": [spans]})
+
+    return flat_ds.groupby("doc_id").map_groups(rebuild,
+                                                batch_format="pandas")
+
+
+def spans_json_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, spans) → (doc_id, spans_json) canonical serialization
+    (same format as fixtures.expected.spans_to_json)."""
+    from cheque_ocr_project_ray.fixtures.expected import spans_to_json
+
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "spans_json": pa.array(
+            [spans_to_json(s) for s in batch.column("spans").to_pylist()],
+            pa.string()),
+    })
+
+
+def span_roundtrip_sql(cheques_glob: str) -> str:
+    """Canonical spans_json straight from the raw table — the oracle
+    for explode→reassemble: a lossless round trip must reproduce
+    exactly this serialization.  The JSON escaping chain (backslash
+    then quote) mirrors json.dumps for the corpus's character set
+    (ASCII, no control characters — generated fixture invariant)."""
+    # chr()-based escape expression avoids SQL-literal backslash pain;
+    # a doc with spans == [] has no unnested rows and drops from BOTH
+    # sides of the round trip (consistent by construction)
+    def e(col: str) -> str:
+        return ("replace(replace(" + col +
+                ", chr(92), chr(92) || chr(92)), chr(34), "
+                "chr(92) || chr(34))")
+    return f"""
+SELECT doc_id,
+       '[' || string_agg(
+           '["' || {e('s.kind')} || '","' || {e('s.text')} || '","' ||
+           {e('s.media_ref')} || '",' || s."offset" || ']',
+           ',' ORDER BY s."offset") || ']' AS spans_json
+FROM (SELECT doc_id, unnest(spans) AS s
+      FROM read_parquet('{cheques_glob}'))
+GROUP BY doc_id
+"""
+
+
 def span_explode_sql(cheques_glob: str) -> str:
     return f"""
 SELECT doc_id, s.kind AS kind, s.text AS text,
