@@ -115,13 +115,32 @@ def _media_decoder(fixture_dir: Path):
     return lookup
 
 
+def _semantic_core_digest() -> str:
+    """Hash of the source files that define the oracle semantics —
+    part of the cache key so a semantic change regenerates the
+    expected table AUTOMATICALLY (a stale table would silently turn
+    the driver's cheque oracles into comparisons against old
+    semantics; EXPECTED_VERSION remains for layout changes)."""
+    import hashlib
+
+    root = Path(__file__).resolve().parent.parent
+    files = sorted([root / "oracle.py", root / "media.py",
+                    *(root / "functions").glob("*.py")])
+    h = hashlib.sha256()
+    for f in files:
+        h.update(f.name.encode())
+        h.update(f.read_bytes())
+    return h.hexdigest()[:16]
+
+
 def generate_expected(fixture_dir: str | Path) -> Path:
     fixture_dir = Path(fixture_dir)
     out_dir = fixture_dir / "expected"
     manifest_path = out_dir / "_EXPECTED_MANIFEST.json"
     key = {"fixture_version": FIXTURE_VERSION,
            "expected_version": EXPECTED_VERSION,
-           "v1_threshold": V1_THRESHOLD, "v3_threshold": V3_THRESHOLD}
+           "v1_threshold": V1_THRESHOLD, "v3_threshold": V3_THRESHOLD,
+           "semantic_core": _semantic_core_digest()}
     if manifest_path.exists():
         try:
             if json.loads(manifest_path.read_text()) == key:
