@@ -83,7 +83,10 @@ def write_checkpointed(results_ds, out_dir: str | Path,
     layout_path = out_dir / "_LAYOUT.json"
     if layout_path.exists():
         prev = json.loads(layout_path.read_text())["num_partitions"]
-        if prev != num_partitions:
+        if prev != num_partitions and resume:
+            # only RESUMING into a different layout mis-routes docs —
+            # a fresh run is about to wipe everything anyway, so it
+            # may legitimately change the partition count
             raise ValueError(
                 f"checkpoint at {out_dir} was written with "
                 f"num_partitions={prev}; resuming with {num_partitions} "
@@ -91,8 +94,7 @@ def write_checkpointed(results_ds, out_dir: str | Path,
         if not resume:
             for d in out_dir.glob("part=*"):
                 shutil.rmtree(d)
-    else:
-        layout_path.write_text(json.dumps({"num_partitions": num_partitions}))
+    layout_path.write_text(json.dumps({"num_partitions": num_partitions}))
     _clean_incomplete(out_dir)
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
@@ -129,8 +131,13 @@ def write_checkpointed(results_ds, out_dir: str | Path,
             "wall_s": round(time.perf_counter() - t0, 4),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
         }
-        # commit marker LAST — its presence defines partition success
-        (pdir / "_SUCCESS.json").write_text(json.dumps(lineage))
+        # commit marker LAST, written ATOMICALLY — its presence alone
+        # defines partition success, so a crash mid-write must never
+        # leave a truncated marker (resume would skip the partition
+        # while rollup_metrics chokes on the partial JSON)
+        tmp_marker = pdir / "._SUCCESS.json.tmp"
+        tmp_marker.write_text(json.dumps(lineage))
+        os.replace(tmp_marker, pdir / "_SUCCESS.json")
         # returned record keeps flat columns only (nested dicts don't
         # unify across pandas blocks); the sidecar carries the rest
         return pd.DataFrame(

@@ -83,6 +83,15 @@ def build_cheque_pipeline(
     # and OCR the rest
     extract_max = max(1, int(avail * 0.1))
     ocr_total = max(1, min(cfg.ocr_concurrency, avail - extract_max))
+    # Tiny-cluster guard (< 4 CPUs): avail=max(2,...) above would let
+    # the two 1-CPU fixed pools reserve EVERY CPU and starve the read
+    # tasks — the exact deadlock the -2 reserve exists to prevent.
+    # Run both stages on fractional actors so >= 1 full CPU stays free.
+    ocr_cpus = cfg.ocr_num_cpus
+    extract_cpus = 1.0
+    if total_cpus < 4:
+        ocr_total, extract_max = 1, 1
+        ocr_cpus, extract_cpus = 0.4, 0.4
     # A limited run (--limit N = "first N docs", reference O2) must be
     # ONE ordered read — two predicate branches would each take N of
     # their own subset.  Skew routing only matters at full-corpus scale
@@ -104,7 +113,7 @@ def build_cheque_pipeline(
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=pool,
-            num_cpus=cfg.ocr_num_cpus,
+            num_cpus=ocr_cpus,
         )
 
     # Two-path skew routing on the stored media_bytes hint, pushed into
@@ -142,5 +151,5 @@ def build_cheque_pipeline(
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
         concurrency=extract_max,
-        num_cpus=1,
+        num_cpus=extract_cpus,
     )

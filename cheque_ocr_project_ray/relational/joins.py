@@ -30,13 +30,17 @@ def broadcast_join(large_ds, small_table: pa.Table, on: str,
     actor reads it zero-copy in ``__init__`` and joins per Arrow batch.
     """
     small_ref = ray.put(small_table)
+    # accept BOTH vocabularies ('left' and Arrow's 'left outer') so the
+    # broadcast and hash paths are drop-in swappable at call sites
+    arrow_how = {"left": "left outer", "right": "right outer",
+                 "outer": "full outer"}.get(how, how)
 
     class _Joiner:
         def __init__(self):
             self.small = ray.get(small_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            return batch.join(self.small, keys=on, join_type=how)
+            return batch.join(self.small, keys=on, join_type=arrow_how)
 
     from cheque_ocr_project_ray.util import map_pool
     return large_ds.map_batches(_Joiner, batch_format="pyarrow",
@@ -44,7 +48,11 @@ def broadcast_join(large_ds, small_table: pa.Table, on: str,
 
 
 _JOIN_TYPES = {"inner": "inner", "left": "left_outer",
-               "right": "right_outer", "outer": "full_outer"}
+               "right": "right_outer", "outer": "full_outer",
+               # Arrow-vocabulary aliases: both join helpers accept
+               # either spelling (call sites are drop-in swappable)
+               "left outer": "left_outer", "right outer": "right_outer",
+               "full outer": "full_outer"}
 
 
 def hash_join(left_ds, right_ds, on: str, how: str = "inner",

@@ -39,9 +39,11 @@ def _hash_shuffled(fn):
     import functools
 
     @functools.wraps(fn)
-    def wrapper(sf_dir: str):
+    def wrapper(sf_dir: str, **kwargs):
+        # forward tuning kwargs (gap_minutes, k, ...) — the driver
+        # passes only sf_dir, but the parameters are real API
         with tune_shuffle() as np_:
-            return fn(sf_dir, np_=np_)
+            return fn(sf_dir, np_=np_, **kwargs)
     return wrapper
 
 
@@ -659,7 +661,6 @@ def events_user_count_approx(sf_dir: str):
     bound."""
     from cheque_ocr_project_ray.sketch import (
         hll_estimate, hll_merge, hll_partial)
-    ds = _pq(sf_dir, "events", ["event_type", "user_id"])
 
     def partial(batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -681,7 +682,9 @@ def events_user_count_approx(sf_dir: str):
         })
 
     import numpy as np
+    # root read inside the scope (context captured at root creation)
     with tune_shuffle(num_partitions=4) as np_:
+        ds = _pq(sf_dir, "events", ["event_type", "user_id"])
         return ds.map_batches(partial, batch_format="pyarrow") \
             .groupby("event_type", num_partitions=np_) \
             .map_groups(merge, batch_format="pandas")
@@ -773,11 +776,20 @@ def events_asof_view(sf_dir: str, np_: int = 0):
 
 
 EVENTS_ASOF_SQL = """
+-- views deduped to the max event_id per (user, ts) BEFORE the ASOF:
+-- DuckDB's ASOF JOIN has no secondary ordering key, so equal-ts view
+-- ties would otherwise resolve arbitrarily while the engine always
+-- picks the highest event_id (searchsorted over (ts, event_id))
+WITH v1 AS (
+  SELECT user_id, ts, max(event_id) AS event_id
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+)
 SELECT c.event_id AS click_event_id, c.user_id,
        v.event_id AS view_event_id,
        epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
 FROM (SELECT * FROM events WHERE event_type = 'click') c
-ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+ASOF JOIN v1 v
   ON c.user_id = v.user_id AND c.ts >= v.ts
 """
 

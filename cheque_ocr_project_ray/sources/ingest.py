@@ -111,17 +111,26 @@ def ingest_directory(image_dir: str | Path, out_dir: str | Path,
     manifest_ref = ray.put(manifest)
 
     listed = _list_images(image_dir)
-    # stems shared by several files (scan1.tif + scan1.png) would give
-    # colliding doc_ids and one file's results would be dropped by the
-    # replay-dedup guard — disambiguate those docs by full filename
+    # stems shared by several files (scan1.tif + scan1.png, or the
+    # same name in two subdirectories of the recursive listing) would
+    # give colliding doc_ids and one file's results would be dropped
+    # by the replay-dedup guard — disambiguate those docs by their
+    # dir-relative path (slashes flattened), which is unique by
+    # construction; plain stems stay the common-case doc_id
     from collections import Counter
     stem_counts = Counter(Path(r["path"]).stem for r in listed)
     dup_stems = frozenset(s for s, n in stem_counts.items() if n > 1)
     dup_ref = ray.put(dup_stems)
+    root_str = str(image_dir)
 
     def doc_id_for(path: str, dups) -> str:
         p = Path(path)
-        return p.name if p.stem in dups else p.stem
+        if p.stem not in dups:
+            return p.stem
+        rel = str(Path(path).resolve())
+        if rel.startswith(root_str):
+            rel = rel[len(root_str):].lstrip("/\\")
+        return rel.replace("/", "__").replace("\\", "__")
 
     files = ray.data.from_items(listed)
 

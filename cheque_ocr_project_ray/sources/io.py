@@ -61,11 +61,19 @@ def skew_profile(cheques_dir: str | Path, threshold: int,
     small_groups: list[tuple[Path, int]] = []
     for f in files:
         md = pq.ParquetFile(f).metadata
+        if md.num_row_groups == 0:  # fragment from an empty block
+            continue
         # leaf-column index, NOT the arrow schema index: nested columns
         # (spans) expand into several parquet leaves before media_bytes
         rg0 = md.row_group(0)
-        ci = next(i for i in range(rg0.num_columns)
-                  if rg0.column(i).path_in_schema == "media_bytes")
+        ci = next((i for i in range(rg0.num_columns)
+                   if rg0.column(i).path_in_schema == "media_bytes"),
+                  None)
+        if ci is None:
+            # table without the hint column (external/legacy corpus):
+            # no routing signal — fall back to the no-skew single
+            # branch rather than aborting pipeline construction
+            return 0.0, 0
         for i in range(md.num_row_groups):
             rg = md.row_group(i)
             st = rg.column(ci).statistics

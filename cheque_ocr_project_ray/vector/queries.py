@@ -120,8 +120,6 @@ WHERE a.vec_id < b.vec_id
 
 def label_stats(sf_dir: str):
     """Grouped stats over the vector table (count + first-component mean)."""
-    ds = ray.data.read_parquet(str(Path(sf_dir) / "embeddings.parquet"),
-                               columns=["label", "embedding"])
 
     def partial(batch):
         import pyarrow as pa
@@ -137,8 +135,14 @@ def label_stats(sf_dir: str):
     from cheque_ocr_project_ray.util import tune_shuffle
     # partitions capped at key cardinality (10 labels): more partitions
     # than groups guarantees schemaless empty aggregate blocks (the
-    # executor's "different schema" warning) and buys no parallelism
+    # executor's "different schema" warning) and buys no parallelism.
+    # The ROOT read must be built inside the scope — a Dataset captures
+    # its DataContext at root creation, so a read built outside would
+    # silently run the default sort shuffle (checkpoint.py documents
+    # the verified capture semantics).
     with tune_shuffle(num_partitions=4) as np_:
+        ds = ray.data.read_parquet(str(Path(sf_dir) / "embeddings.parquet"),
+                                   columns=["label", "embedding"])
         agg = ds.map_batches(partial, batch_format="pyarrow") \
             .groupby("label", num_partitions=np_).aggregate(
                 Sum("n", alias_name="n"),

@@ -82,13 +82,23 @@ def test_resume_after_partial_failure(fixture_dir, tmp_path):
     assert resumed["issuer"].equals(reference["issuer"])
 
 
-def test_layout_mismatch_rejected(fixture_dir, tmp_path):
+def test_layout_mismatch_rejected_only_when_resuming(fixture_dir, tmp_path):
+    """Resuming into a different partition count mis-routes docs →
+    ValueError; a FRESH run wipes everything anyway, so it may change
+    the layout and must update _LAYOUT.json."""
+    import json
     out = tmp_path / "ckpt"
     write_checkpointed(build_cheque_pipeline(fixture_dir, CFG),
                        out, num_partitions=N_PARTS)
     with pytest.raises(ValueError, match="num_partitions"):
         write_checkpointed(build_cheque_pipeline(fixture_dir, CFG),
-                           out, num_partitions=N_PARTS * 2)
+                           out, num_partitions=N_PARTS * 2, resume=True)
+    # fresh run with a new count: allowed, relaid out, manifest updated
+    write_checkpointed(build_cheque_pipeline(fixture_dir, CFG),
+                       out, num_partitions=N_PARTS * 2)
+    assert json.loads((out / "_LAYOUT.json").read_text()) == \
+        {"num_partitions": N_PARTS * 2}
+    assert len(list(out.glob("part=*"))) == N_PARTS * 2
 
 
 def test_fresh_rerun_wipes_stale_partitions(fixture_dir, tmp_path):

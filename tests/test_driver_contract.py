@@ -32,3 +32,16 @@ def test_expected_families_present():
         assert probe in qs
     assert len(qs) >= 63
     assert len(entry.oracle_sql()) >= 56
+
+
+def test_hash_shuffled_queries_forward_kwargs():
+    """The tuning parameters the decorated queries advertise
+    (gap_minutes, k) must actually be callable — the decorator
+    forwards **kwargs (regression: it used to strip them)."""
+    from cheque_ocr_project_ray.relational.queries import (
+        events_sessions, events_top_per_type)
+    sf = "/root/testdata/sf0.001"
+    wide = events_sessions(sf, gap_minutes=10**9).to_pandas()
+    assert (wide["n_sessions"] == 1).all()   # one giant gap window
+    top1 = events_top_per_type(sf, k=1).to_pandas()
+    assert top1.groupby("event_type").size().max() == 1
