@@ -125,6 +125,8 @@ def _semantic_core_digest() -> str:
 
     root = Path(__file__).resolve().parent.parent
     files = sorted([root / "oracle.py", root / "media.py",
+                    root / "state" / "drawer_dict.py",   # dict semantics
+                    Path(__file__).resolve(),            # this generator
                     *(root / "functions").glob("*.py")])
     h = hashlib.sha256()
     for f in files:

@@ -33,7 +33,7 @@ import pyarrow.parquet as pq
 
 from cheque_ocr_project_ray.media import encode_image
 
-FIXTURE_VERSION = 7
+FIXTURE_VERSION = 8  # v8: no_text docs can have truly EMPTY spans
 DEFAULT_SEED = 42
 FIXTURE_ROOT = Path("/tmp/cheque_ray_fixtures")
 
@@ -262,11 +262,14 @@ def make_doc(seed: int, idx: int, bucket: int) -> tuple[dict, dict, list[tuple]]
     media_rows: list[tuple] = []
     spans: list[dict] = []
     offset = 0
+    # ~30% of no_text docs have ZERO spans entirely (spans == []):
+    # the empty-document branch of the §1 checklist — exercises the
+    # NO-TEXT/REJECTED path with no media at all, the span_stats
+    # LEFT-JOIN row, and explode/assemble's empty-doc drop semantics
     n_images = 0 if scenario == "no_text" and rng.random() < 0.3 else \
         rng.randrange(1, 4)
     if scenario == "no_text":
-        image_line_sets: list[list] = [[] for _ in range(max(1, n_images))]
-        n_images = max(1, n_images)
+        image_line_sets: list[list] = [[] for _ in range(n_images)]
         text_spans = []
     else:
         image_line_sets = [[] for _ in range(n_images)]

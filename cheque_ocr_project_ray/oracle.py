@@ -167,16 +167,20 @@ def extract_fields(
     confidence = sum(confidences) / len(confidences) if confidences else 0.0
 
     if status_ladder == "v3":
-        # V3 variant: the shared scored-candidate machinery
-        # (extract_issuer) feeds the V3 SEVEN-STATE ladder.  v1's
-        # raw-text FOR fast path is deliberately NOT applied here —
-        # V3's own process_image has no such fast path
-        # (IssuerBatchProcessorV3.py:357-393 handles FOR only via
-        # remove_prefixes inside candidate extraction), so candidate
-        # selection under this ladder mirrors V3, not v1.  The
-        # pre-gate candidate is needed because REVIEW vs NO-TEXT is
-        # decided on the candidate resolve_issuer would have
-        # discarded (ladder: :446-473).
+        # V3 variant: v1's scored-candidate machinery (extract_issuer)
+        # feeds the V3 SEVEN-STATE ladder.  DOCUMENTED DEVIATION: the
+        # reference V3 ranks candidates by raw OCR confidence and
+        # fuzzy-matches only the top one at cascaded cutoffs
+        # 0.85/0.80/0.75 (IssuerBatchProcessorV3.py:319-355); this
+        # engine deliberately keeps ONE candidate selector (v1's
+        # score-ranked extract_issuer, single 0.78 cutoff) across both
+        # ladders — the frozen-v1-semantics decision of SURVEY §2.10 —
+        # so the v3 config varies only the STATUS LADDER, not the
+        # selection.  v1's raw-text FOR fast path is still not applied
+        # here (V3's process_image has none; :357-393 handles FOR only
+        # via remove_prefixes).  The pre-gate candidate is needed
+        # because REVIEW vs NO-TEXT is decided on the candidate
+        # resolve_issuer would have discarded (ladder: :446-473).
         cand_text, cand_conf, _score, cand_src = extract_issuer(
             ocr_lines, drawer_dict, cache=match_cache)
         issuer, status = v3_status(cand_text, cand_conf,
@@ -260,7 +264,10 @@ def reference_extract(
     """The per-row oracle: doc row → output span sequence."""
     try:
         full_text, ocr_lines = assemble_document(doc["spans"], media_lookup)
-    except ValueError:
+    except Exception:
+        # ANY malformed payload poisons only its row (same contract as
+        # OcrStage: bad magic → ValueError, truncated header →
+        # struct.error, wrong JSON shape → KeyError/TypeError)
         return fields_to_spans(error_fields())
     fields = extract_fields(full_text, ocr_lines, drawer_dict,
                             threshold=threshold, status_ladder=status_ladder)

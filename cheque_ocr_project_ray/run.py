@@ -44,9 +44,12 @@ def main() -> None:
     import ray
     if not ray.is_initialized():
         # honor RAY_ADDRESS so `ray job submit` connects to the cluster
-        # instead of nesting a fresh local instance inside the job
-        ray.init(address=os.environ.get("RAY_ADDRESS") or "local",
-                 num_cpus=args.num_cpus, include_dashboard=False)
+        # instead of nesting a fresh local instance inside the job;
+        # num_cpus is only legal when STARTING a local instance (Ray
+        # rejects it when connecting to an existing cluster)
+        addr = os.environ.get("RAY_ADDRESS") or "local"
+        kw = {"num_cpus": args.num_cpus} if addr == "local" else {}
+        ray.init(address=addr, include_dashboard=False, **kw)
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 

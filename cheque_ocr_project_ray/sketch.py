@@ -42,13 +42,11 @@ def hll_partial(keys: np.ndarray) -> np.ndarray:
     # the float exponent instead: frexp gives exact bit lengths
     bl = np.zeros(len(w), dtype=np.int64)
     nz = w > 0
+    # w < 2^(64-p) = 2^52 < 2^53, so the float64 conversion is EXACT
+    # for every value and frexp's exponent is the true bit length (the
+    # guard only matters if HLL_P ever drops below 11)
+    assert HLL_P >= 11
     bl[nz] = np.frexp(w[nz].astype(np.float64))[1]
-    # float64 can't represent >2^53 exactly; correct the rare high
-    # values by checking the true predicate
-    high = w >= (np.uint64(1) << np.uint64(52))
-    if high.any():
-        for i in np.nonzero(high)[0]:
-            bl[i] = int(w[i]).bit_length()
     rho = (nbits - bl + 1).astype(np.uint8)
     regs = np.zeros(HLL_M, dtype=np.uint8)
     np.maximum.at(regs, idx, rho)

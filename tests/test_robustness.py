@@ -91,7 +91,25 @@ def test_skew_profile_bounded_and_accurate(tmp_path):
                       "media_bytes": pa.array(sizes, pa.int64())})
         pq.write_table(t, d / f"part-{f:05d}.parquet", row_group_size=25)
 
-    share, n_big = skew_profile(d, 150_000, max_sample_groups=16)
+    # (a) bounded scan: count actual row-group READS (metadata-only
+    # access is free and unlimited; the bound is on data reads)
+    import cheque_ocr_project_ray.sources.io as io_mod
+    reads = {"n": 0}
+    real_pf = io_mod.pq.ParquetFile
+
+    class CountingPF(real_pf):
+        def read_row_group(self, *a, **k):
+            reads["n"] += 1
+            return super().read_row_group(*a, **k)
+
+    orig = io_mod.pq.ParquetFile
+    io_mod.pq.ParquetFile = CountingPF
+    try:
+        share, n_big = skew_profile(d, 150_000, max_sample_groups=16)
+    finally:
+        io_mod.pq.ParquetFile = orig
+    assert reads["n"] <= 16, reads["n"]
+
     true_share = (200 * 300_000) / (200 * 300_000 + 1800 * 10_000)
     assert abs(share - true_share) < 0.1
     assert abs(n_big - 200) <= 40  # extrapolated from the sample

@@ -33,9 +33,21 @@ def to_pandas(result):
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Column-sorted, row-sorted frame for order-insensitive compare.
+
+    Rows sort by NON-float columns first, then by floats ROUNDED to
+    8dp: sorting on raw floats would let sub-tolerance jitter (ray
+    0.5000000001 vs sql 0.5) reorder rows relative to their keys and
+    report spurious key-column mismatches."""
     df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(list(df.columns)).reset_index(drop=True)
-    return df
+    float_cols = [c for c in df.columns
+                  if df[c].dtype.kind == "f"]
+    keys = [c for c in df.columns if c not in float_cols] + float_cols
+    sort_frame = df.copy()
+    for c in float_cols:
+        sort_frame[c] = sort_frame[c].round(8)
+    order = sort_frame.sort_values(keys, kind="mergesort").index
+    return df.loc[order].reset_index(drop=True)
 
 
 def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> bool:
