@@ -16,7 +16,7 @@ from pathlib import Path
 
 import ray.data
 
-from cheque_ocr_project_ray.text import analysis, dedup
+from cheque_ocr_project_ray.text import analysis, dedup, extraction
 
 
 def _docs(sf_dir: str):
@@ -178,6 +178,88 @@ FROM wf a JOIN wf b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= 3
 """
+
+
+def doc_main_content(sf_dir: str):
+    """HTML boilerplate strip (the tier's named extraction operator):
+    deterministic HTML rendering of each doc → the generic vectorized
+    main-content extractor (script/style drop, block segmentation,
+    tag/class heuristics, word mass, link density).  The oracle
+    derives the expected output directly from the source text —
+    an independent derivation, so equality checks the whole
+    parse → strip → filter → reassemble path."""
+    return _docs(sf_dir) \
+        .map_batches(extraction.synthesize_html, batch_format="pyarrow") \
+        .map_batches(extraction.extract_main_content,
+                     batch_format="pyarrow")
+
+
+MAIN_CONTENT_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), d AS (
+  SELECT doc_id, ws, len(ws) AS n,
+         CAST(ceil(len(ws) / 2.0) AS BIGINT) AS n1
+  FROM w
+)
+SELECT doc_id,
+       CAST({extraction.RENDERED_BLOCKS} AS BIGINT) AS n_blocks,
+       CAST(CASE WHEN n1 >= {extraction.MIN_WORDS} THEN 1 ELSE 0 END
+            + CASE WHEN n - n1 >= {extraction.MIN_WORDS} THEN 1
+                   ELSE 0 END AS BIGINT) AS n_kept,
+       CAST(CASE WHEN n1 >= {extraction.MIN_WORDS} THEN n1 ELSE 0 END
+            + CASE WHEN n - n1 >= {extraction.MIN_WORDS} THEN n - n1
+                   ELSE 0 END AS BIGINT) AS words_kept,
+       concat_ws(chr(10),
+           CASE WHEN n1 >= {extraction.MIN_WORDS}
+                THEN array_to_string(ws[1:n1], ' ') END,
+           CASE WHEN n - n1 >= {extraction.MIN_WORDS}
+                THEN array_to_string(ws[n1 + 1:n], ' ') END
+       ) AS main_text
+FROM d
+"""
+
+
+def doc_redact(sf_dir: str):
+    """PII/URL scrubbing: deterministic PII augmentation (pure
+    function of (doc_id, text), mirrored in the SQL) → the generic
+    vectorized redactor.  Counts + scrubbed text, exact-oracled
+    (Arrow and DuckDB both use RE2, so the patterns mean the same
+    thing on both sides)."""
+    return _docs(sf_dir) \
+        .map_batches(extraction.inject_pii, batch_format="pyarrow") \
+        .map_batches(extraction.redact_pii, batch_format="pyarrow")
+
+
+REDACT_SQL = ("""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' Contact alice' || CAST(doc_id % 10 AS VARCHAR)
+              || '@example.com or https://site'
+              || CAST(doc_id % 5 AS VARCHAR)
+              || '.example/page-' || CAST(doc_id AS VARCHAR)
+              || ' or call +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || '.' AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '""" + extraction.URL_RE + """'))
+            AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(t, '""" + extraction.EMAIL_RE + """'))
+            AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '""" + extraction.PHONE_RE + """'))
+            AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(
+           t, '""" + extraction.URL_RE + """', '<URL>', 'g'),
+           '""" + extraction.EMAIL_RE + """', '<EMAIL>', 'g'),
+           '""" + extraction.PHONE_RE + """', '<PHONE>', 'g')
+           AS clean_text
+FROM aug
+""")
 
 
 def dedup_exact(sf_dir: str):
@@ -446,6 +528,8 @@ def text_queries() -> dict[str, Callable]:
         "doc_bpe_tokens": doc_bpe_tokens,
         "doc_split": doc_split,
         "doc_winnow": doc_winnow,
+        "doc_main_content": doc_main_content,
+        "doc_redact": doc_redact,
         "dedup_winnow": dedup_winnow,
         "dedup_exact": dedup_exact,
         "dedup_prefix": dedup_prefix,
@@ -467,6 +551,8 @@ def text_oracle_sql() -> dict[str, str]:
         "doc_bpe_tokens": BPE_TOKENS_SQL,
         "doc_split": SPLIT_SQL,
         "doc_winnow": WINNOW_SQL,
+        "doc_main_content": MAIN_CONTENT_SQL,
+        "doc_redact": REDACT_SQL,
         "dedup_winnow": DEDUP_WINNOW_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_prefix": DEDUP_PREFIX_SQL,
