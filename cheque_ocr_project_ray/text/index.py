@@ -1,0 +1,263 @@
+"""Corpus indexing operators: TF-IDF term scoring, inverted-index
+postings, and benchmark decontamination — the retrieval/cleaning side
+of a training-data pipeline, built combiner-first.
+
+Scale shape (all three):
+- Statistics passes emit per-batch PARTIALS (vocabulary-keyed, already
+  reduced within the batch), merged by the repo's bounded-adaptive
+  path (`util.final_merge_sums` / a driver Arrow merge when the
+  partial stream is small, distributed groupby beyond the bound) —
+  the corpus itself is never shuffled.
+- Document-frequency / IDF tables are VOCABULARY-sized, not
+  corpus-sized; they broadcast once via ``ray.put`` and every scoring
+  actor reads them zero-copy.  At 100 TB, cap the vocabulary with a
+  ``min_df`` floor (rare-term tail) before broadcasting; the scoring
+  join degrades gracefully to a distributed hash join if a vocabulary
+  ever outgrows the object store.
+- Decontamination broadcasts the BENCHMARK shingle set (benchmarks
+  are tiny by definition) and streams the corpus through a membership
+  filter — the canonical decontam shape (e.g. GPT-3 appendix C /
+  Dodge et al. 2021, C4 analysis).
+
+Tokenization matches the text family's SQL convention (non-empty
+whitespace tokens); shingles reuse ``dedup.shingles`` (crc32 word
+k-grams) so engine and SQL agree set-wise exactly as documented for
+the MinHash oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from cheque_ocr_project_ray.text import dedup
+from cheque_ocr_project_ray.text.extraction import _filtered_tokens
+from cheque_ocr_project_ray.util import (collect_table, final_merge_sums,
+                                         map_pool, round_half_up,
+                                         shuffle_partitions)
+
+TFIDF_K = 3
+POSTING_SAMPLE = 5
+DECONTAM_MODULUS = 97
+DECONTAM_K = 3
+
+
+def _pair_counts(batch: pa.Table) -> pa.Table:
+    """Per-batch (doc_id, term, tf) — one Arrow group_by over the
+    flattened token stream.  Rows are whole documents, so per-batch
+    term frequencies are final, never partial."""
+    flat, counts = _filtered_tokens(batch.column("text"))
+    doc_ids = batch.column("doc_id").to_numpy()
+    rep = np.repeat(doc_ids, counts)
+    t = pa.table({"doc_id": pa.array(rep), "term": flat})
+    g = t.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+    return g.rename_columns(["doc_id", "term", "tf"])
+
+
+def _df_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch (term, df) partials: distinct docs per term within
+    the batch — exact partials because a document is one row."""
+    g = _pair_counts(batch).group_by("term").aggregate(
+        [([], "count_all")])
+    return g.rename_columns(["term", "df"])
+
+
+def doc_frequency(docs_ds, np_: int = 0):
+    """Corpus document frequency per term (combiner partials +
+    bounded-adaptive merge)."""
+    partials = docs_ds.map_batches(_df_partials, batch_format="pyarrow")
+    return final_merge_sums(partials, ["term"], ["df"], np_=np_)
+
+
+def tfidf_topk(docs_ds, k: int = TFIDF_K, np_: int = 0):
+    """Top-k TF-IDF terms per document (smooth idf:
+    ln((1+N)/(1+df)) + 1, sklearn's convention), deterministic
+    tie-break by term.
+
+    Two passes over the pruned (doc_id, text) columns: pass 1 reduces
+    document frequencies; pass 2 scores per-doc terms against the
+    broadcast IDF table and takes the per-row top-k locally — no
+    shuffle of per-term rows at any point."""
+    df_t = collect_table(doc_frequency(docs_ds, np_=np_).materialize())
+    n_docs = docs_ds.count()
+    vocab = df_t.column("term").combine_chunks()
+    idf = np.log((1.0 + n_docs)
+                 / (1.0 + df_t.column("df").to_numpy())) + 1.0
+    idf_ref = ray.put((vocab, idf))
+
+    class ScoreTopK:
+        def __init__(self):
+            self.vocab, self.idf = ray.get(idf_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            g = _pair_counts(batch)
+            if g.num_rows == 0:
+                return pa.table({
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "tfidf": pa.array([], pa.float64()),
+                    "rnk": pa.array([], pa.int64())})
+            idx = pc.index_in(g.column("term"),
+                              value_set=self.vocab).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            tfidf = g.column("tf").to_numpy() * self.idf[idx]
+            scored = g.append_column("tfidf", pa.array(tfidf))
+            order = pc.sort_indices(
+                scored, sort_keys=[("doc_id", "ascending"),
+                                   ("tfidf", "descending"),
+                                   ("term", "ascending")])
+            s = scored.take(order)
+            doc = s.column("doc_id").to_numpy()
+            pos = np.arange(len(doc))
+            seg_start = np.r_[True, doc[1:] != doc[:-1]]
+            rnk = pos - np.maximum.accumulate(
+                np.where(seg_start, pos, 0)) + 1
+            s = s.append_column("rnk", pa.array(rnk.astype(np.int64)))
+            s = s.filter(pa.array(rnk <= k))
+            return s.set_column(
+                s.schema.get_field_index("tfidf"), "tfidf",
+                pa.array(round_half_up(s.column("tfidf").to_numpy(), 4)))
+
+    return docs_ds.map_batches(ScoreTopK,
+                               concurrency=(2, map_pool()),
+                               batch_format="pyarrow")
+
+
+def _posting_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch (term, df, total_tf, ids) partials, the ids list
+    already capped at the POSTING_SAMPLE smallest doc ids — first-N
+    of a union of first-Ns is the global first-N, so capped partials
+    merge losslessly."""
+    g = _pair_counts(batch)
+    if g.num_rows == 0:
+        return pa.table({
+            "term": pa.array([], pa.string()),
+            "df": pa.array([], pa.int64()),
+            "total_tf": pa.array([], pa.int64()),
+            "ids": pa.array([], pa.list_(pa.int64()))})
+    order = pc.sort_indices(g, sort_keys=[("term", "ascending"),
+                                          ("doc_id", "ascending")])
+    s = g.take(order)
+    terms = s.column("term")
+    term_np = terms.to_numpy(zero_copy_only=False)
+    seg = np.r_[True, term_np[1:] != term_np[:-1]]
+    starts = np.flatnonzero(seg)
+    ends = np.r_[starts[1:], len(term_np)] if len(starts) else starts
+    cnt = ends - starts
+    lens = np.minimum(cnt, POSTING_SAMPLE)
+    out_off = np.zeros(len(starts) + 1, np.int64)
+    np.cumsum(lens, out=out_off[1:])
+    local = np.arange(out_off[-1]) - np.repeat(out_off[:-1], lens)
+    take_idx = np.repeat(starts, lens) + local
+    ids = pa.ListArray.from_arrays(
+        pa.array(out_off, type=pa.int32()),
+        s.column("doc_id").take(pa.array(take_idx)).combine_chunks())
+    tf_sums = np.zeros(len(starts), np.int64)
+    np.add.at(tf_sums, np.repeat(np.arange(len(starts)), cnt),
+              s.column("tf").to_numpy())
+    return pa.table({"term": terms.take(pa.array(starts)),
+                     "df": pa.array(cnt.astype(np.int64)),
+                     "total_tf": pa.array(tf_sums),
+                     "ids": ids})
+
+
+def _merge_posting_frame(pdf):
+    """Pandas merge of posting partials grouped by term."""
+    import pandas as pd
+
+    def merge(group):
+        ids = sorted({i for lst in group["ids"] for i in lst})
+        return pd.Series({
+            "df": int(group["df"].sum()),
+            "total_tf": int(group["total_tf"].sum()),
+            "sample_docs": ",".join(
+                str(i) for i in ids[:POSTING_SAMPLE])})
+
+    out = pdf.groupby("term", sort=False).apply(
+        merge, include_groups=False).reset_index()
+    out["df"] = out["df"].astype("int64")
+    out["total_tf"] = out["total_tf"].astype("int64")
+    return out
+
+
+def postings(docs_ds, np_: int = 0, bound: int = 2_000_000):
+    """Inverted-index postings: per term, document frequency, total
+    term frequency, and the first POSTING_SAMPLE doc ids (ascending)
+    as a comma string.
+
+    Vocabulary-keyed partials (ids pre-capped per batch) merge on the
+    driver when bounded — one pandas groupby over a vocabulary-sized
+    frame — or via a distributed groupby(term).map_groups beyond the
+    bound (the shape that scales when a tokenizer explodes the
+    vocabulary)."""
+    partials = docs_ds.map_batches(_posting_partials,
+                                   batch_format="pyarrow")
+    part = partials.materialize()
+    if part.count() <= bound:
+        t = collect_table(part)
+        if t is None:
+            return ray.data.from_arrow(pa.table({
+                "term": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+                "total_tf": pa.array([], pa.int64()),
+                "sample_docs": pa.array([], pa.string())}))
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(_merge_posting_frame(t.to_pandas()),
+                                 preserve_index=False)
+            .replace_schema_metadata(None))
+
+    return part.groupby("term",
+                        num_partitions=np_ or shuffle_partitions()) \
+        .map_groups(_merge_posting_frame, batch_format="pandas")
+
+
+def decontaminate(docs_ds, modulus: int = DECONTAM_MODULUS,
+                  k: int = DECONTAM_K):
+    """Benchmark decontamination: docs sharing any word k-gram with
+    the benchmark subset (doc_id % modulus == 0 — the stand-in for an
+    external eval set) are flagged with their distinct-shingle overlap
+    count.  Benchmark shingles broadcast once; the corpus streams
+    through a vectorized membership filter."""
+    def bench_shingles(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        sel = batch.filter(pa.array(d % modulus == 0))
+        out = set()
+        for txt in sel.column("text").to_pylist():
+            out |= dedup.shingles(txt, k)
+        return pa.table({"sh": pa.array(sorted(out), pa.int64())})
+
+    bench = collect_table(
+        docs_ds.map_batches(bench_shingles,
+                            batch_format="pyarrow").materialize())
+    bench_arr = (np.unique(bench.column("sh").to_numpy())
+                 if bench is not None else np.array([], np.int64))
+    bench_ref = ray.put(bench_arr)
+
+    class Flag:
+        def __init__(self):
+            self.bench = ray.get(bench_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, hits = [], []
+            d = batch.column("doc_id").to_numpy()
+            for did, txt in zip(d, batch.column("text").to_pylist()):
+                if did % modulus == 0:
+                    continue
+                sh = np.fromiter(dedup.shingles(txt, k), np.int64)
+                if sh.size == 0 or self.bench.size == 0:
+                    continue
+                pos = np.searchsorted(self.bench, sh)
+                pos[pos == self.bench.size] = 0
+                n = int((self.bench[pos] == sh).sum())
+                if n:
+                    ids.append(int(did))
+                    hits.append(n)
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "n_hits": pa.array(hits, pa.int64())})
+
+    return docs_ds.map_batches(Flag, concurrency=(2, map_pool()),
+                               batch_format="pyarrow")

@@ -16,7 +16,7 @@ from pathlib import Path
 
 import ray.data
 
-from cheque_ocr_project_ray.text import analysis, dedup, extraction
+from cheque_ocr_project_ray.text import analysis, dedup, extraction, index
 
 
 def _docs(sf_dir: str):
@@ -302,6 +302,111 @@ def dedup_simhash(sf_dir: str):
     return dedup.simhash_near_pairs(_docs(sf_dir), max_hamming=3)
 
 
+def _shingle_ctes(k: int) -> str:
+    """The shared word-k-gram CTEs (``words``, ``sh``): distinct
+    shingles per doc with the engine's short-doc convention (fewer
+    than k tokens → the whole text is the single shingle).  Raw
+    string shingles here vs crc32-hashed in the engine — same SETS
+    absent collisions, as documented on the Jaccard oracle."""
+    return f"""words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           CASE WHEN len(ws) < {k} THEN array_to_string(ws, ' ')
+                ELSE array_to_string(ws[i.gen:i.gen + {k - 1}], ' ')
+           END AS g
+    FROM words,
+         LATERAL (SELECT unnest(generate_series(
+                      1, greatest(len(ws) - {k - 1}, 1))) AS gen) i
+    WHERE len(ws) > 0
+  )
+)"""
+
+
+def doc_tfidf_topk(sf_dir: str):
+    """Top-3 TF-IDF terms per doc (smooth sklearn idf), deterministic
+    term tie-break; DF pass merges bounded-adaptively, the IDF table
+    broadcasts once."""
+    return index.tfidf_topk(_docs(sf_dir))
+
+
+TFIDF_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), tok AS (
+  SELECT doc_id, t.w AS term FROM w, LATERAL unnest(ws) AS t(w)
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+), n AS (
+  SELECT count(*) AS n FROM documents
+), scored AS (
+  SELECT doc_id, term, tf,
+         tf * (ln((1.0 + n.n) / (1.0 + df.df)) + 1.0) AS tfidf,
+         row_number() OVER (
+             PARTITION BY doc_id
+             ORDER BY tf * (ln((1.0 + n.n) / (1.0 + df.df)) + 1.0)
+                      DESC, term ASC) AS rnk
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, round(tfidf, 4) AS tfidf,
+       CAST(rnk AS BIGINT) AS rnk
+FROM scored WHERE rnk <= {index.TFIDF_K}
+"""
+
+
+def doc_postings(sf_dir: str):
+    """Inverted-index postings: per term df, total tf, first-5 doc-id
+    sample — vocabulary-keyed partials, bounded-adaptive merge."""
+    return index.postings(_docs(sf_dir))
+
+
+POSTINGS_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), tok AS (
+  SELECT doc_id, t.w AS term FROM w, LATERAL unnest(ws) AS t(w)
+)
+SELECT term,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS total_tf,
+       array_to_string(
+           list_sort(list(DISTINCT doc_id))[1:{index.POSTING_SAMPLE}],
+           ',') AS sample_docs
+FROM tok GROUP BY term
+"""
+
+
+def doc_decontam(sf_dir: str):
+    """Benchmark decontamination: flag corpus docs sharing any word
+    3-gram with the benchmark subset (doc_id % 97 == 0), with the
+    distinct-overlap count.  Benchmark shingles broadcast once."""
+    return index.decontaminate(_docs(sf_dir))
+
+
+DECONTAM_SQL = f"""
+WITH {_shingle_ctes(index.DECONTAM_K)},
+bench AS (
+  SELECT DISTINCT g FROM sh WHERE doc_id % {index.DECONTAM_MODULUS} = 0
+)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM sh s JOIN bench b USING (g)
+WHERE s.doc_id % {index.DECONTAM_MODULUS} <> 0
+GROUP BY s.doc_id
+"""
+
+
 def _jaccard_pairs_sql(k: int, threshold: float) -> str:
     """Exact all-pairs shingle-Jaccard in SQL — the oracle for the
     MinHash-LSH dedup output.
@@ -320,23 +425,7 @@ def _jaccard_pairs_sql(k: int, threshold: float) -> str:
     zero tokens never pair (none exist).
     """
     return f"""
-WITH words AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                     x -> x <> '') AS ws
-  FROM documents
-), sh AS (
-  SELECT DISTINCT doc_id, g FROM (
-    SELECT doc_id,
-           CASE WHEN len(ws) < {k} THEN array_to_string(ws, ' ')
-                ELSE array_to_string(ws[i.gen:i.gen + {k - 1}], ' ')
-           END AS g
-    FROM words,
-         LATERAL (SELECT unnest(generate_series(
-                      1, greatest(len(ws) - {k - 1}, 1))) AS gen) i
-    WHERE len(ws) > 0
-  )
-), sizes AS (
+WITH {_shingle_ctes(k)}, sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -530,6 +619,9 @@ def text_queries() -> dict[str, Callable]:
         "doc_winnow": doc_winnow,
         "doc_main_content": doc_main_content,
         "doc_redact": doc_redact,
+        "doc_tfidf_topk": doc_tfidf_topk,
+        "doc_postings": doc_postings,
+        "doc_decontam": doc_decontam,
         "dedup_winnow": dedup_winnow,
         "dedup_exact": dedup_exact,
         "dedup_prefix": dedup_prefix,
@@ -553,6 +645,9 @@ def text_oracle_sql() -> dict[str, str]:
         "doc_winnow": WINNOW_SQL,
         "doc_main_content": MAIN_CONTENT_SQL,
         "doc_redact": REDACT_SQL,
+        "doc_tfidf_topk": TFIDF_SQL,
+        "doc_postings": POSTINGS_SQL,
+        "doc_decontam": DECONTAM_SQL,
         "dedup_winnow": DEDUP_WINNOW_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_prefix": DEDUP_PREFIX_SQL,
