@@ -21,16 +21,20 @@ from __future__ import annotations
 from collections.abc import Callable
 from pathlib import Path
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+import ray
 import ray.data
 from ray.data.aggregate import Sum
 
 from cheque_ocr_project_ray.relational.joins import broadcast_join, hash_join
-from cheque_ocr_project_ray.util import round_half_up, tune_shuffle
+from cheque_ocr_project_ray.util import (collect_table, final_merge_sums,
+                                         map_pool, round_half_up,
+                                         tune_shuffle)
 
 
 def _hash_shuffled(fn):
@@ -47,9 +51,19 @@ def _hash_shuffled(fn):
     return wrapper
 
 
+def _strip_meta(t: pa.Table) -> pa.Table:
+    # pandas-written parquet carries b'pandas' schema metadata, which
+    # makes pyarrow Schema unhashable and trips Ray's "Failed to hash
+    # the schemas" warning in every hash-shuffle aggregator; dropping
+    # it is zero-copy and fuses into the read task
+    return t.replace_schema_metadata(None)
+
+
 def _pq(sf_dir: str, table: str, columns=None):
     return ray.data.read_parquet(str(Path(sf_dir) / f"{table}.parquet"),
-                                 columns=columns)
+                                 columns=columns) \
+        .map_batches(_strip_meta, batch_format="pyarrow",
+                     zero_copy_batch=True)
 
 
 # --- Q1-style pricing summary (G1-pattern grouped aggregate) ---------
@@ -859,6 +873,215 @@ GROUP BY ym
 """
 
 
+# --- Bloom-prefiltered semi-join (fact ⋉ selective key set) ----------
+@_hash_shuffled
+def lineitem_semi_bloom(sf_dir: str, np_: int = 0):
+    """Revenue per returnflag over lineitems of URGENT orders — the
+    fact side is prefiltered by a broadcast Bloom filter of the
+    selective key set, then exact-joined (false positives removed),
+    so the shuffle moves only survivors.  See
+    ``joins.bloom_semi_join`` for the scale argument."""
+    from cheque_ocr_project_ray.relational.joins import bloom_semi_join
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def urgent_keys(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column("o_orderpriority"), "1-URGENT")
+        return batch.filter(m).select(["o_orderkey"])
+
+    keys = orders.map_batches(urgent_keys, batch_format="pyarrow")
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_extendedprice", "l_discount",
+              "l_returnflag"])
+    matched = bloom_semi_join(li, keys, on_left="l_orderkey",
+                              on_right="o_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      batch.column("l_discount")))
+        t = pa.table({"l_returnflag": batch.column("l_returnflag"),
+                      "revenue": rev,
+                      "n_items": pa.array(
+                          np.ones(batch.num_rows, np.int64))})
+        g = t.group_by("l_returnflag").aggregate(
+            [("revenue", "sum"), ("n_items", "sum")])
+        return g.rename_columns(["l_returnflag", "revenue", "n_items"])
+
+    agg = final_merge_sums(
+        matched.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag"], ["revenue", "n_items"], np_=np_)
+    return agg.map_batches(
+        lambda b: b.assign(revenue=round_half_up(b["revenue"], 2)),
+        batch_format="pandas")
+
+
+LINEITEM_SEMI_BLOOM_SQL = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+"""
+
+
+# --- per-key ordered rolling window ----------------------------------
+@_hash_shuffled
+def events_user_rolling(sf_dir: str, np_: int = 0):
+    """Per-user time-ordered rolling mean (window 3) and step delta —
+    the lag/rolling window-function family as groupby(user) +
+    in-group vectorized pandas.  Orders by (ts, event_id) so ties are
+    deterministic; first-row delta is 0 (lag default = own value), so
+    no NULL/NaN divergence between engines.  Partitioning assumption:
+    one user's history fits one group (salt by day first for
+    pathological users, as in ``events_sessions_salted``)."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def roll(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"])
+        v = g["value"]
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "roll_mean3": round_half_up(
+                v.rolling(3, min_periods=1).mean().to_numpy(), 4),
+            "delta": round_half_up(
+                v.diff().fillna(0.0).to_numpy(), 4),
+        })
+
+    return ds.groupby("user_id", num_partitions=np_).map_groups(
+        roll, batch_format="pandas")
+
+
+EVENTS_USER_ROLLING_SQL = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS roll_mean3,
+       round(value - lag(value, 1, value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+FROM events
+"""
+
+
+# --- balanced stratified sample --------------------------------------
+def events_stratified_sample(sf_dir: str, np_: int = 0):
+    """Balanced per-stratum deterministic sample: stratum counts (one
+    combiner pass over a pruned column) set a per-type keep rate that
+    lands every stratum at ≈ the smallest stratum's size; membership
+    is the same multiplicative event_id hash as ``events_sample`` —
+    reproducible across engines/cluster sizes, and the data itself is
+    never shuffled (the counts table is tiny and broadcast in the
+    filter closure)."""
+    ds = _pq(sf_dir, "events", ["event_id", "event_type", "user_id",
+                                "value"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"event_type": batch.column("event_type"),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))}) \
+            .group_by("event_type").aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "n"])
+
+    counts_t = collect_table(final_merge_sums(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["event_type"], ["n"], np_=np_).materialize())
+    counts = dict(zip(counts_t.column("event_type").to_pylist(),
+                      counts_t.column("n").to_pylist()))
+    mn = min(counts.values())
+    # keep iff h(event_id) < 2^32 * min_count / stratum_count (exact
+    # integer arithmetic — the SQL twin computes the same threshold)
+    thresholds = {t: (1 << 32) * mn // c for t, c in counts.items()}
+    types = pa.array(sorted(thresholds))
+    thr = np.array([thresholds[t] for t in sorted(thresholds)],
+                   np.int64)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = pc.bit_wise_and(
+            pc.multiply_checked(batch["event_id"],
+                                pa.scalar(2654435761, pa.int64())),
+            pa.scalar((1 << 32) - 1, pa.int64())).to_numpy()
+        ti = pc.index_in(batch.column("event_type"),
+                         value_set=types).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(h < thr[ti]))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+EVENTS_STRATIFIED_SQL = """
+WITH c AS (
+  SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+), m AS (SELECT min(cnt) AS mn FROM c)
+SELECT event_id, e.event_type, user_id, value
+FROM events e JOIN c USING (event_type) CROSS JOIN m
+WHERE (event_id * 2654435761) & 4294967295 < (4294967296 * mn) // cnt
+"""
+
+
+# --- per-stratum z-score normalization -------------------------------
+def events_value_zscore(sf_dir: str, np_: int = 0):
+    """Per-type z-score of ``value`` — the broadcast-stats
+    normalization shape: one combiner pass reduces (n, Σv, Σv²) per
+    stratum, the tiny stats table is broadcast in the map closure, and
+    the corpus streams through the normalizer with no shuffle.  The
+    SQL twin spells out the SAME moment formula (sqrt(E[v²]−E[v]²)),
+    so both engines agree to well past the 4dp rounding."""
+    ds = _pq(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def moment_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("value")
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64)),
+                      "s": v, "ss": pc.multiply(v, v)})
+        g = t.group_by("event_type").aggregate(
+            [("n", "sum"), ("s", "sum"), ("ss", "sum")])
+        return g.rename_columns(["event_type", "n", "s", "ss"])
+
+    st = collect_table(final_merge_sums(
+        ds.map_batches(moment_partial, batch_format="pyarrow"),
+        ["event_type"], ["n", "s", "ss"], np_=np_).materialize())
+    n = st.column("n").to_numpy().astype(np.float64)
+    mean = st.column("s").to_numpy() / n
+    std = np.sqrt(np.maximum(st.column("ss").to_numpy() / n
+                             - mean * mean, 0.0))
+    types = st.column("event_type").combine_chunks()
+    stats_ref = ray.put((types, mean, std))
+
+    class Normalize:
+        def __init__(self):
+            self.types, self.mean, self.std = ray.get(stats_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ti = pc.index_in(batch.column("event_type"),
+                             value_set=self.types).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            v = batch.column("value").to_numpy()
+            z = (v - self.mean[ti]) / self.std[ti]
+            return pa.table({"event_id": batch.column("event_id"),
+                             "event_type": batch.column("event_type"),
+                             "z": pa.array(round_half_up(z, 4))})
+
+    return ds.map_batches(Normalize, batch_format="pyarrow",
+                          concurrency=(1, map_pool()))
+
+
+EVENTS_ZSCORE_SQL = """
+WITH s AS (
+  SELECT event_type, count(*) AS n, sum(value) AS sv,
+         sum(value * value) AS svv
+  FROM events GROUP BY event_type
+), st AS (
+  SELECT event_type, sv / n AS mean,
+         sqrt(greatest(svv / n - (sv / n) * (sv / n), 0)) AS std
+  FROM s
+)
+SELECT event_id, e.event_type, round((value - mean) / std, 4) AS z
+FROM events e JOIN st USING (event_type)
+"""
+
+
 def relational_queries() -> dict[str, Callable]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -882,6 +1105,10 @@ def relational_queries() -> dict[str, Callable]:
         "events_props_stats": events_props_stats,
         "events_sample": events_sample,
         "orders_monthly": orders_monthly,
+        "lineitem_semi_bloom": lineitem_semi_bloom,
+        "events_user_rolling": events_user_rolling,
+        "events_stratified_sample": events_stratified_sample,
+        "events_value_zscore": events_value_zscore,
     }
 
 
@@ -907,4 +1134,8 @@ def relational_oracle_sql() -> dict[str, str]:
         "events_props_stats": EVENTS_PROPS_SQL,
         "events_sample": EVENTS_SAMPLE_SQL,
         "orders_monthly": ORDERS_MONTHLY_SQL,
+        "lineitem_semi_bloom": LINEITEM_SEMI_BLOOM_SQL,
+        "events_user_rolling": EVENTS_USER_ROLLING_SQL,
+        "events_stratified_sample": EVENTS_STRATIFIED_SQL,
+        "events_value_zscore": EVENTS_ZSCORE_SQL,
     }
