@@ -1082,6 +1082,250 @@ FROM events e JOIN st USING (event_type)
 """
 
 
+# --- wide pivot (hour-of-day × event_type) ---------------------------
+@_hash_shuffled
+def events_type_pivot(sf_dir: str, np_: int = 0):
+    """Hour-of-day × event_type pivot: one combiner pass reduces the
+    corpus to the (hour, type) cross table — bounded at 24 × |type
+    domain| rows no matter the input size — and the tiny long table is
+    pivoted wide on the driver.  Column set is derived from the data
+    (sorted distinct types), so the operator is schema-generic while
+    the SQL twin spells the same conditional aggregates."""
+    ds = _pq(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"hour": pc.hour(batch.column("ts")),
+                      "event_type": batch.column("event_type"),
+                      "v": batch.column("value")})
+        g = t.group_by(["hour", "event_type"]).aggregate([("v", "sum")])
+        return g.rename_columns(["hour", "event_type", "v"])
+
+    long = collect_table(final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["hour", "event_type"], ["v"], np_=np_).materialize())
+    types = sorted(set(long.column("event_type").to_pylist()))
+    hours = sorted(set(long.column("hour").to_pylist()))
+    cell = {(h, t): v for h, t, v in
+            zip(long.column("hour").to_pylist(),
+                long.column("event_type").to_pylist(),
+                long.column("v").to_pylist())}
+    out = {"hour": pa.array(hours, pa.int64())}
+    for t in types:
+        out[f"sum_{t}"] = pa.array(
+            round_half_up(np.array([cell.get((h, t), 0.0)
+                                    for h in hours]), 2))
+    return ray.data.from_arrow(pa.table(out))
+
+
+EVENTS_TYPE_PIVOT_SQL = """
+SELECT hour(ts) AS hour,
+       round(coalesce(sum(CASE WHEN event_type = 'click' THEN value END), 0), 2) AS sum_click,
+       round(coalesce(sum(CASE WHEN event_type = 'error' THEN value END), 0), 2) AS sum_error,
+       round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0), 2) AS sum_purchase,
+       round(coalesce(sum(CASE WHEN event_type = 'signup' THEN value END), 0), 2) AS sum_signup,
+       round(coalesce(sum(CASE WHEN event_type = 'view' THEN value END), 0), 2) AS sum_view
+FROM events
+GROUP BY hour
+"""
+
+
+# --- global dense rank via broadcast distinct-value index ------------
+@_hash_shuffled
+def events_value_dense_rank(sf_dir: str, np_: int = 0):
+    """Global ``dense_rank() OVER (ORDER BY value)`` without a global
+    sort: one combiner pass collects the distinct value set (bounded —
+    values are 2-decimal currency, so the domain is ~|range|×100
+    regardless of row count), the sorted array is broadcast once, and
+    every row looks up its rank with a vectorized searchsorted.  The
+    classic two-pass rank shape that replaces an all-to-all sort with
+    a tiny broadcast."""
+    ds = _pq(sf_dir, "events", ["event_id", "value"])
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"value": batch.column("value"),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))}) \
+            .group_by("value").aggregate([("n", "sum")])
+        return g.rename_columns(["value", "n"])
+
+    dv = collect_table(final_merge_sums(
+        ds.map_batches(distinct_partial, batch_format="pyarrow"),
+        ["value"], ["n"], np_=np_).materialize())
+    vals = np.sort(dv.column("value").to_numpy())
+    vals_ref = ray.put(vals)
+
+    class Rank:
+        def __init__(self):
+            self.vals = ray.get(vals_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = batch.column("value").to_numpy()
+            r = np.searchsorted(self.vals, v, side="left") + 1
+            return pa.table({"event_id": batch.column("event_id"),
+                             "value": batch.column("value"),
+                             "drank": pa.array(r.astype(np.int64))})
+
+    return ds.map_batches(Rank, batch_format="pyarrow",
+                          concurrency=(1, map_pool()))
+
+
+EVENTS_DENSE_RANK_SQL = """
+SELECT event_id, value,
+       dense_rank() OVER (ORDER BY value) AS drank
+FROM events
+"""
+
+
+# --- set intersection (users present in both event classes) ----------
+@_hash_shuffled
+def events_users_both(sf_dir: str, np_: int = 0):
+    """Users who both purchased and hit an error — the INTERSECT shape
+    as a single combiner pass: per-batch 0/1 presence flags max-reduced
+    per user, summed in the final merge (sum of maxes > 0 ⇔ present),
+    so the shuffle moves one row per (batch, user) instead of raw
+    events, and no second scan or distributed set op is needed."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        t = pa.table({
+            "user_id": batch.column("user_id"),
+            "p": pc.cast(pc.equal(et, "purchase"), pa.int64()),
+            "e": pc.cast(pc.equal(et, "error"), pa.int64()),
+        })
+        g = t.group_by("user_id").aggregate([("p", "max"), ("e", "max")])
+        return g.rename_columns(["user_id", "p", "e"])
+
+    merged = final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"], ["p", "e"], np_=np_)
+
+    def both(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater(batch.column("p"), 0),
+                    pc.greater(batch.column("e"), 0))
+        return batch.filter(m).select(["user_id"])
+
+    return merged.map_batches(both, batch_format="pyarrow")
+
+
+EVENTS_USERS_BOTH_SQL = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+# --- correlated filter: orders above their customer's average --------
+def orders_above_avg(sf_dir: str, np_: int = 0):
+    """Orders pricier than their own customer's average — the
+    correlated-subquery shape as combiner + broadcast: one pass
+    reduces (customer → n, Σprice), the per-customer mean (rounded to
+    6dp so both engines compare against the identical threshold) is
+    broadcast once, and the orders stream through a vectorized
+    filter.  No self-join shuffle; the fact table is read once."""
+    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o_custkey": batch.column("o_custkey"),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64)),
+                      "s": batch.column("o_totalprice")})
+        g = t.group_by("o_custkey").aggregate(
+            [("n", "sum"), ("s", "sum")])
+        return g.rename_columns(["o_custkey", "n", "s"])
+
+    st = collect_table(final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"], ["n", "s"], np_=np_).materialize())
+    mean = round_half_up(
+        st.column("s").to_numpy() / st.column("n").to_numpy(), 6)
+    custs = st.column("o_custkey").combine_chunks()
+    stats_ref = ray.put((custs, mean))
+
+    class AboveAvg:
+        def __init__(self):
+            self.custs, self.mean = ray.get(stats_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ci = pc.index_in(batch.column("o_custkey"),
+                             value_set=self.custs).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            keep = batch.column("o_totalprice").to_numpy() \
+                > self.mean[ci]
+            return batch.filter(pa.array(keep))
+
+    return ds.map_batches(AboveAvg, batch_format="pyarrow",
+                          concurrency=(1, map_pool()))
+
+
+ORDERS_ABOVE_AVG_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+JOIN (SELECT o_custkey AS ck, round(avg(o_totalprice), 6) AS m
+      FROM orders GROUP BY 1) a ON o.o_custkey = a.ck
+WHERE o_totalprice > m
+"""
+
+
+# --- multi-level ROLLUP aggregate ------------------------------------
+@_hash_shuffled
+def orders_rollup(sf_dir: str, np_: int = 0):
+    """GROUP BY ROLLUP(priority, status) in ONE distributed pass: only
+    the finest granularity is shuffled (bounded at |priority|×|status|
+    partials per batch); the coarser levels are derived from that tiny
+    result on the driver by re-summing — the standard rollup-from-
+    finest identity, with 'ALL' standing in for the SQL NULL level
+    markers so the hash compare is null-free."""
+    ds = _pq(sf_dir, "orders", ["o_orderpriority", "o_orderstatus",
+                                "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderpriority": batch.column("o_orderpriority"),
+                      "o_orderstatus": batch.column("o_orderstatus"),
+                      "s": batch.column("o_totalprice"),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by(["o_orderpriority", "o_orderstatus"]).aggregate(
+            [("s", "sum"), ("n", "sum")])
+        return g.rename_columns(
+            ["o_orderpriority", "o_orderstatus", "s", "n"])
+
+    fin = collect_table(final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["o_orderpriority", "o_orderstatus"], ["s", "n"],
+        np_=np_).materialize())
+    levels = [fin]
+    lvl1 = fin.group_by("o_orderpriority").aggregate(
+        [("s", "sum"), ("n", "sum")])
+    lvl1 = lvl1.append_column(
+        "o_orderstatus", pa.array(["ALL"] * lvl1.num_rows)) \
+        .select(["o_orderpriority", "o_orderstatus", "s_sum", "n_sum"]) \
+        .rename_columns(["o_orderpriority", "o_orderstatus", "s", "n"])
+    levels.append(lvl1)
+    total = pa.table({
+        "o_orderpriority": pa.array(["ALL"]),
+        "o_orderstatus": pa.array(["ALL"]),
+        "s": pa.array([pc.sum(fin.column("s")).as_py()], pa.float64()),
+        "n": pa.array([pc.sum(fin.column("n")).as_py()], pa.int64()),
+    })
+    levels.append(total)
+    out = pa.concat_tables(levels)
+    out = out.set_column(
+        out.schema.get_field_index("s"), "total_price",
+        pa.array(round_half_up(out.column("s").to_numpy(), 2))) \
+        .rename_columns(["o_orderpriority", "o_orderstatus",
+                         "total_price", "n_orders"])
+    return ray.data.from_arrow(out)
+
+
+ORDERS_ROLLUP_SQL = """
+SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       coalesce(o_orderstatus, 'ALL')   AS o_orderstatus,
+       round(sum(o_totalprice), 2)      AS total_price,
+       count(*)                         AS n_orders
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
 def relational_queries() -> dict[str, Callable]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1109,6 +1353,11 @@ def relational_queries() -> dict[str, Callable]:
         "events_user_rolling": events_user_rolling,
         "events_stratified_sample": events_stratified_sample,
         "events_value_zscore": events_value_zscore,
+        "events_type_pivot": events_type_pivot,
+        "events_value_dense_rank": events_value_dense_rank,
+        "events_users_both": events_users_both,
+        "orders_above_avg": orders_above_avg,
+        "orders_rollup": orders_rollup,
     }
 
 
@@ -1138,4 +1387,9 @@ def relational_oracle_sql() -> dict[str, str]:
         "events_user_rolling": EVENTS_USER_ROLLING_SQL,
         "events_stratified_sample": EVENTS_STRATIFIED_SQL,
         "events_value_zscore": EVENTS_ZSCORE_SQL,
+        "events_type_pivot": EVENTS_TYPE_PIVOT_SQL,
+        "events_value_dense_rank": EVENTS_DENSE_RANK_SQL,
+        "events_users_both": EVENTS_USERS_BOTH_SQL,
+        "orders_above_avg": ORDERS_ABOVE_AVG_SQL,
+        "orders_rollup": ORDERS_ROLLUP_SQL,
     }
