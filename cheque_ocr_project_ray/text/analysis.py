@@ -120,6 +120,50 @@ def quality_counts(batch: pa.Table) -> pa.Table:
     })
 
 
+def repetition(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition signals: fraction of the document taken
+    by its most frequent word and most frequent bigram.  High values
+    mark boilerplate/spam for corpus filtering.  Fully vectorized:
+    tokens are dictionary-encoded once; per-(row, code) and
+    per-(row, code-pair) counts come from one ``np.unique`` each, and
+    the per-row maxima from ``np.maximum.at`` — no Python loop over
+    rows or tokens."""
+    n = len(batch)
+    toks, flat, parent = _prep(batch)
+    n_tokens = pc.list_value_length(toks).cast(pa.int64()).to_numpy()
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_codes = int(codes.max()) + 1 if len(codes) else 1
+    parent = parent.astype(np.int64)
+
+    keys, counts = np.unique(parent * n_codes + codes,
+                             return_counts=True)
+    top_word = np.zeros(n, np.int64)
+    np.maximum.at(top_word, keys // n_codes, counts)
+
+    # bigram = adjacent code pair within the same row
+    same = parent[:-1] == parent[1:] if len(parent) else \
+        np.zeros(0, bool)
+    bparent = parent[:-1][same]
+    bkey = codes[:-1][same] * n_codes + codes[1:][same]
+    bkeys, bcounts = np.unique(
+        bparent * (n_codes * n_codes) + bkey, return_counts=True)
+    top_bigram = np.zeros(n, np.int64)
+    np.maximum.at(top_bigram, bkeys // (n_codes * n_codes), bcounts)
+
+    nb = np.maximum(n_tokens - 1, 1)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+        "top_count": pa.array(top_word, pa.int64()),
+        "top_frac": pa.array(round_half_up(top_word / n_tokens, 4)),
+        "bigram_top_frac": pa.array(
+            round_half_up(top_bigram / nb, 4)),
+    })
+
+
 def lang_id(batch: pa.Table) -> pa.Table:
     _, flat, parent = _prep(batch)
     return pa.table({

@@ -58,6 +58,41 @@ FROM t
 """
 
 
+def doc_repetition(sf_dir: str):
+    return _docs(sf_dir).map_batches(analysis.repetition,
+                                     batch_format="pyarrow")
+
+
+REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), w AS (
+  SELECT doc_id, unnest(toks) AS w FROM t
+), wc AS (
+  SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w
+), wm AS (
+  SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n
+  FROM wc GROUP BY doc_id
+), b AS (
+  SELECT doc_id,
+         unnest(list_transform(toks[1:len(toks)-1],
+                               (x, i) -> x || ' ' || toks[i + 1])) AS bg
+  FROM t
+), bc AS (
+  SELECT doc_id, bg, count(*) AS c FROM b GROUP BY doc_id, bg
+), bm AS (
+  SELECT doc_id, max(c) AS top_bc FROM bc GROUP BY doc_id
+)
+SELECT wm.doc_id, n AS n_tokens,
+       CAST(top_c AS BIGINT) AS top_count,
+       round(top_c * 1.0 / n, 4) AS top_frac,
+       round(coalesce(top_bc * 1.0 / nullif(n - 1, 0), 0), 4)
+           AS bigram_top_frac
+FROM wm LEFT JOIN bm USING (doc_id)
+"""
+
+
 def doc_lang_id(sf_dir: str):
     return _docs(sf_dir).map_batches(analysis.lang_id,
                                      batch_format="pyarrow")
@@ -612,6 +647,7 @@ def text_queries() -> dict[str, Callable]:
     return {
         "doc_token_stats": doc_token_stats,
         "doc_quality": doc_quality,
+        "doc_repetition": doc_repetition,
         "doc_lang_id": doc_lang_id,
         "doc_fingerprint": doc_fingerprint,
         "doc_bpe_tokens": doc_bpe_tokens,
@@ -638,6 +674,7 @@ def text_oracle_sql() -> dict[str, str]:
     return {
         "doc_token_stats": TOKEN_STATS_SQL,
         "doc_quality": QUALITY_SQL,
+        "doc_repetition": REPETITION_SQL,
         "doc_lang_id": LANG_ID_SQL,
         "doc_fingerprint": FINGERPRINT_SQL,
         "doc_bpe_tokens": BPE_TOKENS_SQL,
