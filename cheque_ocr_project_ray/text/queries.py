@@ -329,6 +329,48 @@ def dedup_ngram_jaccard(sf_dir: str):
                                      threshold=0.5)
 
 
+def dedup_components(sf_dir: str):
+    """Connected components over the n-gram-Jaccard near-dup pairs:
+    (doc_id, rep) with rep = smallest doc_id in the transitive
+    closure — the canonical keep/drop rule downstream of any pair
+    dedup.  Oracled against a recursive-CTE closure in SQL."""
+    from cheque_ocr_project_ray.text.cluster import components_from_pairs
+    pairs = dedup.ngram_jaccard_pairs(_docs(sf_dir), shingle_k=2,
+                                      threshold=0.5)
+    return components_from_pairs(pairs)
+
+
+def _components_sql(k: int, threshold: float) -> str:
+    """Transitive closure of the exact all-pairs Jaccard edge list via
+    a recursive CTE; min reachable label == component representative.
+    Equality vs the engine asserts the union-find / label-propagation
+    result against an independent closure construction."""
+    return f"""
+WITH RECURSIVE {_shingle_ctes(k)}, sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b
+  WHERE i * 1.0 / (na.n + nb.n - i) >= {threshold}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT DISTINCT a AS doc, a AS lab FROM edges
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.doc
+)
+SELECT doc AS doc_id, min(lab) AS rep FROM reach GROUP BY doc
+"""
+
+
 def doc_simhash(sf_dir: str):
     return dedup.simhash_docs(_docs(sf_dir))
 
@@ -663,6 +705,7 @@ def text_queries() -> dict[str, Callable]:
         "dedup_prefix": dedup_prefix,
         "dedup_minhash": dedup_minhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_components": dedup_components,
         "doc_simhash": doc_simhash,
         "dedup_simhash": dedup_simhash,
         "corpus_curation": corpus_curation,
@@ -692,6 +735,7 @@ def text_oracle_sql() -> dict[str, str]:
         "corpus_pipeline": CORPUS_PIPELINE_SQL,
         "dedup_minhash": _jaccard_pairs_sql(k=3, threshold=0.6),
         "dedup_ngram_jaccard": _jaccard_pairs_sql(k=2, threshold=0.5),
+        "dedup_components": _components_sql(k=2, threshold=0.5),
         "doc_simhash": doc_simhash_sql(),
         "dedup_simhash": dedup_simhash_sql(max_hamming=3),
     }

@@ -118,6 +118,57 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+KMEANS_K = 8
+KMEANS_ROUNDS = 2
+
+
+def embedding_kmeans(sf_dir: str):
+    """Deterministic Lloyd k-means (k=8, 2 assignment rounds, init =
+    the k smallest vec_ids) → final (vec_id, cluster).  The iterative
+    broadcast-update operator shape; see ``vector/kmeans.py``.  The
+    SQL twin unrolls the same fixed rounds, so the driver hash checks
+    an actual iterative ML algorithm end-to-end."""
+    from cheque_ocr_project_ray.vector.kmeans import kmeans_rounds
+    t = pq.read_table(str(Path(sf_dir) / "embeddings.parquet"),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", KMEANS_K)])
+    init = np.asarray(
+        t.sort_by("vec_id")["embedding"].to_pylist(), dtype=np.float64)
+    return kmeans_rounds(_emb(sf_dir), init, rounds=KMEANS_ROUNDS)
+
+
+KMEANS_SQL = f"""
+WITH c0 AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+  FROM embeddings WHERE vec_id < {KMEANS_K}
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), a1 AS (
+  SELECT vec_id, v,
+         (SELECT cid FROM c0
+          ORDER BY list_distance(e.v, c0.c), cid LIMIT 1) AS cluster
+  FROM e
+), du AS (
+  SELECT cluster,
+         unnest(list_transform(v, (x, i) -> struct_pack(i := i, x := x)))
+             AS u
+  FROM a1
+), cm AS (
+  SELECT cluster AS cid, u.i AS i, avg(u.x) AS x
+  FROM du GROUP BY cluster, u.i
+), c1 AS (
+  SELECT cid, list(x ORDER BY i) AS c FROM cm GROUP BY cid
+), cc AS (
+  SELECT c0.cid, coalesce(c1.c, c0.c) AS c
+  FROM c0 LEFT JOIN c1 USING (cid)
+)
+SELECT vec_id,
+       (SELECT cid FROM cc
+        ORDER BY list_distance(e.v, cc.c), cid LIMIT 1) AS cluster
+FROM e
+"""
+
+
 def label_stats(sf_dir: str):
     """Grouped stats over the vector table (count + first-component mean)."""
 
@@ -171,6 +222,7 @@ def vector_queries() -> dict[str, Callable]:
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "embedding_neardup": embedding_neardup,
+        "embedding_kmeans": embedding_kmeans,
         "label_stats": label_stats,
     }
 
@@ -180,5 +232,6 @@ def vector_oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": ANN_TOPK_SQL,
         "ann_knn_join": KNN_JOIN_SQL,
         "embedding_neardup": NEARDUP_SQL,
+        "embedding_kmeans": KMEANS_SQL,
         "label_stats": LABEL_STATS_SQL,
     }
