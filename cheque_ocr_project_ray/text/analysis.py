@@ -164,6 +164,25 @@ def repetition(batch: pa.Table) -> pa.Table:
     })
 
 
+def bigram_counts(batch: pa.Table) -> pa.Table:
+    """Per-batch bigram frequencies (combiner for the corpus
+    heavy-hitters query): adjacent same-row token pairs joined with
+    one Arrow element-wise kernel, counted with one group_by."""
+    _, flat, parent = _prep(batch)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if len(flat) < 2:
+        return pa.table({"bigram": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    bg = pc.binary_join_element_wise(
+        flat.slice(0, len(flat) - 1), flat.slice(1), " ")
+    bg = bg.filter(pa.array(parent[:-1] == parent[1:]))
+    t = pa.table({"bigram": bg,
+                  "n": pa.array(np.ones(len(bg), np.int64))})
+    return t.group_by("bigram").aggregate([("n", "sum")]) \
+        .rename_columns(["bigram", "n"])
+
+
 def lang_id(batch: pa.Table) -> pa.Table:
     _, flat, parent = _prep(batch)
     return pa.table({

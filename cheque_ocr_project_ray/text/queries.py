@@ -58,6 +58,66 @@ FROM t
 """
 
 
+PACK_BUDGET = 512
+
+
+def doc_pack(sf_dir: str):
+    """Greedy fixed-budget sequence packing — a distributed global
+    prefix sum over doc_id order (see ``text/pack.py``); pack_id =
+    exclusive cumulative token count // budget, i.e. the SQL running
+    window below."""
+    from cheque_ocr_project_ray.text.pack import pack_documents
+    return pack_documents(_docs(sf_dir), budget=PACK_BUDGET)
+
+
+PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens)
+            // {PACK_BUDGET} AS BIGINT) AS pack_id
+FROM t
+"""
+
+
+TOP_BIGRAMS_K = 25
+
+
+def corpus_top_bigrams(sf_dir: str):
+    """Global top-k bigrams by corpus frequency — the heavy-hitters
+    shape: per-batch bigram counts (one dictionary-encode + np.unique,
+    same kernel as doc_repetition), merged through the bounded-adaptive
+    sum path, then a tiny sort+limit.  Ties break lexicographically so
+    both engines cut the same k."""
+    from cheque_ocr_project_ray.util import final_merge_sums
+
+    ds = _docs(sf_dir)
+    counts = final_merge_sums(
+        ds.map_batches(analysis.bigram_counts, batch_format="pyarrow"),
+        ["bigram"], ["n"])
+    return counts.sort(["n", "bigram"], descending=[True, False]) \
+        .limit(TOP_BIGRAMS_K)
+
+
+TOP_BIGRAMS_SQL = f"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), b AS (
+  SELECT unnest(list_transform(toks[1:len(toks)-1],
+                               (x, i) -> x || ' ' || toks[i + 1])) AS bigram
+  FROM t
+)
+SELECT bigram, count(*) AS n FROM b
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT {TOP_BIGRAMS_K}
+"""
+
+
 def doc_repetition(sf_dir: str):
     return _docs(sf_dir).map_batches(analysis.repetition,
                                      batch_format="pyarrow")
@@ -690,6 +750,8 @@ def text_queries() -> dict[str, Callable]:
         "doc_token_stats": doc_token_stats,
         "doc_quality": doc_quality,
         "doc_repetition": doc_repetition,
+        "corpus_top_bigrams": corpus_top_bigrams,
+        "doc_pack": doc_pack,
         "doc_lang_id": doc_lang_id,
         "doc_fingerprint": doc_fingerprint,
         "doc_bpe_tokens": doc_bpe_tokens,
@@ -718,6 +780,8 @@ def text_oracle_sql() -> dict[str, str]:
         "doc_token_stats": TOKEN_STATS_SQL,
         "doc_quality": QUALITY_SQL,
         "doc_repetition": REPETITION_SQL,
+        "corpus_top_bigrams": TOP_BIGRAMS_SQL,
+        "doc_pack": PACK_SQL,
         "doc_lang_id": LANG_ID_SQL,
         "doc_fingerprint": FINGERPRINT_SQL,
         "doc_bpe_tokens": BPE_TOKENS_SQL,
