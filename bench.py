@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "ann_knn_join",            # batched multi-query GEMM top-k
     "ann_ivf_topk",            # IVF coarse-quantizer scale path
     "embedding_neardup",       # exact all-pairs near-dup (block GEMM)
+    "embedding_kmeans",        # iterative broadcast-update (Lloyd)
+    "doc_pack",                # distributed prefix sum (packing)
+    "dedup_components",        # graph closure over near-dup pairs
     "media_decode_stats",      # multimodal actor-pool stage
 ]
 
