@@ -51,18 +51,11 @@ def _hash_shuffled(fn):
     return wrapper
 
 
-def _strip_meta(t: pa.Table) -> pa.Table:
-    # pandas-written parquet carries b'pandas' schema metadata, which
-    # makes pyarrow Schema unhashable and trips Ray's "Failed to hash
-    # the schemas" warning in every hash-shuffle aggregator; dropping
-    # it is zero-copy and fuses into the read task
-    return t.replace_schema_metadata(None)
-
-
 def _pq(sf_dir: str, table: str, columns=None):
+    from cheque_ocr_project_ray.util import strip_schema_metadata
     return ray.data.read_parquet(str(Path(sf_dir) / f"{table}.parquet"),
                                  columns=columns) \
-        .map_batches(_strip_meta, batch_format="pyarrow",
+        .map_batches(strip_schema_metadata, batch_format="pyarrow",
                      zero_copy_batch=True)
 
 
@@ -987,6 +980,8 @@ def events_stratified_sample(sf_dir: str, np_: int = 0):
     counts_t = collect_table(final_merge_sums(
         ds.map_batches(count_partial, batch_format="pyarrow"),
         ["event_type"], ["n"], np_=np_).materialize())
+    if counts_t is None:  # empty input: source schema, zero rows
+        return ds
     counts = dict(zip(counts_t.column("event_type").to_pylist(),
                       counts_t.column("n").to_pylist()))
     mn = min(counts.values())
@@ -1042,6 +1037,11 @@ def events_value_zscore(sf_dir: str, np_: int = 0):
     st = collect_table(final_merge_sums(
         ds.map_batches(moment_partial, batch_format="pyarrow"),
         ["event_type"], ["n", "s", "ss"], np_=np_).materialize())
+    if st is None:  # empty input: typed-empty output schema
+        return ray.data.from_arrow(pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "z": pa.array([], pa.float64())}))
     n = st.column("n").to_numpy().astype(np.float64)
     mean = st.column("s").to_numpy() / n
     std = np.sqrt(np.maximum(st.column("ss").to_numpy() / n
@@ -1103,6 +1103,9 @@ def events_type_pivot(sf_dir: str, np_: int = 0):
     long = collect_table(final_merge_sums(
         ds.map_batches(partial, batch_format="pyarrow"),
         ["hour", "event_type"], ["v"], np_=np_).materialize())
+    if long is None:  # empty input: no type domain to widen over
+        return ray.data.from_arrow(
+            pa.table({"hour": pa.array([], pa.int64())}))
     types = sorted(set(long.column("event_type").to_pylist()))
     hours = sorted(set(long.column("hour").to_pylist()))
     cell = {(h, t): v for h, t, v in
@@ -1150,6 +1153,11 @@ def events_value_dense_rank(sf_dir: str, np_: int = 0):
     dv = collect_table(final_merge_sums(
         ds.map_batches(distinct_partial, batch_format="pyarrow"),
         ["value"], ["n"], np_=np_).materialize())
+    if dv is None:  # empty input: typed-empty output schema
+        return ray.data.from_arrow(pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "value": pa.array([], pa.float64()),
+            "drank": pa.array([], pa.int64())}))
     vals = np.sort(dv.column("value").to_numpy())
     vals_ref = ray.put(vals)
 
@@ -1236,6 +1244,8 @@ def orders_above_avg(sf_dir: str, np_: int = 0):
     st = collect_table(final_merge_sums(
         ds.map_batches(partial, batch_format="pyarrow"),
         ["o_custkey"], ["n", "s"], np_=np_).materialize())
+    if st is None:  # empty input: source schema, zero rows
+        return ds
     mean = round_half_up(
         st.column("s").to_numpy() / st.column("n").to_numpy(), 6)
     custs = st.column("o_custkey").combine_chunks()
@@ -1292,6 +1302,14 @@ def orders_rollup(sf_dir: str, np_: int = 0):
         ds.map_batches(partial, batch_format="pyarrow"),
         ["o_orderpriority", "o_orderstatus"], ["s", "n"],
         np_=np_).materialize())
+    if fin is None:
+        # SQL's ROLLUP () grouping set still emits the grand total on
+        # empty input: one ('ALL','ALL', NULL, 0) row — mirror it
+        return ray.data.from_arrow(pa.table({
+            "o_orderpriority": pa.array(["ALL"], pa.string()),
+            "o_orderstatus": pa.array(["ALL"], pa.string()),
+            "total_price": pa.array([None], pa.float64()),
+            "n_orders": pa.array([0], pa.int64())}))
     levels = [fin]
     lvl1 = fin.group_by("o_orderpriority").aggregate(
         [("s", "sum"), ("n", "sum")])

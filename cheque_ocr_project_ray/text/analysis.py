@@ -143,15 +143,21 @@ def repetition(batch: pa.Table) -> pa.Table:
     top_word = np.zeros(n, np.int64)
     np.maximum.at(top_word, keys // n_codes, counts)
 
-    # bigram = adjacent code pair within the same row
+    # bigram = adjacent code pair within the same row; the pair key is
+    # re-densified (np.unique inverse) before combining with the row so
+    # the combined key stays ~rows×tokens — parent*(n_codes²) would
+    # overflow int64 for big batches over a large vocabulary and
+    # silently write counts into wrong rows
     same = parent[:-1] == parent[1:] if len(parent) else \
         np.zeros(0, bool)
     bparent = parent[:-1][same]
     bkey = codes[:-1][same] * n_codes + codes[1:][same]
+    _, bdense = np.unique(bkey, return_inverse=True)
+    nb_codes = int(bdense.max()) + 1 if len(bdense) else 1
     bkeys, bcounts = np.unique(
-        bparent * (n_codes * n_codes) + bkey, return_counts=True)
+        bparent * nb_codes + bdense, return_counts=True)
     top_bigram = np.zeros(n, np.int64)
-    np.maximum.at(top_bigram, bkeys // (n_codes * n_codes), bcounts)
+    np.maximum.at(top_bigram, bkeys // nb_codes, bcounts)
 
     nb = np.maximum(n_tokens - 1, 1)
     return pa.table({

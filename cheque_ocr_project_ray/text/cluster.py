@@ -69,6 +69,12 @@ def components_from_pairs(pairs_ds, a_col: str = "doc_a",
     each round takes the min over neighbors via one hash join +
     groupby(min), and the monotone label sum gives a cheap fixpoint
     test.  Set ``bound=0`` to force the distributed path (tests do).
+
+    ``max_iters`` bounds propagation rounds; convergence needs
+    O(component diameter) rounds, and near-dup components are
+    squat (near-cliques), so 50 is far beyond any real corpus — a
+    pathological million-hop chain would return early with labels
+    still converging, never a wrong pairing (labels only tighten).
     """
     pairs = pairs_ds.select_columns([a_col, b_col]).materialize()
     if pairs.count() == 0:

@@ -141,3 +141,14 @@ def collect_table(materialized_ds):
     if not parts:
         return None
     return pa.concat_tables(parts).combine_chunks()
+
+
+def strip_schema_metadata(t):
+    """Drop parquet/pandas schema metadata from an Arrow table —
+    pandas-written parquet carries a b'pandas' dict that makes the
+    Schema unhashable and trips Ray's "Failed to hash the schemas"
+    warning inside every shuffle aggregator.  Zero-copy; as a
+    ``map_batches`` fn it fuses into the upstream read task.  The one
+    shared definition — joins and the relational readers both use it.
+    """
+    return t.replace_schema_metadata(None)

@@ -62,6 +62,8 @@ def kmeans_rounds(emb_ds, init_centroids: np.ndarray, rounds: int = 2,
         st = collect_table(final_merge_sums(
             emb_ds.map_batches(partial, batch_format="pyarrow"),
             ["cluster"], ["n"] + sum_cols, np_=np_).materialize())
+        if st is None:  # empty input: nothing to update
+            break
         st = st.sort_by("cluster")
         n = st.column("n").to_numpy().astype(np.float64)
         sums = np.column_stack([st.column(c).to_numpy()

@@ -1,0 +1,74 @@
+"""Empty-input and parameter-hardening regressions (review batch 3)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from cheque_ocr_project_ray.relational import joins
+from cheque_ocr_project_ray.relational.queries import (
+    events_stratified_sample, events_type_pivot, events_users_both,
+    events_value_dense_rank, events_value_zscore, orders_above_avg,
+    orders_rollup)
+
+
+def _empty_events(tmp_path):
+    pd.DataFrame({
+        "event_id": pd.Series([], dtype="int64"),
+        "ts": pd.Series([], dtype="datetime64[us]"),
+        "user_id": pd.Series([], dtype="int64"),
+        "event_type": pd.Series([], dtype="object"),
+        "value": pd.Series([], dtype="float64"),
+    }).to_parquet(tmp_path / "events.parquet")
+    return str(tmp_path)
+
+
+def _empty_orders(tmp_path):
+    pd.DataFrame({
+        "o_orderkey": pd.Series([], dtype="int64"),
+        "o_custkey": pd.Series([], dtype="int64"),
+        "o_orderstatus": pd.Series([], dtype="object"),
+        "o_orderpriority": pd.Series([], dtype="object"),
+        "o_totalprice": pd.Series([], dtype="float64"),
+    }).to_parquet(tmp_path / "orders.parquet")
+    return str(tmp_path)
+
+
+def test_empty_events_queries(tmp_path):
+    d = _empty_events(tmp_path)
+    assert events_stratified_sample(d).count() == 0
+    assert events_value_zscore(d).count() == 0
+    assert events_type_pivot(d).count() == 0
+    assert events_value_dense_rank(d).count() == 0
+    assert events_users_both(d).count() == 0
+
+
+def test_empty_orders_queries(tmp_path):
+    d = _empty_orders(tmp_path)
+    assert orders_above_avg(d).count() == 0
+    out = orders_rollup(d).to_pandas()
+    # SQL ROLLUP's () grouping set survives empty input
+    assert len(out) == 1
+    assert out.iloc[0]["o_orderpriority"] == "ALL"
+    assert out.iloc[0]["n_orders"] == 0
+    assert pd.isna(out.iloc[0]["total_price"])
+
+
+def test_bloom_m_bits_rounded_up():
+    left = ray.data.from_items([{"k": i % 5, "v": i} for i in range(50)])
+    keys = ray.data.from_items([{"k": 2}])
+    # 1000 is not a multiple of 64 — must round up, not IndexError
+    out = joins.bloom_semi_join(left, keys, on_left="k", on_right="k",
+                                m_bits=1000, k_hashes=3).to_pandas()
+    assert len(out) == 10 and (out["k"] == 2).all()
+
+
+def test_repetition_dense_bigram_keys():
+    # many rows × distinct tokens: the densified pair key must keep
+    # per-row maxima independent (no cross-row bleed)
+    texts = [f"t{i} t{i} t{i} u{i}" for i in range(50)]
+    batch = pa.table({"doc_id": list(range(50)), "text": texts})
+    from cheque_ocr_project_ray.text.analysis import repetition
+    out = repetition(batch).to_pydict()
+    assert out["top_count"] == [3] * 50          # "t{i}" thrice
+    assert out["bigram_top_frac"] == [np.float64(2 / 3).round(4)] * 50
