@@ -63,6 +63,18 @@ def test_bloom_m_bits_rounded_up():
     assert len(out) == 10 and (out["k"] == 2).all()
 
 
+def test_hash_join_single_hot_key():
+    # key cardinality 1 < num_partitions: all real rows land in ONE
+    # partition, every other partition is empty on both sides — the
+    # schemaless-partition crash shape the sentinel padding fixes
+    left = ray.data.from_items([{"k": 7, "v": i} for i in range(5000)])
+    right = ray.data.from_items([{"k": 7, "w": 1}, {"k": 8, "w": 2}])
+    out = joins.hash_join(left, right, on="k",
+                          num_partitions=8).to_pandas()
+    assert len(out) == 5000
+    assert (out["k"] == 7).all() and (out["w"] == 1).all()
+
+
 def test_repetition_dense_bigram_keys():
     # many rows × distinct tokens: the densified pair key must keep
     # per-row maxima independent (no cross-row bleed)
