@@ -67,12 +67,20 @@ def q1_pricing_summary(sf_dir: str, np_: int = 0):
               "l_extendedprice", "l_discount"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        disc = pc.multiply(batch["l_extendedprice"],
-                           pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        t = batch.append_column("disc_price", disc)
+        # money in integer cents / 1e-4 units: exact, order-independent
+        # sums that match the DECIMAL oracle bit-for-bit (util.money_units)
+        from cheque_ocr_project_ray.util import money_units
+        cents = money_units(batch["l_extendedprice"])
+        disc_u = money_units(batch["l_discount"])
+        du = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                            disc_u))
+        t = pa.table({"l_returnflag": batch["l_returnflag"],
+                      "l_linestatus": batch["l_linestatus"],
+                      "l_quantity": batch["l_quantity"],
+                      "base_cents": cents, "disc_du": du})
         g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate([
-            ("l_quantity", "sum"), ("l_extendedprice", "sum"),
-            ("disc_price", "sum"), ("l_quantity", "count")])
+            ("l_quantity", "sum"), ("base_cents", "sum"),
+            ("disc_du", "sum"), ("l_quantity", "count")])
         return g.rename_columns([
             "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
             "sum_disc_price", "count_order"])
@@ -89,8 +97,9 @@ def q1_pricing_summary(sf_dir: str, np_: int = 0):
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
         batch["avg_qty"] = round_half_up(
             batch["sum_qty"] / batch["count_order"], 4)
-        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-            batch[c] = round_half_up(batch[c], 4)
+        batch["sum_qty"] = round_half_up(batch["sum_qty"], 4)
+        batch["sum_base_price"] = batch["sum_base_price"] / 100.0
+        batch["sum_disc_price"] = batch["sum_disc_price"] / 10000.0
         return batch
 
     return agg.map_batches(finish, batch_format="pandas")
@@ -99,8 +108,11 @@ def q1_pricing_summary(sf_dir: str, np_: int = 0):
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4)                          AS sum_qty,
-       round(sum(l_extendedprice), 4)                     AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 4)  AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+            AS DOUBLE)                                    AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE)                                    AS sum_disc_price,
        count(*)                                           AS count_order,
        round(sum(l_quantity) / count(*), 4)               AS avg_qty
 FROM lineitem
@@ -125,8 +137,11 @@ def revenue_by_nation(sf_dir: str, np_: int = 0):
     joined = broadcast_join(orders, dim, on="o_custkey")
 
     def partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by("n_name").aggregate([
-            ("o_totalprice", "sum"), ("o_totalprice", "count")])
+        from cheque_ocr_project_ray.util import money_units
+        t = pa.table({"n_name": batch["n_name"],
+                      "cents": money_units(batch["o_totalprice"])})
+        g = t.group_by("n_name").aggregate([
+            ("cents", "sum"), ("cents", "count")])
         return g.rename_columns(["n_name", "revenue", "n_orders"])
 
     agg = joined.map_batches(partial, batch_format="pyarrow") \
@@ -134,13 +149,14 @@ def revenue_by_nation(sf_dir: str, np_: int = 0):
             Sum("revenue", alias_name="revenue"),
             Sum("n_orders", alias_name="n_orders"))
     return agg.map_batches(
-        lambda b: b.assign(revenue=round_half_up(b["revenue"], 4)),
+        lambda b: b.assign(revenue=b["revenue"] / 100.0),
         batch_format="pandas")
 
 
 REVENUE_BY_NATION_SQL = """
 SELECT n_name,
-       round(sum(o_totalprice), 4) AS revenue,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue,
        count(*)                    AS n_orders
 FROM orders
 JOIN customer ON c_custkey = o_custkey
@@ -207,10 +223,13 @@ def order_priority_revenue(sf_dir: str, np_: int = 0):
                    ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def li_revenue(batch: pa.Table) -> pa.Table:
-        revenue = pc.multiply(batch["l_extendedprice"],
-                              pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        from cheque_ocr_project_ray.util import money_units
+        cents = money_units(batch["l_extendedprice"])
+        du = pc.multiply(cents, pc.subtract(
+            pa.scalar(100, pa.int64()),
+            money_units(batch["l_discount"])))
         return pa.table({"o_orderkey": batch["l_orderkey"],
-                         "revenue": revenue})
+                         "revenue": du})
 
     li = lineitem.map_batches(li_revenue, batch_format="pyarrow")
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
@@ -226,13 +245,15 @@ def order_priority_revenue(sf_dir: str, np_: int = 0):
             Sum("revenue", alias_name="revenue"),
             Sum("n_lineitems", alias_name="n_lineitems"))
     return agg.map_batches(
-        lambda b: b.assign(revenue=round_half_up(b["revenue"], 4)),
+        lambda b: b.assign(revenue=b["revenue"] / 10000.0),
         batch_format="pandas")
 
 
 ORDER_PRIORITY_SQL = """
 SELECT o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE)                                    AS revenue,
        count(*)                                          AS n_lineitems
 FROM lineitem
 JOIN orders ON o_orderkey = l_orderkey
@@ -596,10 +617,11 @@ def orders_price_band(sf_dir: str, np_: int = 0):
         # band row and are DROPPED (idx -1 would otherwise wrap to the
         # last label; above the top bound must not be kept either)
         keep = (idx >= 0) & (v < hi_last)
+        cents = np.rint(v[keep] * 100.0).astype(np.int64)
         t = pa.table({"band": pa.array(labels[idx[keep]], pa.string()),
-                      "o_totalprice": pa.array(v[keep])})
+                      "cents": pa.array(cents)})
         g = t.group_by("band").aggregate([
-            ("o_totalprice", "count"), ("o_totalprice", "sum")])
+            ("cents", "count"), ("cents", "sum")])
         return g.rename_columns(["band", "n_orders", "revenue"])
 
     agg = ds.map_batches(partial, batch_format="pyarrow") \
@@ -607,7 +629,7 @@ def orders_price_band(sf_dir: str, np_: int = 0):
             Sum("n_orders", alias_name="n_orders"),
             Sum("revenue", alias_name="revenue"))
     return agg.map_batches(
-        lambda b: b.assign(revenue=round_half_up(b["revenue"], 4)),
+        lambda b: b.assign(revenue=b["revenue"] / 100.0),
         batch_format="pandas")
 
 
@@ -616,7 +638,8 @@ _BANDS_VALUES = ",\n    ".join(
 ORDERS_PRICE_BAND_SQL = f"""
 WITH bands(band, lo, hi) AS (VALUES
     {_BANDS_VALUES})
-SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue
+SELECT band, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
 GROUP BY band
 """
@@ -841,11 +864,13 @@ def orders_monthly(sf_dir: str, np_: int = 0):
     ds = _pq(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        from cheque_ocr_project_ray.util import money_units
         ts = batch.column("o_orderdate").cast(pa.timestamp("us"))
         ym = pc.add(pc.multiply(pc.year(ts), 100), pc.month(ts))
-        t = pa.table({"ym": ym, "o_totalprice": batch["o_totalprice"]})
+        t = pa.table({"ym": ym,
+                      "cents": money_units(batch["o_totalprice"])})
         g = t.group_by("ym").aggregate([
-            ("o_totalprice", "count"), ("o_totalprice", "sum")])
+            ("cents", "count"), ("cents", "sum")])
         return g.rename_columns(["ym", "n_orders", "revenue"])
 
     agg = ds.map_batches(partial, batch_format="pyarrow") \
@@ -853,14 +878,15 @@ def orders_monthly(sf_dir: str, np_: int = 0):
             Sum("n_orders", alias_name="n_orders"),
             Sum("revenue", alias_name="revenue"))
     return agg.map_batches(
-        lambda b: b.assign(revenue=round_half_up(b["revenue"], 4)),
+        lambda b: b.assign(revenue=b["revenue"] / 100.0),
         batch_format="pandas")
 
 
 ORDERS_MONTHLY_SQL = """
 SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 4) AS revenue
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue
 FROM orders
 GROUP BY ym
 """
@@ -890,11 +916,13 @@ def lineitem_semi_bloom(sf_dir: str, np_: int = 0):
                               on_right="o_orderkey")
 
     def partial(batch: pa.Table) -> pa.Table:
-        rev = pc.multiply(batch.column("l_extendedprice"),
-                          pc.subtract(pa.scalar(1.0),
-                                      batch.column("l_discount")))
+        from cheque_ocr_project_ray.util import money_units
+        cents = money_units(batch.column("l_extendedprice"))
+        du = pc.multiply(cents, pc.subtract(
+            pa.scalar(100, pa.int64()),
+            money_units(batch.column("l_discount"))))
         t = pa.table({"l_returnflag": batch.column("l_returnflag"),
-                      "revenue": rev,
+                      "revenue": du,
                       "n_items": pa.array(
                           np.ones(batch.num_rows, np.int64))})
         g = t.group_by("l_returnflag").aggregate(
@@ -905,13 +933,15 @@ def lineitem_semi_bloom(sf_dir: str, np_: int = 0):
         matched.map_batches(partial, batch_format="pyarrow"),
         ["l_returnflag"], ["revenue", "n_items"], np_=np_)
     return agg.map_batches(
-        lambda b: b.assign(revenue=round_half_up(b["revenue"], 2)),
+        lambda b: b.assign(revenue=b["revenue"] / 10000.0),
         batch_format="pandas")
 
 
 LINEITEM_SEMI_BLOOM_SQL = """
 SELECT l_returnflag,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders
@@ -1289,9 +1319,10 @@ def orders_rollup(sf_dir: str, np_: int = 0):
                                 "o_totalprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        from cheque_ocr_project_ray.util import money_units
         t = pa.table({"o_orderpriority": batch.column("o_orderpriority"),
                       "o_orderstatus": batch.column("o_orderstatus"),
-                      "s": batch.column("o_totalprice"),
+                      "s": money_units(batch.column("o_totalprice")),
                       "n": pa.array(np.ones(batch.num_rows, np.int64))})
         g = t.group_by(["o_orderpriority", "o_orderstatus"]).aggregate(
             [("s", "sum"), ("n", "sum")])
@@ -1321,14 +1352,14 @@ def orders_rollup(sf_dir: str, np_: int = 0):
     total = pa.table({
         "o_orderpriority": pa.array(["ALL"]),
         "o_orderstatus": pa.array(["ALL"]),
-        "s": pa.array([pc.sum(fin.column("s")).as_py()], pa.float64()),
+        "s": pa.array([pc.sum(fin.column("s")).as_py()], pa.int64()),
         "n": pa.array([pc.sum(fin.column("n")).as_py()], pa.int64()),
     })
     levels.append(total)
     out = pa.concat_tables(levels)
     out = out.set_column(
         out.schema.get_field_index("s"), "total_price",
-        pa.array(round_half_up(out.column("s").to_numpy(), 2))) \
+        pa.array(out.column("s").to_numpy() / 100.0)) \
         .rename_columns(["o_orderpriority", "o_orderstatus",
                          "total_price", "n_orders"])
     return ray.data.from_arrow(out)
@@ -1337,7 +1368,8 @@ def orders_rollup(sf_dir: str, np_: int = 0):
 ORDERS_ROLLUP_SQL = """
 SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
        coalesce(o_orderstatus, 'ALL')   AS o_orderstatus,
-       round(sum(o_totalprice), 2)      AS total_price,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_price,
        count(*)                         AS n_orders
 FROM orders
 GROUP BY ROLLUP(o_orderpriority, o_orderstatus)

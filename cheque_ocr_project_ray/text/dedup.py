@@ -550,7 +550,7 @@ def _bucket_hamming_pairs(ids, hs, max_hamming: int, bucket_cap: int,
 
 
 def simhash_near_pairs(docs_ds, max_hamming: int = 3,
-                       bucket_cap: int = 256,
+                       bucket_cap: int = 2048,
                        banded_bound: int = 5_000_000):
     """SimHash near-dup pairs via band blocking.
 
@@ -562,6 +562,11 @@ def simhash_near_pairs(docs_ds, max_hamming: int = 3,
     ``bucket_cap`` fall back to star comparison (min-id vs rest):
     linear in the bucket, still transitively complete for
     keep-one-per-cluster dedup of a degenerate identical cluster.
+    The cap is 2048 (not the pair-generators' 256): hamming checks
+    are one vectorized XOR+popcount per bucket, so a full 2048² pass
+    is milliseconds, and natural-language band buckets reach the
+    low hundreds on ordinary corpora (measured 317 at sf0.1) —
+    a tight cap silently downgrades exact pairs to star pairs.
     """
     sigs = simhash_docs(docs_ds)
 

@@ -152,3 +152,17 @@ def strip_schema_metadata(t):
     shared definition — joins and the relational readers both use it.
     """
     return t.replace_schema_metadata(None)
+
+
+def money_units(arr, digits: int = 2):
+    """Exact fixed-point decimal column (float storage) → int64 in
+    10^digits units.  Integer sums are order-independent and exact, so
+    grouped money totals become bit-reproducible under ANY block order
+    / parallelism and match the SQL twin's DECIMAL arithmetic bit-for-
+    bit (verified at sf0.1) — float64 partial sums were drifting past
+    the 2-4dp rounding once group sums reached ~1e9."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    return pc.cast(
+        pc.round(pc.multiply(pc.cast(arr, pa.float64()),
+                             pa.scalar(10.0 ** digits))), pa.int64())
