@@ -5,6 +5,13 @@ side-by-side with DuckDB at the given sf dir, compares row count,
 column names, and order-insensitive values column-by-column.
 
 Usage: python tools/check_oracle.py [sf_dir] [name ...]
+       python tools/check_oracle.py --twice [sf_dir] [name ...]
+
+``--twice`` is the determinism audit: every ``queries()`` entry
+(including the rows-only ones with no SQL twin) runs twice in the same
+session and the normalized results must be EXACTLY equal — dtypes,
+values, bit-for-bit floats.  Actor-pool scheduling, block order, and
+shuffle partitioning must not leak into results.
 """
 
 from __future__ import annotations
@@ -90,9 +97,57 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> bool:
     return ok
 
 
+def determinism_audit(sf_dir: str, only: set) -> None:
+    import ray
+    ray.init(address="local", num_cpus=8, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+    qs = entrymod.queries()
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        # nested columns (span structs, embedding lists) are unhashable
+        # for sort_values — canonicalize object columns to repr strings
+        # BEFORE the shared normalize; repr is deterministic and the
+        # comparison stays exact (a repr diff IS a value diff)
+        df = df.copy()
+        for c in df.columns:
+            if df[c].dtype.kind == "O":
+                df[c] = df[c].map(repr)
+        return normalize(df)
+
+    passed = failed = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        a = canon(to_pandas(fn(sf_dir)))
+        b = canon(to_pandas(fn(sf_dir)))
+        if a.equals(b):
+            print(f"  [{name}] DETERMINISTIC rows={len(a)}")
+            passed += 1
+        else:
+            print(f"  [{name}] NONDETERMINISTIC")
+            diff_cols = [c for c in a.columns
+                         if not a[c].equals(b[c])] \
+                if list(a.columns) == list(b.columns) else list(a.columns)
+            print(f"    differing columns: {diff_cols[:6]} "
+                  f"rows a={len(a)} b={len(b)}")
+            failed += 1
+    print(f"passed={passed} failed={failed}")
+    ray.shutdown()
+    sys.exit(1 if failed else 0)
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    twice = "--twice" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if twice:
+        determinism_audit(sf_dir, only)
+        return
 
     import ray
     ray.init(address="local", num_cpus=8, include_dashboard=False,
