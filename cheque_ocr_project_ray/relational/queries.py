@@ -1112,6 +1112,136 @@ FROM events e JOIN st USING (event_type)
 """
 
 
+# --- three-way star join (customer ⋈ orders ⋈ lineitem, Q3-like) -----
+@_hash_shuffled
+def q3_shipping_priority(sf_dir: str, np_: int = 0, k: int = 10):
+    """Top-k orders by revenue within one market segment — the
+    multi-join composition: the filtered customer key set is TINY, so
+    it broadcasts into a vectorized ``is_in`` filter over orders (no
+    shuffle), the surviving order keys broadcast the same way into
+    lineitem, and only ONE shuffle remains (revenue per order via the
+    bounded combiner).  A 3-table join with a single exchange — the
+    star-schema plan a reference user would otherwise hand-write."""
+    from cheque_ocr_project_ray.util import money_units
+
+    cust = pq.read_table(str(Path(sf_dir) / "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    ckeys = cust.filter(pc.equal(cust.column("c_mktsegment"),
+                                 "BUILDING")).column("c_custkey")
+    ckeys_ref = ray.put(ckeys.combine_chunks())
+
+    class OrderFilter:
+        def __init__(self):
+            self.ckeys = ray.get(ckeys_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = pc.is_in(batch.column("o_custkey"),
+                         value_set=self.ckeys)
+            return batch.filter(m).select(["o_orderkey", "o_orderdate"])
+
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(OrderFilter, batch_format="pyarrow",
+                     concurrency=(1, map_pool()))
+    ot = collect_table(orders.materialize())
+    if ot is None:
+        return ray.data.from_arrow(pa.table({
+            "l_orderkey": pa.array([], pa.int64()),
+            "revenue": pa.array([], pa.float64()),
+            "o_orderdate": pa.array([], pa.date32())}))
+    okeys_ref = ray.put(ot.column("o_orderkey").combine_chunks())
+
+    class LiRevenue:
+        def __init__(self):
+            self.okeys = ray.get(okeys_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = pc.is_in(batch.column("l_orderkey"),
+                         value_set=self.okeys)
+            b = batch.filter(m)
+            cents = money_units(b.column("l_extendedprice"))
+            du = pc.multiply(cents, pc.subtract(
+                pa.scalar(100, pa.int64()),
+                money_units(b.column("l_discount"))))
+            t = pa.table({"l_orderkey": b.column("l_orderkey"),
+                          "du": du})
+            g = t.group_by("l_orderkey").aggregate([("du", "sum")])
+            return g.rename_columns(["l_orderkey", "du"])
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(LiRevenue, batch_format="pyarrow",
+                     concurrency=(1, map_pool()))
+    per_order = collect_table(final_merge_sums(
+        li, ["l_orderkey"], ["du"], np_=np_).materialize())
+    if per_order is None:
+        return ray.data.from_arrow(pa.table({
+            "l_orderkey": pa.array([], pa.int64()),
+            "revenue": pa.array([], pa.float64()),
+            "o_orderdate": pa.array([], pa.date32())}))
+    joined = per_order.join(
+        ot.select(["o_orderkey", "o_orderdate"]).rename_columns(
+            ["l_orderkey", "o_orderdate"]), keys="l_orderkey")
+    rev = joined.column("du").to_numpy() / 10000.0
+    joined = joined.drop_columns("du").append_column(
+        "revenue", pa.array(rev))
+    idx = pc.select_k_unstable(
+        joined, k, [("revenue", "descending"),
+                    ("l_orderkey", "ascending")])
+    return ray.data.from_arrow(
+        joined.take(idx).select(["l_orderkey", "revenue",
+                                 "o_orderdate"]))
+
+
+Q3_SHIPPING_SQL = """
+SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --- per-user time-gap debounce (event dedup) ------------------------
+@_hash_shuffled
+def events_debounce(sf_dir: str, np_: int = 0, gap_s: int = 60):
+    """Drop events landing within ``gap_s`` of the user's previous
+    event — the duplicate-suppression / debounce shape for event
+    streams, as groupby(user) + in-group vectorized lag diff.  Same
+    per-key ordering contract as the rolling window; first event per
+    user always survives."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def debounce(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"])
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        keep = np.ones(len(g), bool)
+        keep[1:] = (ts[1:] - ts[:-1]) > gap_s * 1_000_000
+        return g.loc[keep, ["event_id", "user_id", "ts"]]
+
+    return ds.groupby("user_id", num_partitions=np_).map_groups(
+        debounce, batch_format="pandas")
+
+
+EVENTS_DEBOUNCE_SQL = """
+WITH d AS (
+  SELECT event_id, user_id, ts,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT event_id, user_id, ts FROM d
+WHERE gap IS NULL OR gap > 60000000
+"""
+
+
 # --- wide pivot (hour-of-day × event_type) ---------------------------
 @_hash_shuffled
 def events_type_pivot(sf_dir: str, np_: int = 0):
@@ -1408,6 +1538,8 @@ def relational_queries() -> dict[str, Callable]:
         "events_users_both": events_users_both,
         "orders_above_avg": orders_above_avg,
         "orders_rollup": orders_rollup,
+        "q3_shipping_priority": q3_shipping_priority,
+        "events_debounce": events_debounce,
     }
 
 
@@ -1442,4 +1574,6 @@ def relational_oracle_sql() -> dict[str, str]:
         "events_users_both": EVENTS_USERS_BOTH_SQL,
         "orders_above_avg": ORDERS_ABOVE_AVG_SQL,
         "orders_rollup": ORDERS_ROLLUP_SQL,
+        "q3_shipping_priority": Q3_SHIPPING_SQL,
+        "events_debounce": EVENTS_DEBOUNCE_SQL,
     }
