@@ -1209,6 +1209,80 @@ LIMIT 10
 """
 
 
+# --- four-way star join (lineitem ⋈ part ⋈ supplier ⋈ nation) --------
+@_hash_shuffled
+def profit_by_nation_year(sf_dir: str, np_: int = 0):
+    """Q9-like profit rollup: revenue of Brand#1 parts per (supplier
+    nation, ship year).  Four tables, ZERO shuffles until the bounded
+    combiner: part/supplier/nation are all dimension-sized, so the
+    Brand#1 part-key set and the supplier→nation map broadcast once
+    (``ray.put``) and the fact table streams through a vectorized
+    filter + two ``index_in`` lookups.  The canonical star-schema plan
+    at 100 TB — the fact side is read once, joined in place.
+    Assumes fact→dimension FK integrity (every l_suppkey exists in
+    supplier), the same contract an inner join would enforce."""
+    from cheque_ocr_project_ray.util import money_units
+
+    part = pq.read_table(str(Path(sf_dir) / "part.parquet"),
+                         columns=["p_partkey", "p_brand"])
+    pkeys = part.filter(pc.equal(part.column("p_brand"),
+                                 "Brand#1")).column("p_partkey")
+    supp = pq.read_table(str(Path(sf_dir) / "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(str(Path(sf_dir) / "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    sn = supp.join(nation.rename_columns(["s_nationkey", "n_name"]),
+                   keys="s_nationkey")
+    dims_ref = ray.put((pkeys.combine_chunks(),
+                        sn.column("s_suppkey").combine_chunks(),
+                        sn.column("n_name").combine_chunks()))
+
+    class Partial:
+        def __init__(self):
+            self.pkeys, self.skeys, self.snames = ray.get(dims_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            b = batch.filter(pc.is_in(batch.column("l_partkey"),
+                                      value_set=self.pkeys))
+            si = pc.index_in(b.column("l_suppkey"),
+                             value_set=self.skeys).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            nname = self.snames.take(pa.array(si))
+            cents = money_units(b.column("l_extendedprice"))
+            du = pc.multiply(cents, pc.subtract(
+                pa.scalar(100, pa.int64()),
+                money_units(b.column("l_discount"))))
+            yr = pc.year(b.column("l_shipdate"))
+            t = pa.table({"n_name": nname, "yr": yr, "du": du})
+            g = t.group_by(["n_name", "yr"]).aggregate([("du", "sum")])
+            return g.rename_columns(["n_name", "yr", "du"])
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_partkey", "l_suppkey", "l_shipdate",
+              "l_extendedprice", "l_discount"]) \
+        .map_batches(Partial, batch_format="pyarrow",
+                     concurrency=(1, map_pool()))
+    agg = final_merge_sums(li, ["n_name", "yr"], ["du"], np_=np_)
+    return agg.map_batches(
+        lambda b: b.assign(profit=b["du"] / 10000.0).drop(
+            columns=["du"]),
+        batch_format="pandas")
+
+
+PROFIT_SQL = """
+SELECT n_name, year(l_shipdate) AS yr,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_brand = 'Brand#1'
+GROUP BY n_name, yr
+"""
+
+
 # --- per-user time-gap debounce (event dedup) ------------------------
 @_hash_shuffled
 def events_debounce(sf_dir: str, np_: int = 0, gap_s: int = 60):
@@ -1539,6 +1613,7 @@ def relational_queries() -> dict[str, Callable]:
         "orders_above_avg": orders_above_avg,
         "orders_rollup": orders_rollup,
         "q3_shipping_priority": q3_shipping_priority,
+        "profit_by_nation_year": profit_by_nation_year,
         "events_debounce": events_debounce,
     }
 
@@ -1575,5 +1650,6 @@ def relational_oracle_sql() -> dict[str, str]:
         "orders_above_avg": ORDERS_ABOVE_AVG_SQL,
         "orders_rollup": ORDERS_ROLLUP_SQL,
         "q3_shipping_priority": Q3_SHIPPING_SQL,
+        "profit_by_nation_year": PROFIT_SQL,
         "events_debounce": EVENTS_DEBOUNCE_SQL,
     }
