@@ -1316,6 +1316,115 @@ WHERE gap IS NULL OR gap > 60000000
 """
 
 
+# --- ordered funnel (signup → click → purchase) ----------------------
+@_hash_shuffled
+def events_funnel(sf_dir: str, np_: int = 0):
+    """Users reaching each funnel stage IN ORDER: first signup, then
+    the first click strictly after it, then the first purchase
+    strictly after that.  Sequential-pattern analytics as ONE
+    groupby(user) — each group reduces to three flags with vectorized
+    min-over-threshold, and the tiny flag sums become the stage
+    table.  The order constraint is why this is not a plain
+    per-type count: a click before signup must not count."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def flags(group: pd.DataFrame) -> pd.DataFrame:
+        ts = group["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        et = group["event_type"].to_numpy()
+
+        def first_after(kind: str, after: int) -> int:
+            m = (et == kind) & (ts > after)
+            return int(ts[m].min()) if m.any() else -1
+
+        t1 = first_after("signup", np.iinfo(np.int64).min)
+        t2 = first_after("click", t1) if t1 >= 0 else -1
+        t3 = first_after("purchase", t2) if t2 >= 0 else -1
+        return pd.DataFrame({
+            "r1": [int(t1 >= 0)], "r2": [int(t2 >= 0)],
+            "r3": [int(t3 >= 0)]})
+
+    per_user = ds.groupby("user_id", num_partitions=np_).map_groups(
+        flags, batch_format="pandas")
+    # one flag row per user — summing them is a driver-side reduce of
+    # a metadata-sized table (3 ints per user; sum per-batch first on
+    # a corpus with billions of users)
+    t = collect_table(per_user.materialize())
+    if t is None:
+        n1 = n2 = n3 = 0
+    else:
+        n1 = int(pc.sum(t.column("r1")).as_py() or 0)
+        n2 = int(pc.sum(t.column("r2")).as_py() or 0)
+        n3 = int(pc.sum(t.column("r3")).as_py() or 0)
+    return ray.data.from_arrow(pa.table({
+        "stage": pa.array(["signup", "click", "purchase"]),
+        "n_users": pa.array([n1, n2, n3], pa.int64())}))
+
+
+EVENTS_FUNNEL_SQL = """
+WITH s AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s USING (user_id)
+  WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(ts) AS t3 FROM events e JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id
+)
+SELECT 'signup' AS stage, count(*) AS n_users FROM s
+UNION ALL SELECT 'click', count(*) FROM c
+UNION ALL SELECT 'purchase', count(*) FROM p
+"""
+
+
+# --- grouped mode (most frequent value per group) --------------------
+@_hash_shuffled
+def part_brand_mode(sf_dir: str, np_: int = 0):
+    """Most frequent part type per brand (ties break to the smallest
+    type) — the grouped-mode / argmax-per-group shape: combiner
+    counts reduce to the bounded (brand, type) cross table, the
+    per-brand argmax is a driver-side lexsort slice."""
+    ds = _pq(sf_dir, "part", ["p_brand", "p_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"p_brand": batch.column("p_brand"),
+                      "p_type": batch.column("p_type"),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by(["p_brand", "p_type"]).aggregate([("n", "sum")])
+        return g.rename_columns(["p_brand", "p_type", "n"])
+
+    t = collect_table(final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["p_brand", "p_type"], ["n"], np_=np_).materialize())
+    if t is None:
+        return ray.data.from_arrow(pa.table({
+            "p_brand": pa.array([], pa.string()),
+            "mode_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64())}))
+    df = t.to_pandas().sort_values(
+        ["p_brand", "n", "p_type"],
+        ascending=[True, False, True], kind="mergesort")
+    top = df.groupby("p_brand", sort=True).head(1)
+    return ray.data.from_arrow(pa.table({
+        "p_brand": pa.array(top["p_brand"].to_numpy(), pa.string()),
+        "mode_type": pa.array(top["p_type"].to_numpy(), pa.string()),
+        "n": pa.array(top["n"].to_numpy(), pa.int64())}))
+
+
+PART_BRAND_MODE_SQL = """
+WITH c AS (
+  SELECT p_brand, p_type, count(*) AS n FROM part GROUP BY 1, 2
+), r AS (
+  SELECT p_brand, p_type, n,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY n DESC, p_type) AS rn
+  FROM c
+)
+SELECT p_brand, p_type AS mode_type, n FROM r WHERE rn = 1
+"""
+
+
 # --- wide pivot (hour-of-day × event_type) ---------------------------
 @_hash_shuffled
 def events_type_pivot(sf_dir: str, np_: int = 0):
@@ -1615,6 +1724,8 @@ def relational_queries() -> dict[str, Callable]:
         "q3_shipping_priority": q3_shipping_priority,
         "profit_by_nation_year": profit_by_nation_year,
         "events_debounce": events_debounce,
+        "events_funnel": events_funnel,
+        "part_brand_mode": part_brand_mode,
     }
 
 
@@ -1652,4 +1763,6 @@ def relational_oracle_sql() -> dict[str, str]:
         "q3_shipping_priority": Q3_SHIPPING_SQL,
         "profit_by_nation_year": PROFIT_SQL,
         "events_debounce": EVENTS_DEBOUNCE_SQL,
+        "events_funnel": EVENTS_FUNNEL_SQL,
+        "part_brand_mode": PART_BRAND_MODE_SQL,
     }
