@@ -1378,6 +1378,71 @@ UNION ALL SELECT 'purchase', count(*) FROM p
 """
 
 
+# --- weekly cohort retention -----------------------------------------
+@_hash_shuffled
+def events_retention(sf_dir: str, np_: int = 0):
+    """Cohort retention matrix: users grouped by first-seen week,
+    counted in each later week they were active.  Two combiner
+    passes, no raw-event shuffle: (1) min-ts per user → the cohort
+    map, broadcast once; (2) distinct (user, week) pairs reduce per
+    batch, then map to (cohort, offset) and sum.  Week ids are pure
+    integer epoch arithmetic so both engines agree exactly."""
+    WEEK_US = 7 * 86400 * 1_000_000
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+
+    def week_pairs(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.timestamp("us")) \
+            .cast(pa.int64())
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "w": pc.divide(us, WEEK_US),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by(["user_id", "w"]).aggregate([("n", "max")])
+        return g.rename_columns(["user_id", "w", "n"])
+
+    # distinct (user, week) pairs are bounded at |users| × |weeks| —
+    # metadata-scale relative to raw events; at billions of users the
+    # same pipeline ends in final_merge_sums' distributed fallback and
+    # the cohort map becomes a hash join instead of this driver dict
+    pairs = collect_table(final_merge_sums(
+        ds.map_batches(week_pairs, batch_format="pyarrow"),
+        ["user_id", "w"], ["n"], np_=np_).materialize())
+    if pairs is None:
+        return ray.data.from_arrow(pa.table({
+            "cohort_week": pa.array([], pa.int64()),
+            "week_offset": pa.array([], pa.int64()),
+            "n_users": pa.array([], pa.int64())}))
+    u = pairs.column("user_id").to_numpy()
+    w = pairs.column("w").to_numpy()
+    order = np.lexsort((w, u))
+    u, w = u[order], w[order]
+    first_idx = np.unique(u, return_index=True)[1]
+    cohort_of = dict(zip(u[first_idx].tolist(), w[first_idx].tolist()))
+    cw = np.array([cohort_of[x] for x in u.tolist()], np.int64)
+    off = w - cw
+    key = cw * (1 << 20) + off
+    ks, counts = np.unique(key, return_counts=True)
+    return ray.data.from_arrow(pa.table({
+        "cohort_week": pa.array(ks >> 20, pa.int64()),
+        "week_offset": pa.array(ks & ((1 << 20) - 1), pa.int64()),
+        "n_users": pa.array(counts.astype(np.int64)),
+    }))
+
+
+EVENTS_RETENTION_SQL = """
+WITH a AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 604800000000 AS w
+  FROM events
+), f AS (
+  SELECT user_id, min(w) AS cw FROM a GROUP BY user_id
+)
+SELECT cw AS cohort_week, w - cw AS week_offset,
+       count(*) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 # --- grouped mode (most frequent value per group) --------------------
 @_hash_shuffled
 def part_brand_mode(sf_dir: str, np_: int = 0):
@@ -1725,6 +1790,7 @@ def relational_queries() -> dict[str, Callable]:
         "profit_by_nation_year": profit_by_nation_year,
         "events_debounce": events_debounce,
         "events_funnel": events_funnel,
+        "events_retention": events_retention,
         "part_brand_mode": part_brand_mode,
     }
 
@@ -1764,5 +1830,6 @@ def relational_oracle_sql() -> dict[str, str]:
         "profit_by_nation_year": PROFIT_SQL,
         "events_debounce": EVENTS_DEBOUNCE_SQL,
         "events_funnel": EVENTS_FUNNEL_SQL,
+        "events_retention": EVENTS_RETENTION_SQL,
         "part_brand_mode": PART_BRAND_MODE_SQL,
     }

@@ -47,3 +47,25 @@ def test_mode_tie_breaks_lexicographically(tmp_path):
     out = part_brand_mode(str(tmp_path)).to_pandas()
     got = {r.p_brand: (r.mode_type, r.n) for r in out.itertuples()}
     assert got == {"B1": ("tb", 2), "B2": ("tz", 2)}
+
+
+def test_retention_cohorts(tmp_path):
+    # two cohorts: users 1,2 first seen week 0; user 3 first seen
+    # week 1. Activity: u1 weeks {0,1,2}, u2 {0}, u3 {1,2}
+    week = 7 * 86400
+    rows = [(1, 0), (1, week + 5), (1, 2 * week + 5), (1, 10),
+            (2, 20), (3, week + 1), (3, 2 * week + 1)]
+    df = pd.DataFrame({
+        "event_id": np.arange(len(rows)),
+        "user_id": [r[0] for r in rows],
+        "event_type": "click",
+        "ts": pd.to_datetime([r[1] for r in rows], unit="s"),
+        "value": 1.0,
+    })
+    df.to_parquet(tmp_path / "events.parquet")
+    from cheque_ocr_project_ray.relational.queries import events_retention
+    out = events_retention(str(tmp_path)).to_pandas()
+    got = {(r.cohort_week, r.week_offset): r.n_users
+           for r in out.itertuples()}
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1,
+                   (1, 0): 1, (1, 1): 1}
