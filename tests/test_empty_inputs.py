@@ -75,6 +75,46 @@ def test_hash_join_single_hot_key():
     assert (out["k"] == 7).all() and (out["w"] == 1).all()
 
 
+def test_hash_join_narrow_and_unsigned_keys():
+    # regression: sentinel padding used to build int64 sentinels for
+    # EVERY integer key type, crashing on int32/uint64 key columns
+    for dtype in (pa.int32(), pa.uint64(), pa.int16(), pa.uint32()):
+        left = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 2, 3, 3], dtype), "v": [10, 20, 30, 31]}))
+        right = ray.data.from_arrow(pa.table({
+            "k": pa.array([2, 3], dtype), "w": [200, 300]}))
+        out = joins.hash_join(left, right, on="k",
+                              num_partitions=4).to_pandas()
+        assert sorted(out["v"].tolist()) == [20, 30, 31], str(dtype)
+
+
+def test_covering_sentinels_unpadded_fallbacks():
+    # 8-bit keys have no usable reserved domain; binary keys are an
+    # unsupported type — both must fall back to [] (no padding), not
+    # raise
+    assert joins._covering_sentinels(pa.uint8(), 4) == []
+    assert joins._covering_sentinels(pa.int8(), 4) == []
+    assert joins._covering_sentinels(pa.binary(), 4) == []
+    # and a wide type still yields one sentinel per partition
+    assert len(joins._covering_sentinels(pa.int32(), 4)) == 4
+
+
+def test_hash_join_schemaless_side_preserves_outer_rows():
+    # regression: a schemaless empty side used to collapse left/full
+    # outer joins to an empty result instead of preserving known rows
+    left = ray.data.from_arrow(pa.table({"k": [1, 2], "v": [10, 20]}))
+    empty = ray.data.from_items([])  # no schema at all
+    assert joins.hash_join(left, empty, on="k",
+                           how="left").count() == 2
+    assert joins.hash_join(left, empty, on="k",
+                           how="outer").count() == 2
+    assert joins.hash_join(empty, left, on="k",
+                           how="right").count() == 2
+    # non-preserving types stay empty (typed)
+    assert joins.hash_join(left, empty, on="k", how="inner").count() == 0
+    assert joins.hash_join(empty, left, on="k", how="left").count() == 0
+
+
 def test_repetition_dense_bigram_keys():
     # many rows × distinct tokens: the densified pair key must keep
     # per-row maxima independent (no cross-row bleed)
