@@ -1754,6 +1754,438 @@ GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
 """
 
 
+# --- Q13-style left-join count distribution --------------------------
+@_hash_shuffled
+def q13_customer_distribution(sf_dir: str, np_: int = 0):
+    """How many customers placed exactly N orders, including N=0 — the
+    left-outer-join + double-aggregation shape (TPC-H Q13).  Orders
+    reduce to per-customer counts first (combiner — the shuffle moves
+    one row per customer, not per order), the customer table joins
+    against that bounded count table, and the final histogram is a
+    second bounded combiner over the count domain."""
+    customer = _pq(sf_dir, "customer", ["c_custkey"])
+    orders = _pq(sf_dir, "orders", ["o_custkey"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"c_custkey": batch.column("o_custkey"),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))}) \
+            .group_by("c_custkey").aggregate([("n", "sum")])
+        return g.rename_columns(["c_custkey", "n"])
+
+    counts = final_merge_sums(
+        orders.map_batches(count_partial, batch_format="pyarrow"),
+        ["c_custkey"], ["n"], np_=np_)
+    joined = customer.join(counts, join_type="left_outer",
+                           num_partitions=np_, on=("c_custkey",))
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        n = pc.fill_null(batch.column("n"), pa.scalar(0, pa.int64()))
+        g = pa.table({"c_count": n,
+                      "d": pa.array(np.ones(batch.num_rows, np.int64))}) \
+            .group_by("c_count").aggregate([("d", "sum")])
+        return g.rename_columns(["c_count", "custdist"])
+
+    return final_merge_sums(
+        joined.map_batches(hist_partial, batch_format="pyarrow"),
+        ["c_count"], ["custdist"], np_=np_)
+
+
+Q13_CUSTDIST_SQL = """
+WITH c AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist FROM c GROUP BY c_count
+"""
+
+
+# --- Q17-style per-group correlated filter ---------------------------
+Q17_BRAND = "Brand#3"
+
+
+@_hash_shuffled
+def q17_small_qty_revenue(sf_dir: str, np_: int = 0):
+    """Average yearly revenue lost to small-quantity orders of one
+    brand's parts (TPC-H Q17) — the PER-GROUP correlated-subquery
+    shape: pass 1 reduces the brand's lineitems to per-part (n, Σqty)
+    through the combiner (bounded at the brand's part count), the
+    per-part 20%-of-mean threshold broadcasts once, and pass 2 streams
+    the fact table through a vectorized lookup + filter + exact-cents
+    sum.  Two fact scans, zero shuffles — the plan a 100 TB Q17
+    needs.  Quantity sums are integer-valued doubles, so the mean and
+    threshold are bit-identical to SQL."""
+    from cheque_ocr_project_ray.util import money_units
+
+    part = pq.read_table(str(Path(sf_dir) / "part.parquet"),
+                         columns=["p_partkey", "p_brand"])
+    pkeys = part.filter(pc.equal(part.column("p_brand"),
+                                 Q17_BRAND)).column("p_partkey")
+    pkeys_ref = ray.put(pkeys.combine_chunks())
+
+    class QtyPartial:
+        def __init__(self):
+            self.pkeys = ray.get(pkeys_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            b = batch.filter(pc.is_in(batch.column("l_partkey"),
+                                      value_set=self.pkeys))
+            t = pa.table({"l_partkey": b.column("l_partkey"),
+                          "n": pa.array(np.ones(b.num_rows, np.int64)),
+                          "q": b.column("l_quantity")})
+            g = t.group_by("l_partkey").aggregate(
+                [("n", "sum"), ("q", "sum")])
+            return g.rename_columns(["l_partkey", "n", "q"])
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    stats = collect_table(final_merge_sums(
+        _pq(sf_dir, "lineitem", li_cols)
+        .map_batches(QtyPartial, batch_format="pyarrow",
+                     concurrency=(1, map_pool())),
+        ["l_partkey"], ["n", "q"], np_=np_).materialize())
+    empty = ray.data.from_arrow(pa.table({
+        "avg_yearly": pa.array([], pa.float64())}))
+    if stats is None:
+        return empty
+    thr = round_half_up(0.2 * stats.column("q").to_numpy()
+                        / stats.column("n").to_numpy(), 6)
+    thr_ref = ray.put((stats.column("l_partkey").combine_chunks(), thr))
+
+    class SmallQtyCents:
+        def __init__(self):
+            self.pk, self.thr = ray.get(thr_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            b = batch.filter(pc.is_in(batch.column("l_partkey"),
+                                      value_set=self.pk))
+            pi = pc.index_in(b.column("l_partkey"),
+                             value_set=self.pk).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            keep = b.column("l_quantity").to_numpy() < self.thr[pi]
+            b = b.filter(pa.array(keep))
+            cents = pc.sum(money_units(b.column("l_extendedprice")))
+            return pa.table({"cents": pa.array(
+                [cents.as_py() or 0], pa.int64())})
+
+    cents = collect_table(
+        _pq(sf_dir, "lineitem", li_cols)
+        .map_batches(SmallQtyCents, batch_format="pyarrow",
+                     concurrency=(1, map_pool())).materialize())
+    if cents is None:
+        return empty
+    total = pc.sum(cents.column("cents")).as_py() or 0
+    return ray.data.from_arrow(pa.table({
+        "avg_yearly": pa.array(
+            [float(round_half_up(total / 100.0 / 7.0, 2))],
+            pa.float64())}))
+
+
+Q17_SMALL_QTY_SQL = f"""
+WITH pk AS (
+  SELECT p_partkey FROM part WHERE p_brand = '{Q17_BRAND}'
+), a AS (
+  SELECT l_partkey, round(0.2 * sum(l_quantity) / count(*), 6) AS thr
+  FROM lineitem JOIN pk ON p_partkey = l_partkey
+  GROUP BY l_partkey
+)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DOUBLE) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN a ON lineitem.l_partkey = a.l_partkey
+WHERE l_quantity < thr
+"""
+
+
+# --- Q18-style HAVING filter + join-back -----------------------------
+Q18_MIN_QTY = 300
+
+
+@_hash_shuffled
+def q18_large_orders(sf_dir: str, np_: int = 0, k: int = 100):
+    """Customers whose orders exceed {Q18_MIN_QTY} total units (TPC-H
+    Q18) — the HAVING-then-join-back shape: ONE shuffle reduces
+    lineitem to per-order quantity sums, the tiny surviving key set
+    broadcasts into vectorized filters over orders and customer (no
+    second shuffle — both joins become ``is_in`` streams), and the
+    driver stitches the three small survivors together."""
+    sums = collect_table(final_merge_sums(
+        _pq(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(lambda b: pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "q": b.column("l_quantity")}).group_by("l_orderkey")
+            .aggregate([("q", "sum")])
+            .rename_columns(["l_orderkey", "q"]),
+            batch_format="pyarrow"),
+        ["l_orderkey"], ["q"], np_=np_).materialize())
+    empty = ray.data.from_arrow(pa.table({
+        "c_name": pa.array([], pa.string()),
+        "c_custkey": pa.array([], pa.int64()),
+        "o_orderkey": pa.array([], pa.int64()),
+        "o_orderdate": pa.array([], pa.date32()),
+        "o_totalprice": pa.array([], pa.float64()),
+        "sum_qty": pa.array([], pa.float64())}))
+    if sums is None:
+        return empty
+    big = sums.filter(pc.greater(sums.column("q"),
+                                 pa.scalar(float(Q18_MIN_QTY))))
+    if big.num_rows == 0:
+        return empty
+    okeys_ref = ray.put(big.column("l_orderkey").combine_chunks())
+
+    class OrderPick:
+        def __init__(self):
+            self.okeys = ray.get(okeys_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b.column("o_orderkey"),
+                                     value_set=self.okeys))
+
+    ot = collect_table(
+        _pq(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                               "o_orderdate", "o_totalprice"])
+        .map_batches(OrderPick, batch_format="pyarrow",
+                     concurrency=(1, map_pool())).materialize())
+    if ot is None:
+        return empty
+    ckeys_ref = ray.put(pc.unique(ot.column("o_custkey")))
+
+    class CustPick:
+        def __init__(self):
+            self.ckeys = ray.get(ckeys_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b.column("c_custkey"),
+                                     value_set=self.ckeys))
+
+    ct = collect_table(
+        _pq(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(CustPick, batch_format="pyarrow",
+                     concurrency=(1, map_pool())).materialize())
+    joined = ot.join(big.rename_columns(["o_orderkey", "sum_qty"]),
+                     keys="o_orderkey") \
+        .join(ct.rename_columns(["o_custkey", "c_name"]),
+              keys="o_custkey")
+    idx = pc.select_k_unstable(
+        joined, k, [("o_totalprice", "descending"),
+                    ("o_orderkey", "ascending")])
+    out = joined.take(idx)
+    return ray.data.from_arrow(pa.table({
+        "c_name": out.column("c_name"),
+        "c_custkey": out.column("o_custkey"),
+        "o_orderkey": out.column("o_orderkey"),
+        "o_orderdate": out.column("o_orderdate"),
+        "o_totalprice": out.column("o_totalprice"),
+        "sum_qty": out.column("sum_qty")}))
+
+
+Q18_LARGE_ORDERS_SQL = f"""
+WITH s AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > {Q18_MIN_QTY}
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       sum_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN s ON o_orderkey = l_orderkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+# --- argmin-per-group: first event per user --------------------------
+@_hash_shuffled
+def events_first_touch(sf_dir: str, np_: int = 0):
+    """Each user's first event (earliest ts, event_id tie-break) — the
+    argmin-per-group / first-touch-attribution shape as a two-level
+    reduction: every batch keeps at most one candidate row per user
+    (vectorized lexsort + unique-first, no Python loop), so the final
+    merge sees ≤|users| rows per batch and resolves the global argmin
+    with one driver lexsort.  No sort shuffle of the raw stream."""
+    ds = _pq(sf_dir, "events",
+             ["event_id", "user_id", "ts", "event_type"])
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        eid = batch.column("event_id").to_numpy()
+        order = np.lexsort((eid, ts, u))
+        first = order[np.unique(u[order], return_index=True)[1]]
+        return batch.take(pa.array(np.sort(first)))
+
+    cand = collect_table(
+        ds.map_batches(candidates, batch_format="pyarrow")
+        .materialize())
+    if cand is None:
+        return ray.data.from_arrow(pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "event_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string())}))
+    df = cand.to_pandas().sort_values(
+        ["user_id", "ts", "event_id"], kind="mergesort")
+    top = df.groupby("user_id", sort=True).head(1)
+    return ray.data.from_arrow(pa.Table.from_pandas(
+        top[["user_id", "ts", "event_id", "event_type"]],
+        preserve_index=False))
+
+
+EVENTS_FIRST_TOUCH_SQL = """
+WITH r AS (
+  SELECT user_id, ts, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, ts, event_id, event_type FROM r WHERE rn = 1
+"""
+
+
+# --- ordered list aggregation: distinct types per user ---------------
+@_hash_shuffled
+def events_user_types(sf_dir: str, np_: int = 0):
+    """Alphabetical comma-joined distinct event types per user — the
+    ordered string/list aggregation shape: the distinct (user, type)
+    pair set is bounded at |users| × |type domain|, reduced by the
+    combiner, and the tiny pair table is assembled into ordered
+    strings with one vectorized driver pass."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        g = pa.table({"user_id": batch.column("user_id"),
+                      "event_type": batch.column("event_type"),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))}) \
+            .group_by(["user_id", "event_type"]).aggregate([("n", "sum")])
+        return g.rename_columns(["user_id", "event_type", "n"])
+
+    t = collect_table(final_merge_sums(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["user_id", "event_type"], ["n"], np_=np_).materialize())
+    if t is None:
+        return ray.data.from_arrow(pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "types": pa.array([], pa.string()),
+            "n_types": pa.array([], pa.int64())}))
+    df = t.to_pandas().sort_values(["user_id", "event_type"],
+                                   kind="mergesort")
+    g = df.groupby("user_id", sort=True)["event_type"]
+    out = pd.DataFrame({"types": g.apply(",".join),
+                        "n_types": g.size().astype(np.int64)})
+    out = out.reset_index()
+    return ray.data.from_arrow(pa.Table.from_pandas(
+        out, preserve_index=False))
+
+
+EVENTS_USER_TYPES_SQL = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY event_type) AS types,
+       count(*) AS n_types
+FROM d GROUP BY user_id
+"""
+
+
+# --- Q22-style scalar subquery + anti-join ---------------------------
+@_hash_shuffled
+def customers_idle_rich(sf_dir: str, np_: int = 0):
+    """Per-nation count and balance of above-average-balance customers
+    with no URGENT orders (the TPC-H Q22 shape) — scalar subquery +
+    anti-join in three bounded exchanges: the global positive-balance
+    mean reduces through one combiner (exact integer cents, so the
+    threshold is bit-identical to SQL), the urgent-customer key set
+    reduces to distinct keys and broadcasts into a vectorized anti
+    filter (swap for the hash-join anti path when the active set
+    outgrows a broadcast), and the survivors collapse to one row per
+    nation."""
+    from cheque_ocr_project_ray.util import money_units
+
+    cust = _pq(sf_dir, "customer",
+               ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        cents = money_units(batch.column("c_acctbal"))
+        pos = pc.greater(cents, pa.scalar(0, pa.int64()))
+        return pa.table({
+            "s": pa.array([pc.sum(pc.if_else(
+                pos, cents, pa.scalar(0, pa.int64()))).as_py() or 0],
+                pa.int64()),
+            "n": pa.array([pc.sum(pc.cast(pos, pa.int64())).as_py()
+                           or 0], pa.int64())})
+
+    bal = collect_table(cust.map_batches(
+        bal_partial, batch_format="pyarrow").materialize())
+    empty = ray.data.from_arrow(pa.table({
+        "c_nationkey": pa.array([], pa.int64()),
+        "numcust": pa.array([], pa.int64()),
+        "totacctbal": pa.array([], pa.float64())}))
+    n_pos = pc.sum(bal.column("n")).as_py() if bal is not None else 0
+    if not n_pos:
+        return empty
+    thr = pc.sum(bal.column("s")).as_py() / n_pos  # cents, float64
+
+    def okey_partial(batch: pa.Table) -> pa.Table:
+        urgent = batch.filter(pc.equal(batch.column("o_orderpriority"),
+                                       "1-URGENT"))
+        return pa.table({"o_custkey": pc.unique(
+            urgent.column("o_custkey"))})
+
+    ok = collect_table(
+        _pq(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(okey_partial, batch_format="pyarrow")
+        .materialize())
+    okeys = pc.unique(ok.column("o_custkey")) if ok is not None \
+        else pa.array([], pa.int64())
+    state_ref = ray.put((thr, okeys))
+
+    class IdleRich:
+        def __init__(self):
+            self.thr, self.okeys = ray.get(state_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cents = money_units(batch.column("c_acctbal"))
+            rich = cents.to_numpy() > self.thr
+            idle = pc.invert(pc.is_in(batch.column("c_custkey"),
+                                      value_set=self.okeys)).to_numpy(
+                zero_copy_only=False)
+            b = pa.table({"c_nationkey": batch.column("c_nationkey"),
+                          "cents": cents,
+                          "n": pa.array(
+                              np.ones(batch.num_rows, np.int64))}) \
+                .filter(pa.array(rich & idle))
+            g = b.group_by("c_nationkey").aggregate(
+                [("n", "sum"), ("cents", "sum")])
+            return g.rename_columns(["c_nationkey", "numcust", "cents"])
+
+    agg = final_merge_sums(
+        cust.map_batches(IdleRich, batch_format="pyarrow",
+                         concurrency=(1, map_pool())),
+        ["c_nationkey"], ["numcust", "cents"], np_=np_)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["totacctbal"] = round_half_up(b["cents"] / 100.0, 2)
+        return b.drop(columns=["cents"])
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+CUSTOMERS_IDLE_RICH_SQL = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+), s AS (
+  SELECT CAST(sum(cents) AS DOUBLE) / count(*) AS thr
+  FROM c WHERE cents > 0
+)
+SELECT c_nationkey, count(*) AS numcust,
+       round(sum(cents) / 100.0, 2) AS totacctbal
+FROM c, s
+WHERE cents > thr
+  AND c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
 def relational_queries() -> dict[str, Callable]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1792,6 +2224,12 @@ def relational_queries() -> dict[str, Callable]:
         "events_funnel": events_funnel,
         "events_retention": events_retention,
         "part_brand_mode": part_brand_mode,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q17_small_qty_revenue": q17_small_qty_revenue,
+        "q18_large_orders": q18_large_orders,
+        "events_first_touch": events_first_touch,
+        "events_user_types": events_user_types,
+        "customers_idle_rich": customers_idle_rich,
     }
 
 
@@ -1832,4 +2270,10 @@ def relational_oracle_sql() -> dict[str, str]:
         "events_funnel": EVENTS_FUNNEL_SQL,
         "events_retention": EVENTS_RETENTION_SQL,
         "part_brand_mode": PART_BRAND_MODE_SQL,
+        "q13_customer_distribution": Q13_CUSTDIST_SQL,
+        "q17_small_qty_revenue": Q17_SMALL_QTY_SQL,
+        "q18_large_orders": Q18_LARGE_ORDERS_SQL,
+        "events_first_touch": EVENTS_FIRST_TOUCH_SQL,
+        "events_user_types": EVENTS_USER_TYPES_SQL,
+        "customers_idle_rich": CUSTOMERS_IDLE_RICH_SQL,
     }

@@ -1,0 +1,70 @@
+"""Unit checks for the Q13/Q17/Q18/first-touch/user-types/Q22 family
+(the SQL-twin equality runs in tools/check_oracle.py; these pin the
+semantic edges the oracle sweep can't see by construction)."""
+
+import numpy as np
+import pandas as pd
+
+from cheque_ocr_project_ray.relational import queries as rq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q13_includes_zero_order_customers():
+    df = rq.q13_customer_distribution(SF).to_pandas()
+    # distribution accounts for EVERY customer exactly once
+    import pyarrow.parquet as pq
+    n_cust = pq.read_metadata(f"{SF}/customer.parquet").num_rows
+    assert int(df["custdist"].sum()) == n_cust
+    assert (df["c_count"] >= 0).all()
+
+
+def test_q17_single_scalar_row():
+    df = rq.q17_small_qty_revenue(SF).to_pandas()
+    assert list(df.columns) == ["avg_yearly"]
+    assert len(df) == 1 and df["avg_yearly"].iloc[0] > 0
+
+
+def test_q18_threshold_enforced():
+    df = rq.q18_large_orders(SF).to_pandas()
+    assert (df["sum_qty"] > rq.Q18_MIN_QTY).all()
+    # join-back keys are unique per order
+    assert df["o_orderkey"].is_unique
+    # descending by price with the deterministic tie-break
+    p = df["o_totalprice"].to_numpy()
+    assert (np.diff(p) <= 0).all()
+
+
+def test_first_touch_one_row_per_user_and_is_min():
+    df = rq.events_first_touch(SF).to_pandas()
+    assert df["user_id"].is_unique
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts"])
+    true_min = ev.groupby("user_id")["ts"].min()
+    got = df.set_index("user_id")["ts"]
+    assert (got.sort_index() == true_min.sort_index()).all()
+
+
+def test_user_types_sorted_distinct():
+    df = rq.events_user_types(SF).to_pandas()
+    for types, n in zip(df["types"], df["n_types"]):
+        parts = types.split(",")
+        assert parts == sorted(set(parts))
+        assert len(parts) == n
+
+
+def test_idle_rich_excludes_urgent_customers():
+    df = rq.customers_idle_rich(SF).to_pandas()
+    assert (df["numcust"] > 0).all()
+    ev = pd.read_parquet(f"{SF}/orders.parquet",
+                         columns=["o_custkey", "o_orderpriority"])
+    cust = pd.read_parquet(f"{SF}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey",
+                                    "c_acctbal"])
+    urgent = set(ev.loc[ev["o_orderpriority"] == "1-URGENT",
+                        "o_custkey"])
+    pos = cust.loc[cust["c_acctbal"] > 0, "c_acctbal"]
+    thr = (pos * 100).round().astype(np.int64).sum() / len(pos) / 100
+    manual = cust[(cust["c_acctbal"] > thr)
+                  & (~cust["c_custkey"].isin(urgent))]
+    assert int(df["numcust"].sum()) == len(manual)
