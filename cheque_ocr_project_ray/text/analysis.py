@@ -296,6 +296,99 @@ def winnow_fingerprints(batch: pa.Table) -> pa.Table:
 SPLIT_BUCKETS = (("train", 90), ("val", 95), ("test", 100))
 
 
+SEG_LEN = 10     # tiling segment width (segment-level dedup)
+CHUNK_W = 64     # training-window width (token chunking)
+CHUNK_S = 32     # training-window stride (50% overlap)
+
+
+def _token_windows(batch: pa.Table, window: int, stride: int):
+    """Sliding token windows over every row, fully vectorized.
+
+    Returns ``(parent_row, win_no, win_len, win_text)`` where each
+    window covers tokens ``[win_no*stride, win_no*stride+window)`` of
+    its row (clipped at the row end) and ``win_text`` is the
+    space-joined window — the same construction as the SQL twin's
+    ``toks[j*stride+1 : j*stride+window]`` slice.  Window COUNT per
+    row is ``ceil(n/stride)`` (every start strictly inside the row),
+    so ``stride == window`` degenerates to exact tiling.  One
+    ``take`` + one ``binary_join`` — no Python loop over rows,
+    windows, or tokens."""
+    toks = _token_lists(batch.column("text")).combine_chunks()
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    off = np.asarray(toks.offsets, dtype=np.int64)
+    n = np.diff(off)                        # ≥1: empty text → ['']
+    nw = np.ceil(n / stride).astype(np.int64)
+    tot = int(nw.sum())
+    win_no = np.arange(tot) - np.repeat(np.cumsum(nw) - nw, nw)
+    start = np.repeat(off[:-1], nw) + win_no * stride
+    wlen = np.minimum(window, np.repeat(off[1:], nw) - start)
+    idx = np.repeat(start, wlen) + \
+        (np.arange(int(wlen.sum())) - np.repeat(np.cumsum(wlen) - wlen,
+                                                wlen))
+    offsets = np.concatenate([[0], np.cumsum(wlen)])
+    la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                  flat.take(pa.array(idx)))
+    return (np.repeat(np.arange(len(batch), dtype=np.int64), nw),
+            win_no, wlen, pc.binary_join(la, " "))
+
+
+def segment_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, seg_no, seg) tiling segmentation — the unit the
+    corpus-level segment dedup keys on."""
+    parent, seg_no, _, seg = _token_windows(batch, SEG_LEN, SEG_LEN)
+    return pa.table({
+        "doc_id": batch.column("doc_id").take(pa.array(parent)),
+        "seg_no": pa.array(seg_no, pa.int64()),
+        "seg": seg,
+    })
+
+
+def chunk_rows(batch: pa.Table) -> pa.Table:
+    """Overlapping training windows (width CHUNK_W, stride CHUNK_S)
+    per doc — the fixed-context chunking a tokenize-and-pack training
+    pipeline emits."""
+    parent, win_no, wlen, text = _token_windows(batch, CHUNK_W, CHUNK_S)
+    return pa.table({
+        "doc_id": batch.column("doc_id").take(pa.array(parent)),
+        "chunk_id": pa.array(win_no, pa.int64()),
+        "n_tokens": pa.array(wlen, pa.int64()),
+        "chunk": text,
+    })
+
+
+def token_counts(batch: pa.Table) -> pa.Table:
+    """Per-batch corpus unigram counts (combiner for the LM-scoring
+    query): one flatten + one group_by."""
+    _, flat, _ = _prep(batch)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    t = pa.table({"tok": flat,
+                  "n": pa.array(np.ones(len(flat), np.int64))})
+    return t.group_by("tok").aggregate([("n", "sum")]) \
+        .rename_columns(["tok", "n"])
+
+
+def unigram_logprob(batch: pa.Table, vocab: np.ndarray,
+                    logp: np.ndarray) -> pa.Table:
+    """Mean unigram log-probability per doc against the broadcast
+    corpus LM (``vocab`` sorted, ``logp[i] = ln(count_i/total)``).
+    The vocabulary is built from the same corpus, so every token
+    resolves; per-doc means come from one searchsorted + bincount."""
+    n = len(batch)
+    toks, flat, parent = _prep(batch)
+    fl = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=vocab.dtype)
+    pos = np.searchsorted(vocab, fl)
+    per_doc = np.bincount(parent, weights=logp[pos], minlength=n)
+    n_tokens = pc.list_value_length(toks).cast(pa.int64()).to_numpy()
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+        "logprob": pa.array(round_half_up(per_doc / n_tokens, 6)),
+    })
+
+
 def train_split(batch: pa.Table) -> pa.Table:
     from cheque_ocr_project_ray.text.dedup import _stable64
     ids = batch.column("doc_id").to_pylist()

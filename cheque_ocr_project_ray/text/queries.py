@@ -544,6 +544,256 @@ GROUP BY s.doc_id
 """
 
 
+def doc_chunk(sf_dir: str):
+    """Overlapping fixed-width training windows (CHUNK_W tokens,
+    CHUNK_S stride) per doc — the tokenize-and-chunk stage of an LLM
+    training-data pipeline, as a stateless streaming map (one take +
+    one binary_join per batch, no shuffle)."""
+    return _docs(sf_dir).map_batches(analysis.chunk_rows,
+                                     batch_format="pyarrow")
+
+
+CHUNK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(CAST(ceil(len(toks) / {analysis.CHUNK_S}.0) AS BIGINT)),
+             j -> struct_pack(
+                 chunk_id := j,
+                 n_tokens := least({analysis.CHUNK_W},
+                                   len(toks) - j * {analysis.CHUNK_S}),
+                 chunk := array_to_string(
+                     toks[j * {analysis.CHUNK_S} + 1 :
+                          j * {analysis.CHUNK_S} + {analysis.CHUNK_W}],
+                     ' ')))) AS s
+  FROM t
+)
+SELECT doc_id, s.chunk_id AS chunk_id,
+       CAST(s.n_tokens AS BIGINT) AS n_tokens, s.chunk AS chunk
+FROM c
+"""
+
+
+_SEG_SHIFT = 20  # packed order key: doc_id * 2^20 + seg_no
+
+
+def doc_segment_dedup(sf_dir: str, bound: int = 2_000_000):
+    """Corpus-level segment dedup with reassembly (the C4/RefinedWeb
+    duplicate-span removal shape): every doc tiles into SEG_LEN-token
+    segments, only the globally FIRST occurrence of each distinct
+    segment (by (doc_id, seg_no)) survives, and each doc is rebuilt
+    from its surviving segments in order.  Docs whose every segment
+    appeared earlier vanish entirely.
+
+    Two-level argmin: batches emit per-segment min packed order keys
+    (combiner), merged by the bounded-adaptive min path.  The keep
+    decision is a broadcast lookup while the winner set fits
+    (``bound``); beyond it the segments hash-join the winner table on
+    the segment text and reassembly moves into a distributed per-doc
+    groupby — the only shape that scales to corpus-size segment
+    cardinality.  Assumes doc_id < 2^43 (packed key fits int64)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_min, map_pool)
+
+    docs = _docs(sf_dir)
+
+    def seg_min_partial(batch: pa.Table) -> pa.Table:
+        seg = analysis.segment_rows(batch)
+        packed = pc.add(
+            pc.multiply(seg.column("doc_id"),
+                        pa.scalar(1 << _SEG_SHIFT, pa.int64())),
+            seg.column("seg_no"))
+        t = pa.table({"seg": seg.column("seg"), "packed": packed})
+        return t.group_by("seg").aggregate([("packed", "min")]) \
+            .rename_columns(["seg", "packed"])
+
+    winners = final_merge_min(
+        docs.map_batches(seg_min_partial, batch_format="pyarrow"),
+        ["seg"], ["packed"], bound=bound).materialize()
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "n_segments": pa.array([], pa.int64()),
+        "n_kept": pa.array([], pa.int64()),
+        "dedup_text": pa.array([], pa.string())}))
+    n_winners = winners.count()
+    if n_winners == 0:
+        return empty
+
+    if n_winners <= bound:
+        wt = collect_table(winners)
+        seg_np = np.array(wt.column("seg").to_pylist(), dtype=object)
+        order = np.argsort(seg_np)
+        state_ref = ray.put((seg_np[order],
+                             wt.column("packed").to_numpy()[order]))
+
+        class KeepStage:
+            def __init__(self):
+                self.segs, self.win = ray.get(state_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                n = len(batch)
+                parent, seg_no, _, seg = analysis._token_windows(
+                    batch, analysis.SEG_LEN, analysis.SEG_LEN)
+                ids = batch.column("doc_id").to_numpy()
+                packed = (ids[parent] << _SEG_SHIFT) + seg_no
+                pos = np.searchsorted(
+                    self.segs,
+                    np.array(seg.to_pylist(), dtype=object))
+                keep = packed == self.win[pos]
+                counts = np.bincount(parent[keep], minlength=n)
+                offsets = np.concatenate([[0], np.cumsum(counts)])
+                joined = pc.binary_join(pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()),
+                    seg.filter(pa.array(keep))), " ")
+                out = pa.table({
+                    "doc_id": batch.column("doc_id"),
+                    "n_segments": pa.array(
+                        np.bincount(parent, minlength=n), pa.int64()),
+                    "n_kept": pa.array(counts, pa.int64()),
+                    "dedup_text": joined})
+                return out.filter(pc.greater(out.column("n_kept"), 0))
+
+        return docs.map_batches(KeepStage, batch_format="pyarrow",
+                                concurrency=(1, map_pool()))
+
+    # corpus-scale winner set: distributed join + per-doc regroup
+    from cheque_ocr_project_ray.relational.joins import hash_join
+
+    def seg_with_meta(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        parent, seg_no, _, seg = analysis._token_windows(
+            batch, analysis.SEG_LEN, analysis.SEG_LEN)
+        ids = batch.column("doc_id").to_numpy()
+        nseg = np.bincount(parent, minlength=n)
+        return pa.table({
+            "doc_id": pa.array(ids[parent], pa.int64()),
+            "seg_no": pa.array(seg_no, pa.int64()),
+            "n_segments": pa.array(nseg[parent], pa.int64()),
+            "packed": pa.array((ids[parent] << _SEG_SHIFT) + seg_no,
+                               pa.int64()),
+            "seg": seg})
+
+    segs = docs.map_batches(seg_with_meta, batch_format="pyarrow")
+    joined = hash_join(
+        segs, winners.map_batches(
+            lambda t: t.rename_columns(["seg", "win"]),
+            batch_format="pyarrow"), on="seg")
+    kept = joined.map_batches(
+        lambda t: t.filter(pc.equal(t.column("packed"),
+                                    t.column("win"))),
+        batch_format="pyarrow")
+
+    def rebuild(g):
+        g = g.sort_values("seg_no", kind="mergesort")
+        import pandas as pd
+        return pd.DataFrame({
+            "doc_id": [g["doc_id"].iloc[0]],
+            "n_segments": [np.int64(g["n_segments"].iloc[0])],
+            "n_kept": [np.int64(len(g))],
+            "dedup_text": [" ".join(g["seg"])]})
+
+    return kept.groupby("doc_id").map_groups(rebuild,
+                                             batch_format="pandas")
+
+
+SEGMENT_DEDUP_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), seg AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(CAST(ceil(len(toks) / {analysis.SEG_LEN}.0) AS BIGINT)),
+             j -> struct_pack(
+                 seg_no := j,
+                 seg := array_to_string(
+                     toks[j * {analysis.SEG_LEN} + 1 :
+                          (j + 1) * {analysis.SEG_LEN}], ' ')))) AS s
+  FROM t
+), f AS (
+  SELECT doc_id, s.seg_no AS seg_no, s.seg AS seg FROM seg
+), r AS (
+  SELECT doc_id, seg_no, seg,
+         row_number() OVER (PARTITION BY seg
+                            ORDER BY doc_id, seg_no) AS rn
+  FROM f
+), k AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY seg_no) AS dedup_text
+  FROM r WHERE rn = 1 GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, count(*) AS n_segments FROM f GROUP BY doc_id
+)
+SELECT k.doc_id AS doc_id, n_segments, n_kept, dedup_text
+FROM k JOIN tot ON k.doc_id = tot.doc_id
+"""
+
+
+def doc_unigram_logprob(sf_dir: str):
+    """Mean unigram log-likelihood per doc under the corpus's own
+    unigram LM — the classic cheap quality/outlier signal (CCNet-style
+    LM filtering, with the corpus itself as the model).  Pass 1
+    reduces to the (bounded) vocabulary through the combiner; the
+    sorted vocab + log-probs broadcast once; pass 2 is a stateless
+    lookup + bincount mean."""
+    import numpy as np
+    import ray
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_sums, map_pool)
+
+    docs = _docs(sf_dir)
+    ct = collect_table(final_merge_sums(
+        docs.map_batches(analysis.token_counts, batch_format="pyarrow"),
+        ["tok"], ["n"]).materialize())
+    if ct is None:
+        import pyarrow as pa
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "logprob": pa.array([], pa.float64())}))
+    tok = np.array(ct.column("tok").to_pylist(), dtype=object)
+    n = ct.column("n").to_numpy()
+    order = np.argsort(tok)
+    total = float(n.sum())
+    state_ref = ray.put((tok[order], np.log(n[order] / total)))
+
+    class Score:
+        def __init__(self):
+            self.vocab, self.logp = ray.get(state_ref)
+
+        def __call__(self, batch):
+            return analysis.unigram_logprob(batch, self.vocab,
+                                            self.logp)
+
+    return docs.map_batches(Score, batch_format="pyarrow",
+                            concurrency=(1, map_pool()))
+
+
+UNIGRAM_LOGPROB_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), w AS (
+  SELECT doc_id, unnest(toks) AS tok FROM t
+), c AS (
+  SELECT tok, count(*) AS n FROM w GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS total FROM c
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(ln(n / total)), 6) AS logprob
+FROM w JOIN c USING (tok), tot
+GROUP BY doc_id
+"""
+
+
 def _jaccard_pairs_sql(k: int, threshold: float) -> str:
     """Exact all-pairs shingle-Jaccard in SQL — the oracle for the
     MinHash-LSH dedup output.
@@ -772,6 +1022,9 @@ def text_queries() -> dict[str, Callable]:
         "dedup_simhash": dedup_simhash,
         "corpus_curation": corpus_curation,
         "corpus_pipeline": corpus_pipeline,
+        "doc_chunk": doc_chunk,
+        "doc_segment_dedup": doc_segment_dedup,
+        "doc_unigram_logprob": doc_unigram_logprob,
     }
 
 
@@ -802,4 +1055,7 @@ def text_oracle_sql() -> dict[str, str]:
         "dedup_components": _components_sql(k=2, threshold=0.5),
         "doc_simhash": doc_simhash_sql(),
         "dedup_simhash": dedup_simhash_sql(max_hamming=3),
+        "doc_chunk": CHUNK_SQL,
+        "doc_segment_dedup": SEGMENT_DEDUP_SQL,
+        "doc_unigram_logprob": UNIGRAM_LOGPROB_SQL,
     }

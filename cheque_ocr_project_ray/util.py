@@ -123,6 +123,30 @@ def final_merge_sums(partials_ds, keys: list, sum_cols: list,
         *[Sum(c, alias_name=c) for c in sum_cols])
 
 
+def final_merge_min(partials_ds, keys: list, min_cols: list,
+                    np_: int = 0, bound: int = 2_000_000):
+    """Min-reduce twin of :func:`final_merge_sums` — merges per-batch
+    argmin/min partials into global per-key minima with the same
+    bounded-adaptive shape (driver Arrow ``group_by`` when the partial
+    stream is bounded, distributed groupby beyond)."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Min
+
+    part = partials_ds.materialize()
+    if part.count() <= bound:
+        t = collect_table(part)
+        if t is not None:
+            g = t.group_by(keys).aggregate([(c, "min") for c in min_cols])
+            g = g.select(list(keys) + [f"{c}_min" for c in min_cols]) \
+                .rename_columns(list(keys) + list(min_cols))
+            return ray.data.from_arrow(g)
+        return part
+    return part.groupby(list(keys),
+                        num_partitions=np_ or None).aggregate(
+        *[Min(c, alias_name=c) for c in min_cols])
+
+
 def collect_table(materialized_ds):
     """Concat a (small, bounded) materialized Dataset's blocks into one
     local Arrow table, or None when nothing real was produced.

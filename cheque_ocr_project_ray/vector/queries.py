@@ -215,6 +215,64 @@ GROUP BY label
 """
 
 
+def label_centroids(sf_dir: str):
+    """Per-label mean embedding in long (label, dim, mean) form — the
+    class-centroid primitive behind nearest-centroid classifiers and
+    k-means seeding.  Per-batch partials reduce each block to
+    |labels| × dims rows (vectorized np.add.at — the combiner), the
+    bounded partial stream merges through the adaptive sum path, and
+    the mean finishes in one tiny pass.  float32 → float64 BEFORE
+    summing, matching the SQL twin's ``embedding::DOUBLE[]``."""
+    import pyarrow as pa
+    from cheque_ocr_project_ray.util import (final_merge_sums,
+                                             round_half_up)
+
+    ds = ray.data.read_parquet(str(Path(sf_dir) / "embeddings.parquet"),
+                               columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch.column("label").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m = np.asarray(batch.column("embedding").to_pylist(),
+                       dtype=np.float64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]), np.float64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=len(uniq))
+        dims = m.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, dims), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, dims + 1, dtype=np.int64),
+                                    len(uniq)), pa.int64()),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(counts, dims).astype(np.int64)),
+        })
+
+    agg = final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"], ["s", "n"])
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["mean"] = round_half_up(b["s"] / b["n"], 6)
+        return b.drop(columns=["s", "n"])
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+LABEL_CENTROIDS_SQL = """
+WITH e AS (
+  SELECT label,
+         unnest(list_transform(embedding::DOUBLE[],
+                               (x, i) -> struct_pack(dim := i, x := x)))
+             AS u
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, u.dim AS dim,
+       round(sum(u.x) / count(*), 6) AS mean
+FROM e GROUP BY label, u.dim
+"""
+
+
 def vector_queries() -> dict[str, Callable]:
     return {
         "ann_cosine_topk": ann_cosine_topk,
@@ -224,6 +282,7 @@ def vector_queries() -> dict[str, Callable]:
         "embedding_neardup": embedding_neardup,
         "embedding_kmeans": embedding_kmeans,
         "label_stats": label_stats,
+        "label_centroids": label_centroids,
     }
 
 
@@ -234,4 +293,5 @@ def vector_oracle_sql() -> dict[str, str]:
         "embedding_neardup": NEARDUP_SQL,
         "embedding_kmeans": KMEANS_SQL,
         "label_stats": LABEL_STATS_SQL,
+        "label_centroids": LABEL_CENTROIDS_SQL,
     }
