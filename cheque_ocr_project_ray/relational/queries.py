@@ -2186,6 +2186,263 @@ GROUP BY c_nationkey
 """
 
 
+# --- Q7-style bidirectional trade volume (large-large join) ----------
+Q7_NATIONS = ("NATION_1", "NATION_2")
+
+
+@_hash_shuffled
+def q7_volume_shipping(sf_dir: str, np_: int = 0):
+    """Yearly shipped revenue between two nations, both directions
+    (TPC-H Q7) — the one query family whose fact-to-fact edge CANNOT
+    be broadcast away: lineitem must meet its order's customer nation,
+    so the filtered orders stream (two nations' customers, still
+    fact-scale at 100 TB) hash-joins lineitem on the order key —
+    Ray's partitioned hash join, the honest large-large path.  All
+    four dimension hops (customer→nation, supplier→nation) stay
+    broadcast lookups; one exchange for the join, one bounded combiner
+    for the rollup."""
+    from cheque_ocr_project_ray.util import money_units
+
+    nation = pq.read_table(str(Path(sf_dir) / "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    nkeys = nation.filter(pc.is_in(
+        nation.column("n_name"),
+        value_set=pa.array(Q7_NATIONS))).column("n_nationkey")
+    customer = pq.read_table(str(Path(sf_dir) / "customer.parquet"),
+                             columns=["c_custkey", "c_nationkey"])
+    cust = customer.filter(pc.is_in(customer.column("c_nationkey"),
+                                    value_set=nkeys))
+    cn = cust.join(nation.rename_columns(["c_nationkey", "cust_nation"]),
+                   keys="c_nationkey")
+    supplier = pq.read_table(str(Path(sf_dir) / "supplier.parquet"),
+                             columns=["s_suppkey", "s_nationkey"])
+    sn = supplier.join(
+        nation.rename_columns(["s_nationkey", "supp_nation"]),
+        keys="s_nationkey")
+    dims_ref = ray.put((cn.column("c_custkey").combine_chunks(),
+                        cn.column("cust_nation").combine_chunks(),
+                        sn.column("s_suppkey").combine_chunks(),
+                        sn.column("supp_nation").combine_chunks()))
+
+    class OrderNation:
+        def __init__(self):
+            self.ckeys, self.cnames, _, _ = ray.get(dims_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            b = batch.filter(pc.is_in(batch.column("o_custkey"),
+                                      value_set=self.ckeys))
+            ci = pc.index_in(b.column("o_custkey"),
+                             value_set=self.ckeys).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "l_orderkey": b.column("o_orderkey"),
+                "cust_nation": self.cnames.take(pa.array(ci))})
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(OrderNation, batch_format="pyarrow",
+                     concurrency=(1, map_pool()))
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_suppkey", "l_shipdate",
+              "l_extendedprice", "l_discount"])
+    joined = hash_join(li, orders, on="l_orderkey",
+                       num_partitions=np_ or None)
+
+    class VolumePartial:
+        def __init__(self):
+            _, _, self.skeys, self.snames = ray.get(dims_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            si = pc.index_in(batch.column("l_suppkey"),
+                             value_set=self.skeys).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            supp = self.snames.take(pa.array(si))
+            # keep only cross-nation flows (both directions)
+            keep = pc.and_(
+                pc.is_in(supp, value_set=pa.array(Q7_NATIONS)),
+                pc.invert(pc.equal(supp, batch.column("cust_nation"))))
+            if isinstance(keep, pa.ChunkedArray):
+                keep = keep.combine_chunks()
+            b = batch.filter(keep)
+            supp = supp.filter(keep)
+            cents = money_units(b.column("l_extendedprice"))
+            du = pc.multiply(cents, pc.subtract(
+                pa.scalar(100, pa.int64()),
+                money_units(b.column("l_discount"))))
+            t = pa.table({"supp_nation": supp,
+                          "cust_nation": b.column("cust_nation"),
+                          "yr": pc.year(b.column("l_shipdate")),
+                          "du": du})
+            g = t.group_by(["supp_nation", "cust_nation", "yr"]) \
+                .aggregate([("du", "sum")])
+            return g.rename_columns(
+                ["supp_nation", "cust_nation", "yr", "du"])
+
+    t = collect_table(final_merge_sums(
+        joined.map_batches(VolumePartial, batch_format="pyarrow",
+                           concurrency=(1, map_pool())),
+        ["supp_nation", "cust_nation", "yr"], ["du"],
+        np_=np_).materialize())
+    if t is None:  # no cross-nation flow: typed-empty result
+        return ray.data.from_arrow(pa.table({
+            "supp_nation": pa.array([], pa.string()),
+            "cust_nation": pa.array([], pa.string()),
+            "yr": pa.array([], pa.int64()),
+            "revenue": pa.array([], pa.float64())}))
+    return ray.data.from_arrow(pa.table({
+        "supp_nation": t.column("supp_nation"),
+        "cust_nation": t.column("cust_nation"),
+        "yr": pc.cast(t.column("yr"), pa.int64()),
+        "revenue": pa.array(t.column("du").to_numpy() / 10000.0)}))
+
+
+Q7_VOLUME_SQL = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate) AS yr,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+WHERE (sn.n_name = '{Q7_NATIONS[0]}' AND cn.n_name = '{Q7_NATIONS[1]}')
+   OR (sn.n_name = '{Q7_NATIONS[1]}' AND cn.n_name = '{Q7_NATIONS[0]}')
+GROUP BY 1, 2, 3
+"""
+
+
+# --- Q5-style region rollup (three-level dimension chain) ------------
+@_hash_shuffled
+def revenue_by_region(sf_dir: str, np_: int = 0):
+    """Order revenue rolled up to the customer's REGION — the
+    snowflake dimension chain (customer→nation→region) pre-joined
+    driver-side and broadcast once; the fact stream pays one lookup
+    and one bounded combiner.  First coverage of the ``region``
+    table."""
+    from cheque_ocr_project_ray.util import money_units
+
+    customer = pq.read_table(str(Path(sf_dir) / "customer.parquet"),
+                             columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(str(Path(sf_dir) / "nation.parquet"),
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(str(Path(sf_dir) / "region.parquet"),
+                           columns=["r_regionkey", "r_name"])
+    chain = customer.join(
+        nation.rename_columns(["c_nationkey", "n_regionkey"]),
+        keys="c_nationkey").join(
+        region.rename_columns(["n_regionkey", "r_name"]),
+        keys="n_regionkey")
+    dim_ref = ray.put((chain.column("c_custkey").combine_chunks(),
+                       chain.column("r_name").combine_chunks()))
+
+    class Partial:
+        def __init__(self):
+            self.ckeys, self.rnames = ray.get(dim_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ci = pc.index_in(batch.column("o_custkey"),
+                             value_set=self.ckeys).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            t = pa.table({
+                "r_name": self.rnames.take(pa.array(ci)),
+                "cents": money_units(batch.column("o_totalprice")),
+                "n": pa.array(np.ones(batch.num_rows, np.int64))})
+            g = t.group_by("r_name").aggregate(
+                [("cents", "sum"), ("n", "sum")])
+            return g.rename_columns(["r_name", "cents", "n_orders"])
+
+    agg = final_merge_sums(
+        _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(Partial, batch_format="pyarrow",
+                     concurrency=(1, map_pool())),
+        ["r_name"], ["cents", "n_orders"], np_=np_)
+    return agg.map_batches(
+        lambda b: b.assign(revenue=b["cents"] / 100.0).drop(
+            columns=["cents"]),
+        batch_format="pandas")
+
+
+REVENUE_BY_REGION_SQL = """
+SELECT r_name,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN nation   ON n_nationkey = c_nationkey
+JOIN region   ON r_regionkey = n_regionkey
+GROUP BY r_name
+"""
+
+
+# --- grouped second-moment statistics (covar / corr / slope) ---------
+@_hash_shuffled
+def events_hour_value_stats(sf_dir: str, np_: int = 0):
+    """Per-type covariance, correlation, and regression slope between
+    event value and hour-of-day — the second-moment aggregate family
+    as one combiner pass over (n, Σv, Σh, Σvh, Σv², Σh²); the six
+    sums are the complete sufficient statistics, so the shuffle moves
+    one row per (batch, type) and the moments finish on the bounded
+    result.  Both engines evaluate the IDENTICAL closed form, so 6dp
+    rounding compares stable digits."""
+    ds = _pq(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy()
+        h = pc.hour(batch.column("ts")).to_numpy().astype(np.float64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "n": pa.array(np.ones(len(v), np.int64)),
+                      "sv": pa.array(v), "sh": pa.array(h),
+                      "svh": pa.array(v * h), "svv": pa.array(v * v),
+                      "shh": pa.array(h * h)})
+        g = t.group_by("event_type").aggregate(
+            [(c, "sum") for c in ("n", "sv", "sh", "svh", "svv", "shh")])
+        return g.rename_columns(
+            ["event_type", "n", "sv", "sh", "svh", "svv", "shh"])
+
+    agg = final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], ["n", "sv", "sh", "svh", "svv", "shh"],
+        np_=np_)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].astype(np.float64)
+        mv, mh = b["sv"] / n, b["sh"] / n
+        covar = b["svh"] / n - mv * mh
+        var_v = b["svv"] / n - mv * mv
+        var_h = b["shh"] / n - mh * mh
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "n": b["n"],
+            "covar": round_half_up(covar, 6),
+            "corr": round_half_up(covar / np.sqrt(var_v * var_h), 6),
+            "slope": round_half_up(covar / var_h, 6)})
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+EVENTS_HOUR_VALUE_SQL = """
+WITH s AS (
+  SELECT event_type, count(*) AS n,
+         sum(value) AS sv, sum(CAST(hour(ts) AS DOUBLE)) AS sh,
+         sum(value * hour(ts)) AS svh,
+         sum(value * value) AS svv,
+         sum(CAST(hour(ts) AS DOUBLE) * hour(ts)) AS shh
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       round(svh / n - (sv / n) * (sh / n), 6) AS covar,
+       round((svh / n - (sv / n) * (sh / n))
+             / sqrt((svv / n - (sv / n) * (sv / n))
+                    * (shh / n - (sh / n) * (sh / n))), 6) AS corr,
+       round((svh / n - (sv / n) * (sh / n))
+             / (shh / n - (sh / n) * (sh / n)), 6) AS slope
+FROM s
+"""
+
+
 def relational_queries() -> dict[str, Callable]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -2230,6 +2487,9 @@ def relational_queries() -> dict[str, Callable]:
         "events_first_touch": events_first_touch,
         "events_user_types": events_user_types,
         "customers_idle_rich": customers_idle_rich,
+        "q7_volume_shipping": q7_volume_shipping,
+        "revenue_by_region": revenue_by_region,
+        "events_hour_value_stats": events_hour_value_stats,
     }
 
 
@@ -2276,4 +2536,7 @@ def relational_oracle_sql() -> dict[str, str]:
         "events_first_touch": EVENTS_FIRST_TOUCH_SQL,
         "events_user_types": EVENTS_USER_TYPES_SQL,
         "customers_idle_rich": CUSTOMERS_IDLE_RICH_SQL,
+        "q7_volume_shipping": Q7_VOLUME_SQL,
+        "revenue_by_region": REVENUE_BY_REGION_SQL,
+        "events_hour_value_stats": EVENTS_HOUR_VALUE_SQL,
     }

@@ -53,6 +53,36 @@ def test_user_types_sorted_distinct():
         assert len(parts) == n
 
 
+def test_q7_only_cross_nation_pairs():
+    # sf0.001 has no cross-nation flow between the two nations —
+    # the result must still be a TYPED empty (Dataset schema intact;
+    # Ray's to_pandas drops columns on any empty dataset)
+    ds0 = rq.q7_volume_shipping(SF)
+    assert ds0.schema().names == ["supp_nation", "cust_nation", "yr",
+                                  "revenue"]
+    assert ds0.count() == 0
+    df = rq.q7_volume_shipping("/root/testdata/sf0.01").to_pandas()
+    pairs = set(zip(df["supp_nation"], df["cust_nation"]))
+    allowed = {(rq.Q7_NATIONS[0], rq.Q7_NATIONS[1]),
+               (rq.Q7_NATIONS[1], rq.Q7_NATIONS[0])}
+    assert pairs and pairs <= allowed
+    assert (df["revenue"] > 0).all()
+
+
+def test_revenue_by_region_covers_all_orders():
+    df = rq.revenue_by_region(SF).to_pandas()
+    import pyarrow.parquet as pq
+    n_orders = pq.read_metadata(f"{SF}/orders.parquet").num_rows
+    assert int(df["n_orders"].sum()) == n_orders
+    assert len(df) == 5
+
+
+def test_hour_value_stats_corr_bounds():
+    df = rq.events_hour_value_stats(SF).to_pandas()
+    assert (df["corr"].abs() <= 1.0).all()
+    assert len(df) == df["event_type"].nunique()
+
+
 def test_idle_rich_excludes_urgent_customers():
     df = rq.customers_idle_rich(SF).to_pandas()
     assert (df["numcust"] > 0).all()
