@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "doc_pack",                # distributed prefix sum (packing)
     "dedup_components",        # graph closure over near-dup pairs
     "media_decode_stats",      # multimodal actor-pool stage
+    "q7_volume_shipping",      # fact-fact hash join + 4 dim hops
+    "doc_segment_dedup",       # corpus segment dedup + reassembly
+    "doc_unigram_logprob",     # two-pass corpus LM scoring
 ]
 
 
