@@ -296,6 +296,54 @@ def winnow_fingerprints(batch: pa.Table) -> pa.Table:
 SPLIT_BUCKETS = (("train", 90), ("val", 95), ("test", 100))
 
 
+# Fixed logistic quality-classifier weights (documented stand-in for
+# a trained fastText/logreg quality model — the SCORING stage shape is
+# what matters; weights are arbitrary but frozen for the oracle).
+QUALITY_W = (-1.0, -8.0, 3.0, 0.2)  # bias, stop_ratio, ttr, ln(n_tokens)
+
+
+def quality_score(batch: pa.Table) -> pa.Table:
+    """Model-based quality scoring: logistic over the 4dp-ROUNDED
+    quality signals (both engines feed the identical rounded doubles
+    into the identical closed form, so 6dp output rounding compares
+    stable digits)."""
+    q = quality_counts(batch)
+    w0, w1, w2, w3 = QUALITY_W
+    z = w0 + w1 * q.column("stop_ratio").to_numpy() \
+        + w2 * q.column("ttr").to_numpy() \
+        + w3 * np.log(q.column("n_tokens").to_numpy())
+    score = round_half_up(1.0 / (1.0 + np.exp(-z)), 6)
+    return pa.table({
+        "doc_id": q.column("doc_id"),
+        "score": pa.array(score),
+        "keep": pa.array((score >= 0.5).astype(np.int64)),
+    })
+
+
+# Per-source sampling quotas (percent kept): even-indexed sources are
+# majority-kept, odd downsampled — the data-mixing shape (deterministic
+# per-doc hash, so any re-run/resume keeps the same docs).
+MIX_QUOTA_EVEN, MIX_QUOTA_ODD = 80, 30
+
+
+def mix_sample(batch: pa.Table) -> pa.Table:
+    """Deterministic mixture sampling: keep doc iff
+    stable64(doc_id) % 100 < quota(source), quota by source index
+    parity.  Same hash family as the train/val/test split."""
+    from cheque_ocr_project_ray.text.dedup import _stable64
+    ids = batch.column("doc_id").to_pylist()
+    buckets = np.array([_stable64(str(i)) % 100 for i in ids],
+                       np.int64)
+    src_idx = pc.cast(pc.utf8_slice_codeunits(
+        batch.column("source"), 3, 32), pa.int64()).to_numpy()
+    quota = np.where(src_idx % 2 == 0, MIX_QUOTA_EVEN, MIX_QUOTA_ODD)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "source": batch.column("source"),
+        "bucket": pa.array(buckets, pa.int64()),
+    }).filter(pa.array(buckets < quota))
+
+
 SEG_LEN = 10     # tiling segment width (segment-level dedup)
 CHUNK_W = 64     # training-window width (token chunking)
 CHUNK_S = 32     # training-window stride (50% overlap)

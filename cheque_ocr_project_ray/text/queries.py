@@ -794,6 +794,53 @@ GROUP BY doc_id
 """
 
 
+def doc_quality_score(sf_dir: str):
+    """Logistic quality-classifier scoring per doc — the model-scoring
+    stage shape (stateless vectorized map; a trained model would slot
+    into the same stage)."""
+    return _docs(sf_dir).map_batches(analysis.quality_score,
+                                     batch_format="pyarrow")
+
+
+QUALITY_SCORE_SQL = f"""
+WITH q AS ({QUALITY_SQL}),
+z AS (
+  SELECT doc_id,
+         {analysis.QUALITY_W[0]} + {analysis.QUALITY_W[1]} * stop_ratio
+         + {analysis.QUALITY_W[2]} * ttr
+         + {analysis.QUALITY_W[3]} * ln(n_tokens) AS z
+  FROM q
+)
+SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,
+       CAST(round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS BIGINT) AS keep
+FROM z
+"""
+
+
+def corpus_mix_sample(sf_dir: str):
+    """Deterministic per-source mixture sampling (data mixing): keep
+    each doc with a per-source quota decided by a stable doc_id hash —
+    re-runs, resumes, and incremental additions sample identically."""
+    return ray.data.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"),
+        columns=["doc_id", "source"]) \
+        .map_batches(analysis.mix_sample, batch_format="pyarrow")
+
+
+MIX_SAMPLE_SQL = f"""
+WITH b AS (
+  SELECT doc_id, source,
+         CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 AS BIGINT)
+             AS bucket,
+         CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+              THEN {analysis.MIX_QUOTA_EVEN}
+              ELSE {analysis.MIX_QUOTA_ODD} END AS quota
+  FROM documents
+)
+SELECT doc_id, source, bucket FROM b WHERE bucket < quota
+"""
+
+
 def _jaccard_pairs_sql(k: int, threshold: float) -> str:
     """Exact all-pairs shingle-Jaccard in SQL — the oracle for the
     MinHash-LSH dedup output.
@@ -1025,6 +1072,8 @@ def text_queries() -> dict[str, Callable]:
         "doc_chunk": doc_chunk,
         "doc_segment_dedup": doc_segment_dedup,
         "doc_unigram_logprob": doc_unigram_logprob,
+        "doc_quality_score": doc_quality_score,
+        "corpus_mix_sample": corpus_mix_sample,
     }
 
 
@@ -1058,4 +1107,6 @@ def text_oracle_sql() -> dict[str, str]:
         "doc_chunk": CHUNK_SQL,
         "doc_segment_dedup": SEGMENT_DEDUP_SQL,
         "doc_unigram_logprob": UNIGRAM_LOGPROB_SQL,
+        "doc_quality_score": QUALITY_SCORE_SQL,
+        "corpus_mix_sample": MIX_SAMPLE_SQL,
     }

@@ -84,6 +84,24 @@ def test_unigram_logprob_bounds():
     assert len(df) == df["doc_id"].nunique()
 
 
+def test_quality_score_monotone_in_features():
+    df = tq.doc_quality_score(SF).to_pandas()
+    assert ((df["score"] > 0) & (df["score"] < 1)).all()
+    assert set(df["keep"].unique()) <= {0, 1}
+    assert (df["keep"] == (df["score"] >= 0.5).astype(int)).all()
+
+
+def test_mix_sample_respects_quotas():
+    df = tq.corpus_mix_sample(SF).to_pandas()
+    src_idx = df["source"].str[3:].astype(int)
+    quota = np.where(src_idx % 2 == 0, analysis.MIX_QUOTA_EVEN,
+                     analysis.MIX_QUOTA_ODD)
+    assert (df["bucket"].to_numpy() < quota).all()
+    # deterministic: a second run keeps the identical doc set
+    df2 = tq.corpus_mix_sample(SF).to_pandas()
+    assert sorted(df["doc_id"]) == sorted(df2["doc_id"])
+
+
 def test_label_centroids_match_numpy():
     import pyarrow.parquet as pq
     df = vq.label_centroids(SF).to_pandas()
