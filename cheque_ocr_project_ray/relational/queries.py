@@ -2444,7 +2444,10 @@ FROM s
 
 
 def relational_queries() -> dict[str, Callable]:
-    return {
+    from cheque_ocr_project_ray.relational.tpch_extra import \
+        tpch_extra_queries
+    out = tpch_extra_queries()
+    out.update({
         "q1_pricing_summary": q1_pricing_summary,
         "revenue_by_nation": revenue_by_nation,
         "top_orders": top_orders,
@@ -2490,11 +2493,15 @@ def relational_queries() -> dict[str, Callable]:
         "q7_volume_shipping": q7_volume_shipping,
         "revenue_by_region": revenue_by_region,
         "events_hour_value_stats": events_hour_value_stats,
-    }
+    })
+    return out
 
 
 def relational_oracle_sql() -> dict[str, str]:
-    return {
+    from cheque_ocr_project_ray.relational.tpch_extra import \
+        tpch_extra_oracle_sql
+    out = tpch_extra_oracle_sql()
+    out.update({
         "q1_pricing_summary": Q1_SQL,
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
         "top_orders": TOP_ORDERS_SQL,
@@ -2539,4 +2546,5 @@ def relational_oracle_sql() -> dict[str, str]:
         "q7_volume_shipping": Q7_VOLUME_SQL,
         "revenue_by_region": REVENUE_BY_REGION_SQL,
         "events_hour_value_stats": EVENTS_HOUR_VALUE_SQL,
-    }
+    })
+    return out

@@ -1,0 +1,118 @@
+"""Second-wave TPC-H family vs pandas references on synthetic tables."""
+
+import numpy as np
+import pandas as pd
+
+
+def _write(tmp_path, **tables):
+    for name, df in tables.items():
+        df.to_parquet(tmp_path / f"{name}.parquet")
+
+
+def test_q4_exists_semantics(tmp_path):
+    from cheque_ocr_project_ray.relational.tpch_extra import q4_late_orders
+    rng = np.random.default_rng(7)
+    n_orders = 300
+    odates = pd.to_datetime("1996-01-01") + pd.to_timedelta(
+        rng.integers(0, 360, n_orders), unit="D")
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(n_orders),
+        "o_custkey": 0, "o_orderstatus": "O", "o_totalprice": 1.0,
+        "o_orderdate": odates,
+        "o_orderpriority": rng.choice(["1-URGENT", "2-HIGH"], n_orders)})
+    n_li = 1200
+    ok = rng.integers(0, n_orders, n_li)
+    li = pd.DataFrame({
+        "l_orderkey": ok,
+        "l_shipdate": odates.values[ok] + pd.to_timedelta(
+            rng.integers(0, 150, n_li), unit="D")})
+    _write(tmp_path, orders=orders, lineitem=li)
+
+    out = q4_late_orders(str(tmp_path)).to_pandas() \
+        .sort_values("o_orderpriority").reset_index(drop=True)
+
+    late = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    late = late[late["l_shipdate"]
+                > late["o_orderdate"] + pd.Timedelta(days=75)]
+    ref = late.drop_duplicates("o_orderkey") \
+        .groupby("o_orderpriority").size().reset_index(name="order_count") \
+        .sort_values("o_orderpriority").reset_index(drop=True)
+    assert len(out) == len(ref)
+    assert (out["o_orderpriority"] == ref["o_orderpriority"]).all()
+    assert (out["order_count"].to_numpy()
+            == ref["order_count"].to_numpy()).all()
+
+
+def test_q15_keeps_ties(tmp_path):
+    from cheque_ocr_project_ray.relational.tpch_extra import q15_top_supplier
+    # suppliers 1 and 2 tie exactly at the max; 3 trails
+    li = pd.DataFrame({
+        "l_suppkey": [1, 1, 2, 3],
+        "l_shipdate": pd.to_datetime(["1996-02-01"] * 4),
+        "l_extendedprice": [100.0, 100.0, 200.0, 50.0],
+        "l_discount": [0.0, 0.0, 0.0, 0.0]})
+    supplier = pd.DataFrame({
+        "s_suppkey": [1, 2, 3],
+        "s_name": ["s1", "s2", "s3"],
+        "s_nationkey": 0, "s_acctbal": 0.0})
+    _write(tmp_path, lineitem=li, supplier=supplier)
+
+    out = q15_top_supplier(str(tmp_path)).to_pandas()
+    assert list(out["s_suppkey"]) == [1, 2]
+    assert list(out["s_name"]) == ["s1", "s2"]
+    assert np.allclose(out["total_revenue"], [200.0, 200.0])
+
+
+def test_q21_sole_late_logic(tmp_path):
+    from cheque_ocr_project_ray.relational.tpch_extra import \
+        q21_sole_late_supplier
+    d0 = pd.to_datetime("1996-01-01")
+    orders = pd.DataFrame({
+        "o_orderkey": [1, 2, 3, 4],
+        "o_orderstatus": ["F", "F", "F", "O"],
+        "o_orderdate": [d0] * 4,
+        "o_custkey": 0, "o_totalprice": 1.0,
+        "o_orderpriority": "1-URGENT"})
+    late, ontime = d0 + pd.Timedelta(days=100), d0 + pd.Timedelta(days=10)
+    li = pd.DataFrame({
+        # order 1: suppliers 10 (late), 11 (on time) -> supplier 10 counts
+        # order 2: suppliers 10, 11 both late -> nobody counts
+        # order 3: single supplier 10 late -> not multi-supplier
+        # order 4: status O -> excluded even though sole-late shape
+        "l_orderkey": [1, 1, 2, 2, 3, 4, 4],
+        "l_suppkey": [10, 11, 10, 11, 10, 10, 11],
+        "l_shipdate": [late, ontime, late, late, late, late, ontime]})
+    supplier = pd.DataFrame({
+        "s_suppkey": [10, 11], "s_name": ["sa", "sb"],
+        "s_nationkey": 0, "s_acctbal": 0.0})
+    _write(tmp_path, orders=orders, lineitem=li, supplier=supplier)
+
+    out = q21_sole_late_supplier(str(tmp_path)).to_pandas()
+    assert list(out["s_suppkey"]) == [10]
+    assert list(out["numwait"]) == [1]
+
+
+def test_suppliers_per_parttype_distinct(tmp_path):
+    from cheque_ocr_project_ray.relational.tpch_extra import \
+        suppliers_per_parttype
+    rng = np.random.default_rng(3)
+    part = pd.DataFrame({
+        "p_partkey": np.arange(30),
+        "p_name": "x", "p_brand": "Brand#1",
+        "p_type": rng.choice(["A", "B", "C"], 30),
+        "p_size": 1, "p_retailprice": 1.0})
+    li = pd.DataFrame({
+        "l_partkey": rng.integers(0, 30, 500),
+        "l_suppkey": rng.integers(0, 8, 500)})
+    _write(tmp_path, part=part, lineitem=li)
+
+    out = suppliers_per_parttype(str(tmp_path)).to_pandas() \
+        .sort_values("p_type").reset_index(drop=True)
+    m = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    ref = m.groupby("p_type").agg(
+        n_suppliers=("l_suppkey", "nunique"),
+        n_parts=("l_partkey", "nunique")).reset_index()
+    assert (out["p_type"] == ref["p_type"]).all()
+    assert (out["n_suppliers"].to_numpy()
+            == ref["n_suppliers"].to_numpy()).all()
+    assert (out["n_parts"].to_numpy() == ref["n_parts"].to_numpy()).all()
