@@ -1,0 +1,157 @@
+"""Event-analytics additions: grouped histogram, per-user lag deltas,
+and multi-quantile profiles — the remaining window/profile shapes the
+round-1 set did not cover.  All oracled.
+
+Scale shapes:
+- histogram: pure combiner (per-batch group_by on (type, bin)) +
+  bounded merge — one pass, no shuffle of raw rows.
+- lag deltas: groupby(user).map_groups — the per-user-ordered window
+  family (same partitioning assumption as sessionization: one user
+  fits one group; salt by day first for ultra-hot users).
+- quantiles: Ray's exact Quantile aggregate per group; swap in a
+  t-digest partial for 100-TB-scale value gathering.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from cheque_ocr_project_ray.relational.queries import _hash_shuffled, _pq
+from cheque_ocr_project_ray.util import (final_merge_sums, money_units,
+                                         round_half_up)
+
+BIN_WIDTH = 50.0
+
+
+@_hash_shuffled
+def events_value_histogram(sf_dir: str, np_: int = 0):
+    """Fixed-width value histogram per event type: bin index, row
+    count, and an EXACT integer-cent value sum per (type, bin)."""
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bins = pc.cast(pc.floor(pc.divide(batch.column("value"),
+                                          pa.scalar(BIN_WIDTH))),
+                       pa.int64())
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "bin": bins,
+                      "cents": money_units(batch.column("value")),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by(["event_type", "bin"]).aggregate(
+            [("cents", "sum"), ("n", "sum")])
+        return g.rename_columns(["event_type", "bin", "cents", "n_events"])
+
+    agg = final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "bin"], ["cents", "n_events"], np_=np_)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_value"] = b["cents"] / 100.0
+        return b.drop(columns=["cents"])
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+EVENTS_HISTOGRAM_SQL = f"""
+SELECT event_type,
+       CAST(floor(value / {BIN_WIDTH}) AS BIGINT) AS bin,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type, bin
+"""
+
+
+@_hash_shuffled
+def events_lag_delta(sf_dir: str, np_: int = 0):
+    """Per-user consecutive value deltas (LAG window): delta count,
+    mean delta, and max |delta| per user with ≥2 events.  Deltas are
+    exact integer cents, so the stats are order-independent and match
+    the DECIMAL oracle bit-for-bit."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def deltas(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"])
+        cents = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        if len(cents) < 2:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "n_deltas": pd.Series([], dtype="int64"),
+                "avg_delta": pd.Series([], dtype="float64"),
+                "max_abs_delta": pd.Series([], dtype="float64")})
+        d = np.diff(cents)
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_deltas": [len(d)],
+            # op order mirrors the SQL: CAST(sum AS DOUBLE) / count
+            "avg_delta": round_half_up(
+                (float(d.sum()) / 100.0) / len(d), 4),
+            "max_abs_delta": [np.abs(d).max() / 100.0]})
+
+    return ds.groupby("user_id", num_partitions=np_).map_groups(
+        deltas, batch_format="pandas")
+
+
+EVENTS_LAG_DELTA_SQL = """
+WITH d AS (
+  SELECT user_id,
+         CAST(value AS DECIMAL(18,2))
+         - lag(CAST(value AS DECIMAL(18,2)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+  FROM events)
+SELECT user_id, count(delta) AS n_deltas,
+       round(CAST(sum(delta) AS DOUBLE) / count(delta), 4) AS avg_delta,
+       CAST(max(abs(delta)) AS DOUBLE) AS max_abs_delta
+FROM d GROUP BY user_id
+HAVING count(delta) >= 1
+"""
+
+
+@_hash_shuffled
+def events_quantiles_by_type(sf_dir: str, np_: int = 0):
+    """Exact multi-quantile profile (p25/p50/p75/p90) per event type —
+    linear interpolation, matching quantile_cont."""
+    from ray.data.aggregate import Quantile
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+    agg = ds.groupby("event_type", num_partitions=1).aggregate(
+        Quantile("value", q=0.25, alias_name="p25"),
+        Quantile("value", q=0.5, alias_name="p50"),
+        Quantile("value", q=0.75, alias_name="p75"),
+        Quantile("value", q=0.9, alias_name="p90"))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        for c in ("p25", "p50", "p75", "p90"):
+            b[c] = round_half_up(b[c], 4)
+        return b
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+EVENTS_QUANTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 4) AS p25,
+       round(quantile_cont(value, 0.5),  4) AS p50,
+       round(quantile_cont(value, 0.75), 4) AS p75,
+       round(quantile_cont(value, 0.9),  4) AS p90
+FROM events
+GROUP BY event_type
+"""
+
+
+def analytics_extra_queries():
+    return {
+        "events_value_histogram": events_value_histogram,
+        "events_lag_delta": events_lag_delta,
+        "events_quantiles_by_type": events_quantiles_by_type,
+    }
+
+
+def analytics_extra_oracle_sql():
+    return {
+        "events_value_histogram": EVENTS_HISTOGRAM_SQL,
+        "events_lag_delta": EVENTS_LAG_DELTA_SQL,
+        "events_quantiles_by_type": EVENTS_QUANTILES_SQL,
+    }

@@ -2444,9 +2444,12 @@ FROM s
 
 
 def relational_queries() -> dict[str, Callable]:
+    from cheque_ocr_project_ray.relational.analytics_extra import \
+        analytics_extra_queries
     from cheque_ocr_project_ray.relational.tpch_extra import \
         tpch_extra_queries
     out = tpch_extra_queries()
+    out.update(analytics_extra_queries())
     out.update({
         "q1_pricing_summary": q1_pricing_summary,
         "revenue_by_nation": revenue_by_nation,
@@ -2498,9 +2501,12 @@ def relational_queries() -> dict[str, Callable]:
 
 
 def relational_oracle_sql() -> dict[str, str]:
+    from cheque_ocr_project_ray.relational.analytics_extra import \
+        analytics_extra_oracle_sql
     from cheque_ocr_project_ray.relational.tpch_extra import \
         tpch_extra_oracle_sql
     out = tpch_extra_oracle_sql()
+    out.update(analytics_extra_oracle_sql())
     out.update({
         "q1_pricing_summary": Q1_SQL,
         "revenue_by_nation": REVENUE_BY_NATION_SQL,

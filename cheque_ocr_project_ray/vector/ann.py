@@ -116,6 +116,45 @@ def knn_join(emb_ds, query_ids: np.ndarray, query_matrix: np.ndarray,
         finish, batch_format="pandas", batch_size=None)
 
 
+def range_search(emb_ds, query_ids: np.ndarray, query_matrix: np.ndarray,
+                 threshold: float):
+    """Radius (range) search: every (query, vector) pair with cosine ≥
+    ``threshold``, self-pairs excluded.  Unlike top-k there is NO
+    global step at all — one GEMM slice and a vectorized mask per
+    block, so the output streams with the scan.  The 100-TB shape for
+    'find everything similar to these probes'."""
+    from cheque_ocr_project_ray.util import map_pool, round_half_up
+
+    q = np.asarray(query_matrix, dtype=np.float64)
+    qn = np.linalg.norm(q, axis=1)
+    q = q / np.where(qn == 0, 1, qn)[:, None]
+    qids = np.asarray(query_ids, dtype=np.int64)
+    q_ref = ray.put((qids, q))
+
+    class _Scorer:
+        def __init__(self):
+            self.qids, self.q = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _table_matrix(batch)
+            norms = np.linalg.norm(m, axis=1)
+            mn = m / np.where(norms == 0, 1, norms)[:, None]
+            cos = round_half_up(mn @ self.q.T, 5)      # (n, |Q|)
+            ids = batch.column("vec_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            # threshold on the ROUNDED value — the same comparison the
+            # SQL twin makes, so boundary pairs agree between engines
+            hit = (cos >= threshold) & (ids[:, None] != self.qids[None, :])
+            vi, qi = np.nonzero(hit)
+            return pa.table({
+                "query_id": pa.array(self.qids[qi], pa.int64()),
+                "vec_id": pa.array(ids[vi], pa.int64()),
+                "cos": pa.array(cos[vi, qi], pa.float64())})
+
+    return emb_ds.map_batches(_Scorer, batch_format="pyarrow",
+                              concurrency=(1, map_pool()))
+
+
 def hyperplanes(dim: int, n_planes: int = 8, seed: int = 11) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))

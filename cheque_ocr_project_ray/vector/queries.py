@@ -82,6 +82,101 @@ SELECT qid AS query_id, vec_id, cos FROM r WHERE rn <= {KNN_K}
 """
 
 
+RANGE_THRESHOLD = 0.15  # non-vacuous on the random test embeddings
+                        # (471 hits at sf0.01 for 8 probes)
+
+
+def ann_range_search(sf_dir: str):
+    """Radius search: all corpus vectors with cosine ≥ threshold to
+    any of the first N_KNN_QUERIES probe vectors (self excluded)."""
+    t = pq.read_table(str(Path(sf_dir) / "embeddings.parquet"),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", N_KNN_QUERIES)])
+    qids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False),
+                      dtype=np.int64)
+    qm = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    return ann.range_search(_emb(sf_dir), qids, qm,
+                            threshold=RANGE_THRESHOLD)
+
+
+RANGE_SEARCH_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_KNN_QUERIES}
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+)
+SELECT q.qid AS query_id, e.vec_id,
+       round(list_cosine_similarity(e.v, q.qv), 5) AS cos
+FROM e, q
+WHERE e.vec_id <> q.qid
+  AND round(list_cosine_similarity(e.v, q.qv), 5) >= {RANGE_THRESHOLD}
+"""
+
+
+def embedding_norm_stats(sf_dir: str):
+    """Per-label L2-norm statistics — the vector-column profiling
+    primitive (catches unnormalized / degenerate embedding batches
+    before they poison ANN).  Squares accumulate LEFT-TO-RIGHT over
+    dimensions to match DuckDB's sequential ``list_sum`` bit-for-bit;
+    per-label partials are label-bounded, merged on the driver."""
+    import pyarrow as pa
+    from cheque_ocr_project_ray.util import collect_table, round_half_up
+    from cheque_ocr_project_ray.vector.ann import _table_matrix
+
+    ds = ray.data.read_parquet(str(Path(sf_dir) / "embeddings.parquet"),
+                               columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _table_matrix(batch)
+        sumsq = np.zeros(len(m), np.float64)
+        for j in range(m.shape[1]):       # sequential, like list_sum
+            sumsq += m[:, j] * m[:, j]
+        norm = np.sqrt(sumsq)
+        t = pa.table({"label": batch.column("label"),
+                      "norm": pa.array(norm, pa.float64()),
+                      "n": pa.array(np.ones(len(m), np.int64))})
+        g = t.group_by("label").aggregate(
+            [("n", "sum"), ("norm", "sum"), ("norm", "min"),
+             ("norm", "max")])
+        return g.rename_columns(
+            ["label", "n", "sum_norm", "min_norm", "max_norm"])
+
+    parts = collect_table(
+        ds.map_batches(partial, batch_format="pyarrow").materialize())
+    if parts is None:
+        import pandas as _pd
+        return _pd.DataFrame({"label": _pd.Series([], dtype="int32"),
+                              "n_vecs": _pd.Series([], dtype="int64"),
+                              "avg_norm": _pd.Series([], dtype="float64"),
+                              "min_norm": _pd.Series([], dtype="float64"),
+                              "max_norm": _pd.Series([], dtype="float64")})
+    g = parts.group_by("label").aggregate(
+        [("n", "sum"), ("sum_norm", "sum"), ("min_norm", "min"),
+         ("max_norm", "max")])
+    df = g.to_pandas()
+    return pd.DataFrame({
+        "label": df["label"],
+        "n_vecs": df["n_sum"],
+        "avg_norm": round_half_up(df["sum_norm_sum"] / df["n_sum"], 4),
+        "min_norm": round_half_up(df["min_norm_min"], 4),
+        "max_norm": round_half_up(df["max_norm_max"], 4)})
+
+
+NORM_STATS_SQL = """
+WITH n AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                      x -> x * x))) AS norm
+  FROM embeddings)
+SELECT label, count(*) AS n_vecs,
+       round(sum(norm) / count(*), 4) AS avg_norm,
+       round(min(norm), 4) AS min_norm,
+       round(max(norm), 4) AS max_norm
+FROM n GROUP BY label
+"""
+
+
 def ann_lsh_topk(sf_dir: str):
     return ann.lsh_topk(_emb(sf_dir), _query_vec(sf_dir), k=10)
 
@@ -277,6 +372,8 @@ def vector_queries() -> dict[str, Callable]:
     return {
         "ann_cosine_topk": ann_cosine_topk,
         "ann_knn_join": ann_knn_join,
+        "ann_range_search": ann_range_search,
+        "embedding_norm_stats": embedding_norm_stats,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "embedding_neardup": embedding_neardup,
@@ -290,6 +387,8 @@ def vector_oracle_sql() -> dict[str, str]:
     return {
         "ann_cosine_topk": ANN_TOPK_SQL,
         "ann_knn_join": KNN_JOIN_SQL,
+        "ann_range_search": RANGE_SEARCH_SQL,
+        "embedding_norm_stats": NORM_STATS_SQL,
         "embedding_neardup": NEARDUP_SQL,
         "embedding_kmeans": KMEANS_SQL,
         "label_stats": LABEL_STATS_SQL,

@@ -1,0 +1,87 @@
+"""Histogram / lag-delta / range-search vs in-process references."""
+
+import numpy as np
+import pandas as pd
+
+
+def _events(tmp_path, n=800, users=20, seed=5):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "event_id": np.arange(n),
+        "ts": pd.to_datetime("2025-01-01")
+        + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+        "user_id": rng.integers(0, users, n),
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "value": (rng.integers(1, 49000, n) / 100.0),
+        "props": "{}"})
+    df.to_parquet(tmp_path / "events.parquet")
+    return df
+
+
+def test_histogram_matches_pandas(tmp_path):
+    from cheque_ocr_project_ray.relational.analytics_extra import (
+        BIN_WIDTH, events_value_histogram)
+    df = _events(tmp_path)
+    out = events_value_histogram(str(tmp_path)).to_pandas() \
+        .sort_values(["event_type", "bin"]).reset_index(drop=True)
+    ref = df.assign(bin=np.floor(df["value"] / BIN_WIDTH).astype(int)) \
+        .groupby(["event_type", "bin"]) \
+        .agg(n_events=("value", "size"), sum_value=("value", "sum")) \
+        .reset_index().sort_values(["event_type", "bin"]) \
+        .reset_index(drop=True)
+    assert (out["n_events"].to_numpy() == ref["n_events"].to_numpy()).all()
+    assert np.allclose(out["sum_value"], ref["sum_value"], atol=1e-6)
+
+
+def test_lag_delta_matches_pandas(tmp_path):
+    from cheque_ocr_project_ray.relational.analytics_extra import \
+        events_lag_delta
+    df = _events(tmp_path)
+    out = events_lag_delta(str(tmp_path)).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+
+    rows = []
+    for uid, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        cents = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        if len(cents) < 2:
+            continue
+        d = np.diff(cents)
+        rows.append((uid, len(d), np.abs(d).max() / 100.0))
+    ref = pd.DataFrame(rows, columns=["user_id", "n_deltas",
+                                      "max_abs_delta"])
+    assert (out["user_id"].to_numpy() == ref["user_id"].to_numpy()).all()
+    assert (out["n_deltas"].to_numpy() == ref["n_deltas"].to_numpy()).all()
+    assert np.array_equal(out["max_abs_delta"].to_numpy(),
+                          ref["max_abs_delta"].to_numpy())
+
+
+def test_range_search_matches_bruteforce(tmp_path):
+    from cheque_ocr_project_ray.vector.ann import range_search
+    import ray.data
+    rng = np.random.default_rng(9)
+    n, d = 300, 16
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    emb = pd.DataFrame({"vec_id": np.arange(n),
+                        "embedding": list(m),
+                        "label": np.zeros(n, np.int32)})
+    emb.to_parquet(tmp_path / "embeddings.parquet")
+    ds = ray.data.read_parquet(str(tmp_path / "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    qids = np.array([0, 1], np.int64)
+    out = range_search(ds, qids, m[:2].astype(np.float64), 0.2) \
+        .to_pandas().sort_values(["query_id", "vec_id"]) \
+        .reset_index(drop=True)
+
+    md = m.astype(np.float64)
+    mn = md / np.linalg.norm(md, axis=1)[:, None]
+    cos = mn @ mn[:2].T
+    from cheque_ocr_project_ray.util import round_half_up
+    cos = round_half_up(cos, 5)
+    pairs = [(int(q), int(v), cos[v, qi])
+             for qi, q in enumerate(qids) for v in range(n)
+             if v != q and cos[v, qi] >= 0.2]
+    ref = pd.DataFrame(pairs, columns=["query_id", "vec_id", "cos"]) \
+        .sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    assert len(out) == len(ref) > 0
+    assert (out["vec_id"].to_numpy() == ref["vec_id"].to_numpy()).all()
+    assert np.array_equal(out["cos"].to_numpy(), ref["cos"].to_numpy())
