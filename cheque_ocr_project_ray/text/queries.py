@@ -1042,6 +1042,125 @@ GROUP BY split
 """
 
 
+KEYWORD_TERMS = ("hash", "join", "merge")
+
+
+def doc_keyword_search(sf_dir: str):
+    """Boolean AND keyword search over the corpus: docs containing
+    EVERY query term, with the total hit count — the retrieval
+    primitive the inverted index (doc_postings) serves.  Entirely
+    row-local (one is_in kernel + bitmask per batch), so it streams
+    with the scan; no shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    terms = pa.array(list(KEYWORD_TERMS))
+    full_mask = (1 << len(KEYWORD_TERMS)) - 1
+
+    def search(batch: pa.Table) -> pa.Table:
+        toks = analysis._token_lists(batch.column("text"))
+        flat = pc.list_flatten(toks).combine_chunks()
+        n = batch.num_rows
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        parent = np.repeat(np.arange(n), lens)
+        idx = pc.index_in(flat, value_set=terms)
+        valid = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        ti = pc.fill_null(idx, -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        hits = np.bincount(parent[valid], minlength=n)
+        bits = np.zeros(n, np.int64)
+        np.bitwise_or.at(bits, parent[valid],
+                         np.int64(1) << ti[valid])
+        keep = bits == full_mask
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(ids[keep], pa.int64()),
+                         "total_hits": pa.array(hits[keep], pa.int64())})
+
+    return _docs(sf_dir).map_batches(search, batch_format="pyarrow")
+
+
+KEYWORD_SEARCH_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), tok AS (
+  SELECT doc_id, t.w AS term FROM w, LATERAL unnest(ws) AS t(w)
+)
+SELECT doc_id, count(*) AS total_hits
+FROM tok
+WHERE term IN ({", ".join(f"'{t}'" for t in KEYWORD_TERMS)})
+GROUP BY doc_id
+HAVING count(DISTINCT term) = {len(KEYWORD_TERMS)}
+"""
+
+
+def source_token_budget(sf_dir: str):
+    """Per-source corpus budget: docs, chars, BPE tokens, and the
+    chars-per-token compression ratio — the table a training-mix
+    planner reads.  One combiner pass (group_by source per batch),
+    bounded merge."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cheque_ocr_project_ray.util import (final_merge_sums,
+                                             round_half_up,
+                                             strip_schema_metadata)
+
+    ds = ray.data.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"),
+        columns=["source", "text"]) \
+        .map_batches(strip_schema_metadata, batch_format="pyarrow",
+                     zero_copy_batch=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = analysis.bpe_token_count(
+            batch.append_column("doc_id",
+                                pa.array(np.zeros(batch.num_rows,
+                                                  np.int64))))
+        t = pa.table({
+            "source": batch.column("source"),
+            "n_docs": pa.array(np.ones(batch.num_rows, np.int64)),
+            "total_chars": pc.cast(pc.utf8_length(batch.column("text")),
+                                   pa.int64()),
+            "total_bpe_tokens": b.column("n_bpe_tokens")})
+        g = t.group_by("source").aggregate(
+            [("n_docs", "sum"), ("total_chars", "sum"),
+             ("total_bpe_tokens", "sum")])
+        return g.rename_columns(
+            ["source", "n_docs", "total_chars", "total_bpe_tokens"])
+
+    agg = final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"], ["n_docs", "total_chars", "total_bpe_tokens"])
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["chars_per_token"] = round_half_up(
+            b["total_chars"].astype(np.float64) / b["total_bpe_tokens"], 4)
+        return b
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+SOURCE_BUDGET_SQL = (
+    "SELECT source, count(*) AS n_docs, "
+    "CAST(sum(length(text)) AS BIGINT) AS total_chars, "
+    "CAST(sum(len(regexp_extract_all(text, '"
+    + analysis.BPE_PATTERN.replace("'", "''")
+    + "'))) AS BIGINT) AS total_bpe_tokens, "
+    "round(CAST(sum(length(text)) AS DOUBLE) "
+    "      / sum(len(regexp_extract_all(text, '"
+    + analysis.BPE_PATTERN.replace("'", "''")
+    + "'))), 4) AS chars_per_token "
+    "FROM documents GROUP BY source"
+)
+
+
 def text_queries() -> dict[str, Callable]:
     return {
         "doc_token_stats": doc_token_stats,
@@ -1074,6 +1193,8 @@ def text_queries() -> dict[str, Callable]:
         "doc_unigram_logprob": doc_unigram_logprob,
         "doc_quality_score": doc_quality_score,
         "corpus_mix_sample": corpus_mix_sample,
+        "doc_keyword_search": doc_keyword_search,
+        "source_token_budget": source_token_budget,
     }
 
 
@@ -1109,4 +1230,6 @@ def text_oracle_sql() -> dict[str, str]:
         "doc_unigram_logprob": UNIGRAM_LOGPROB_SQL,
         "doc_quality_score": QUALITY_SCORE_SQL,
         "corpus_mix_sample": MIX_SAMPLE_SQL,
+        "doc_keyword_search": KEYWORD_SEARCH_SQL,
+        "source_token_budget": SOURCE_BUDGET_SQL,
     }

@@ -85,3 +85,19 @@ def test_range_search_matches_bruteforce(tmp_path):
     assert len(out) == len(ref) > 0
     assert (out["vec_id"].to_numpy() == ref["vec_id"].to_numpy()).all()
     assert np.array_equal(out["cos"].to_numpy(), ref["cos"].to_numpy())
+
+
+def test_keyword_search_and_semantics(tmp_path):
+    from cheque_ocr_project_ray.text.queries import doc_keyword_search
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["hash join merge",          # all three -> 3 hits
+                 "hash hash join merge",     # all three -> 4 hits
+                 "hash join",                # missing 'merge' -> drop
+                 ""],                        # empty -> drop
+        "lang": "en", "source": "s", "n_chars": 0})
+    docs.to_parquet(tmp_path / "documents.parquet")
+    out = doc_keyword_search(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out["doc_id"]) == [1, 2]
+    assert list(out["total_hits"]) == [3, 4]
