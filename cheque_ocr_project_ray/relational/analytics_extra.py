@@ -141,11 +141,121 @@ GROUP BY event_type
 """
 
 
+RANGE_JOIN_PROBE_USERS = 50
+RANGE_JOIN_WINDOW_US = 2 * 3600 * 1_000_000
+_HOUR_US = 3600 * 1_000_000
+
+
+@_hash_shuffled
+def events_range_join(sf_dir: str, np_: int = 0):
+    """Interval (range) join — the non-equi join Ray Data has no
+    native operator for, built the banded way that scales: each
+    window expands to the hour BUCKETS it overlaps (driver-side, the
+    window side is probe-bounded here; at corpus scale the expansion
+    is a flat_map), each event maps to exactly ONE bucket, and the
+    band key turns the non-equi join into a partitioned hash join +
+    a vectorized containment filter.  No event duplication, so no
+    dedup pass.  Skew note: a bucket holding a hot hour can be salted
+    by minute exactly like hot users in sessionization.
+
+    Windows: per probe user (user_id < 50), [first event ts, +2 h).
+    Output: events (any user) inside each window, counted and
+    value-summed exactly."""
+    from cheque_ocr_project_ray.relational.joins import hash_join
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_min)
+
+    def probe_partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.less(batch.column("user_id"),
+                                 pa.scalar(RANGE_JOIN_PROBE_USERS)))
+        t = pa.table({"window_id": b.column("user_id"),
+                      "t0_us": pc.cast(pc.cast(b.column("ts"),
+                                               pa.timestamp("us")),
+                                       pa.int64())})
+        g = t.group_by("window_id").aggregate([("t0_us", "min")])
+        return g.rename_columns(["window_id", "t0_us"])
+
+    probes = final_merge_min(
+        _pq(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(probe_partial, batch_format="pyarrow"),
+        ["window_id"], ["t0_us"], np_=np_)
+    wt = collect_table(probes.materialize())
+    empty = pa.table({"window_id": pa.array([], pa.int64()),
+                      "n_events": pa.array([], pa.int64()),
+                      "sum_value": pa.array([], pa.float64())})
+    if wt is None or wt.num_rows == 0:
+        import ray.data as _rd
+        return _rd.from_arrow(empty)
+
+    wid = wt.column("window_id").to_numpy(zero_copy_only=False)
+    t0 = wt.column("t0_us").to_numpy(zero_copy_only=False)
+    t1 = t0 + RANGE_JOIN_WINDOW_US
+    b_lo, b_hi = t0 // _HOUR_US, (t1 - 1) // _HOUR_US
+    reps = (b_hi - b_lo + 1).astype(np.int64)
+    bucket = np.repeat(b_lo, reps) + (
+        np.arange(reps.sum()) - np.repeat(np.cumsum(reps) - reps, reps))
+    expanded = pa.table({
+        "bucket": pa.array(bucket, pa.int64()),
+        "window_id": pa.array(np.repeat(wid, reps), pa.int64()),
+        "t0_us": pa.array(np.repeat(t0, reps), pa.int64()),
+        "t1_us": pa.array(np.repeat(t1, reps), pa.int64())})
+    import ray.data as _rd
+    w_ds = _rd.from_arrow(expanded)
+
+    def ev_prep(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")),
+                     pa.int64())
+        return pa.table({
+            "bucket": pc.divide(us, pa.scalar(_HOUR_US, pa.int64())),
+            "ts_us": us,
+            "cents": money_units(batch.column("value"))})
+
+    ev = _pq(sf_dir, "events", ["ts", "value"]) \
+        .map_batches(ev_prep, batch_format="pyarrow")
+    joined = hash_join(ev, w_ds, on="bucket", num_partitions=np_ or None)
+
+    def contained_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch.column("ts_us"), batch.column("t0_us")),
+            pc.less(batch.column("ts_us"), batch.column("t1_us")))
+        b = batch.filter(keep)
+        t = pa.table({"window_id": b.column("window_id"),
+                      "n_events": pa.array(np.ones(b.num_rows, np.int64)),
+                      "cents": b.column("cents")})
+        g = t.group_by("window_id").aggregate(
+            [("n_events", "sum"), ("cents", "sum")])
+        return g.rename_columns(["window_id", "n_events", "cents"])
+
+    agg = final_merge_sums(
+        joined.map_batches(contained_partial, batch_format="pyarrow"),
+        ["window_id"], ["n_events", "cents"], np_=np_)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_value"] = b["cents"] / 100.0
+        return b.drop(columns=["cents"])
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+EVENTS_RANGE_JOIN_SQL = f"""
+WITH w AS (
+  SELECT user_id AS window_id, min(ts) AS t0,
+         min(ts) + INTERVAL 2 HOUR AS t1
+  FROM events WHERE user_id < {RANGE_JOIN_PROBE_USERS}
+  GROUP BY user_id)
+SELECT window_id, count(*) AS n_events,
+       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events e JOIN w ON e.ts >= w.t0 AND e.ts < w.t1
+GROUP BY window_id
+"""
+
+
 def analytics_extra_queries():
     return {
         "events_value_histogram": events_value_histogram,
         "events_lag_delta": events_lag_delta,
         "events_quantiles_by_type": events_quantiles_by_type,
+        "events_range_join": events_range_join,
     }
 
 
@@ -154,4 +264,5 @@ def analytics_extra_oracle_sql():
         "events_value_histogram": EVENTS_HISTOGRAM_SQL,
         "events_lag_delta": EVENTS_LAG_DELTA_SQL,
         "events_quantiles_by_type": EVENTS_QUANTILES_SQL,
+        "events_range_join": EVENTS_RANGE_JOIN_SQL,
     }

@@ -101,3 +101,29 @@ def test_keyword_search_and_semantics(tmp_path):
         .sort_values("doc_id").reset_index(drop=True)
     assert list(out["doc_id"]) == [1, 2]
     assert list(out["total_hits"]) == [3, 4]
+
+
+def test_range_join_straddles_buckets(tmp_path):
+    from cheque_ocr_project_ray.relational.analytics_extra import \
+        events_range_join
+    # probe user 0's first event at 00:30 -> window [00:30, 02:30):
+    # spans three hour buckets; events at 00:29 (out), 00:30 (in),
+    # 01:59 (in), 02:29 (in), 02:30 (out)
+    ts = pd.to_datetime([
+        "2024-01-01 00:30:00",   # probe user's first event (in window)
+        "2024-01-01 00:29:00",   # before t0
+        "2024-01-01 01:59:00",   # in
+        "2024-01-01 02:29:00",   # in
+        "2024-01-01 02:30:00"])  # == t1 -> out
+    df = pd.DataFrame({
+        "event_id": np.arange(5),
+        "ts": ts,
+        "user_id": [0, 999, 999, 999, 999],
+        "event_type": "a",
+        "value": [1.0, 2.0, 4.0, 8.0, 16.0],
+        "props": "{}"})
+    df.to_parquet(tmp_path / "events.parquet")
+    out = events_range_join(str(tmp_path)).to_pandas()
+    assert list(out["window_id"]) == [0]
+    assert list(out["n_events"]) == [3]
+    assert np.allclose(out["sum_value"], [13.0])
