@@ -53,6 +53,10 @@ BENCH_QUERIES = [
     "q7_volume_shipping",      # fact-fact hash join + 4 dim hops
     "doc_segment_dedup",       # corpus segment dedup + reassembly
     "doc_unigram_logprob",     # two-pass corpus LM scoring
+    "q21_sole_late_supplier",  # double-EXISTS via flag aggregation
+    "q10_returned_revenue",    # hash join + per-key top-k
+    "events_range_join",       # banded non-equi interval join
+    "ann_range_search",        # radius search (streaming GEMM filter)
 ]
 
 

@@ -250,8 +250,48 @@ GROUP BY window_id
 """
 
 
+def events_value_quantile_sketch(sf_dir: str):
+    """Approximate per-type quantiles via the mergeable fixed-grid
+    sketch (sketch.py) — the 100-TB replacement for the exact
+    Quantile aggregate in :func:`events_quantiles_by_type`: partials
+    are constant-size int64 histograms that merge by SUM, so the
+    estimate is bit-deterministic under any block order.  Absolute
+    error ≤ QSK_WIDTH (tested).  Rows-only (approximate by design;
+    pytest asserts the error bound against the exact quantiles)."""
+    from cheque_ocr_project_ray.sketch import (qsketch_merge,
+                                               qsketch_partial,
+                                               qsketch_quantile)
+    from cheque_ocr_project_ray.util import collect_table
+
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = [(t, qsketch_partial(g["value"].to_numpy()).tobytes(),
+                 len(g))
+                for t, g in batch.groupby("event_type", sort=True)]
+        return pd.DataFrame(rows, columns=["event_type", "sketch", "n"])
+
+    parts = collect_table(
+        ds.map_batches(partial, batch_format="pandas").materialize())
+    if parts is None:
+        return pd.DataFrame({"event_type": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64"),
+                             "p50_est": pd.Series([], dtype="float64"),
+                             "p90_est": pd.Series([], dtype="float64")})
+    pdf = parts.to_pandas()
+    rows = []
+    for t, g in pdf.groupby("event_type", sort=True):
+        counts = qsketch_merge(list(g["sketch"]))
+        rows.append((t, int(g["n"].sum()),
+                     qsketch_quantile(counts, 0.5),
+                     qsketch_quantile(counts, 0.9)))
+    return pd.DataFrame(rows, columns=["event_type", "n",
+                                       "p50_est", "p90_est"])
+
+
 def analytics_extra_queries():
     return {
+        "events_value_quantile_sketch": events_value_quantile_sketch,
         "events_value_histogram": events_value_histogram,
         "events_lag_delta": events_lag_delta,
         "events_quantiles_by_type": events_quantiles_by_type,

@@ -70,3 +70,51 @@ def hll_estimate(regs: np.ndarray) -> int:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)
     return int(round(est))
+
+
+# --- mergeable fixed-grid quantile sketch ----------------------------
+QSK_BINS = 4096
+QSK_LO = 0.0
+QSK_HI = 512.0   # events.value ∈ [0.01, ~490]; out-of-range clamps
+QSK_WIDTH = (QSK_HI - QSK_LO) / QSK_BINS   # 0.125 bin width: estimates
+# land in the same bin as the floor-rank order statistic, so
+# |estimate - exact(method='lower')| <= QSK_WIDTH (tested)
+
+
+def qsketch_partial(values: np.ndarray) -> np.ndarray:
+    """Fixed-grid histogram sketch for one batch: int64[QSK_BINS]
+    counts.  Merging is elementwise SUM — fully order-independent
+    (unlike t-digest/KLL, whose centroids depend on merge order), so
+    results are bit-deterministic under any block schedule.  The cost
+    is a fixed value range; quantile estimates share a bin with the
+    floor-rank order statistic (|err| ≤ QSK_WIDTH vs method='lower';
+    the rank-interpolated quantile can additionally differ by the
+    local gap between adjacent order statistics)."""
+    v = np.asarray(values, dtype=np.float64)
+    idx = np.clip(((v - QSK_LO) / QSK_WIDTH).astype(np.int64),
+                  0, QSK_BINS - 1)
+    counts = np.zeros(QSK_BINS, dtype=np.int64)
+    np.add.at(counts, idx, 1)
+    return counts
+
+
+def qsketch_merge(count_blobs) -> np.ndarray:
+    out = np.zeros(QSK_BINS, dtype=np.int64)
+    for blob in count_blobs:
+        out += np.frombuffer(blob, dtype=np.int64)
+    return out
+
+
+def qsketch_quantile(counts: np.ndarray, q: float) -> float:
+    """Quantile estimate: find the bin holding the q-th rank, linear
+    within-bin interpolation by rank position."""
+    n = int(counts.sum())
+    if n == 0:
+        return float("nan")
+    rank = q * (n - 1)
+    cum = np.cumsum(counts)
+    b = int(np.searchsorted(cum, rank + 1e-9, side="left"))
+    prev = int(cum[b - 1]) if b else 0
+    inbin = max(int(counts[b]), 1)
+    frac = (rank - prev) / inbin
+    return QSK_LO + (b + min(max(frac, 0.0), 1.0)) * QSK_WIDTH

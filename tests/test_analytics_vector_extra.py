@@ -127,3 +127,35 @@ def test_range_join_straddles_buckets(tmp_path):
     assert list(out["window_id"]) == [0]
     assert list(out["n_events"]) == [3]
     assert np.allclose(out["sum_value"], [13.0])
+
+
+def test_quantile_sketch_error_bound(tmp_path):
+    from cheque_ocr_project_ray.relational.analytics_extra import \
+        events_value_quantile_sketch
+    from cheque_ocr_project_ray.sketch import QSK_WIDTH
+    df = _events(tmp_path, n=3000, users=30, seed=11)
+    out = events_value_quantile_sketch(str(tmp_path)) \
+        .sort_values("event_type").reset_index(drop=True)
+    for _, row in out.iterrows():
+        vals = df.loc[df["event_type"] == row["event_type"], "value"]
+        # guarantee: estimate shares a bin with the floor-rank order
+        # statistic (the interpolated quantile can sit a sparse-data
+        # gap away, which no histogram sketch bounds)
+        assert abs(row["p50_est"]
+                   - np.quantile(vals, 0.5, method="lower")) <= QSK_WIDTH
+        assert abs(row["p90_est"]
+                   - np.quantile(vals, 0.9, method="lower")) <= QSK_WIDTH
+        assert row["n"] == len(vals)
+
+
+def test_qsketch_merge_order_independent():
+    from cheque_ocr_project_ray.sketch import (qsketch_merge,
+                                               qsketch_partial,
+                                               qsketch_quantile)
+    rng = np.random.default_rng(2)
+    v = rng.uniform(0, 500, 5000)
+    parts = [qsketch_partial(v[i::5]).tobytes() for i in range(5)]
+    a = qsketch_merge(parts)
+    b = qsketch_merge(parts[::-1])
+    assert np.array_equal(a, b)
+    assert qsketch_quantile(a, 0.5) == qsketch_quantile(b, 0.5)

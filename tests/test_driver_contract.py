@@ -30,7 +30,7 @@ def test_expected_families_present():
                   "media_decode_stats", "corpus_curation",
                   "corpus_pipeline", "events_sessions"):
         assert probe in qs
-    assert len(qs) >= 120
+    assert len(qs) >= 121
     assert len(entry.oracle_sql()) >= 113
 
 
