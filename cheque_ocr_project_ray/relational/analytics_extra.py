@@ -71,6 +71,17 @@ def events_lag_delta(sf_dir: str, np_: int = 0):
     mean delta, and max |delta| per user with ≥2 events.  Deltas are
     exact integer cents, so the stats are order-independent and match
     the DECIMAL oracle bit-for-bit."""
+    import pyarrow.parquet as pq_
+    from pathlib import Path
+    if pq_.ParquetFile(str(Path(sf_dir) / "events.parquet")) \
+            .metadata.num_rows == 0:
+        # hash-shuffle groupby finalize dies on an all-empty input
+        # (schemaless partition sort) — answer from metadata instead
+        return pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "n_deltas": pd.Series([], dtype="int64"),
+            "avg_delta": pd.Series([], dtype="float64"),
+            "max_abs_delta": pd.Series([], dtype="float64")})
     ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
 
     def deltas(group: pd.DataFrame) -> pd.DataFrame:

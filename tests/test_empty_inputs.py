@@ -124,3 +124,56 @@ def test_repetition_dense_bigram_keys():
     out = repetition(batch).to_pydict()
     assert out["top_count"] == [3] * 50          # "t{i}" thrice
     assert out["bigram_top_frac"] == [np.float64(2 / 3).round(4)] * 50
+
+
+def _empty_lineitem(tmp_path):
+    pd.DataFrame({
+        "l_orderkey": pd.Series([], dtype="int64"),
+        "l_partkey": pd.Series([], dtype="int64"),
+        "l_suppkey": pd.Series([], dtype="int64"),
+        "l_quantity": pd.Series([], dtype="float64"),
+        "l_extendedprice": pd.Series([], dtype="float64"),
+        "l_discount": pd.Series([], dtype="float64"),
+        "l_returnflag": pd.Series([], dtype="object"),
+        "l_shipdate": pd.Series([], dtype="datetime64[us]"),
+    }).to_parquet(tmp_path / "lineitem.parquet")
+
+
+def test_empty_new_event_queries(tmp_path):
+    from cheque_ocr_project_ray.relational.analytics_extra import (
+        events_lag_delta, events_range_join, events_value_histogram,
+        events_value_quantile_sketch)
+    pd.DataFrame({
+        "event_id": pd.Series([], dtype="int64"),
+        "ts": pd.Series([], dtype="datetime64[us]"),
+        "user_id": pd.Series([], dtype="int64"),
+        "event_type": pd.Series([], dtype="object"),
+        "value": pd.Series([], dtype="float64"),
+    }).to_parquet(tmp_path / "events.parquet")
+    d = str(tmp_path)
+    assert events_value_histogram(d).count() == 0
+    assert len(events_lag_delta(d)) == 0
+    assert events_range_join(d).count() == 0
+    assert len(events_value_quantile_sketch(d)) == 0
+
+
+def test_empty_new_tpch_queries(tmp_path):
+    from cheque_ocr_project_ray.relational.tpch_extra import (
+        q15_top_supplier, q21_sole_late_supplier)
+    _empty_lineitem(tmp_path)
+    pd.DataFrame({
+        "o_orderkey": pd.Series([], dtype="int64"),
+        "o_custkey": pd.Series([], dtype="int64"),
+        "o_orderstatus": pd.Series([], dtype="object"),
+        "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+        "o_orderpriority": pd.Series([], dtype="object"),
+        "o_totalprice": pd.Series([], dtype="float64"),
+    }).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame({
+        "s_suppkey": pd.Series([], dtype="int64"),
+        "s_name": pd.Series([], dtype="object"),
+        "s_nationkey": pd.Series([], dtype="int32"),
+        "s_acctbal": pd.Series([], dtype="float64"),
+    }).to_parquet(tmp_path / "supplier.parquet")
+    assert q15_top_supplier(str(tmp_path)).count() == 0
+    assert q21_sole_late_supplier(str(tmp_path)).count() == 0
