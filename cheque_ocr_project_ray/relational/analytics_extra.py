@@ -261,6 +261,114 @@ GROUP BY window_id
 """
 
 
+@_hash_shuffled
+def orders_cube(sf_dir: str, np_: int = 0):
+    """Full CUBE over (priority, status): all four grouping sets
+    derived from ONE finest-level aggregate — the shuffle runs once;
+    the coarser sets are a driver fold over the (tiny) merged table.
+    Exact integer-cent money keeps every level bit-equal to SQL."""
+    ds = _pq(sf_dir, "orders",
+             ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderpriority": batch.column("o_orderpriority"),
+                      "o_orderstatus": batch.column("o_orderstatus"),
+                      "cents": money_units(batch.column("o_totalprice")),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by(["o_orderpriority", "o_orderstatus"]).aggregate(
+            [("cents", "sum"), ("n", "sum")])
+        return g.rename_columns(
+            ["o_orderpriority", "o_orderstatus", "cents", "n_orders"])
+
+    agg = final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["o_orderpriority", "o_orderstatus"], ["cents", "n_orders"],
+        np_=np_)
+
+    def fold_cube(b: pd.DataFrame) -> pd.DataFrame:
+        fine = b.copy()
+        by_p = fine.groupby("o_orderpriority", as_index=False)[
+            ["cents", "n_orders"]].sum().assign(o_orderstatus="ALL")
+        by_s = fine.groupby("o_orderstatus", as_index=False)[
+            ["cents", "n_orders"]].sum().assign(o_orderpriority="ALL")
+        total = pd.DataFrame({
+            "o_orderpriority": ["ALL"], "o_orderstatus": ["ALL"],
+            "cents": [fine["cents"].sum()],
+            "n_orders": [fine["n_orders"].sum()]})
+        out = pd.concat([fine, by_p, by_s, total], ignore_index=True)
+        out["total_price"] = out["cents"] / 100.0
+        return out[["o_orderpriority", "o_orderstatus", "n_orders",
+                    "total_price"]]
+
+    return agg.repartition(1).map_batches(fold_cube,
+                                          batch_format="pandas",
+                                          batch_size=None)
+
+
+ORDERS_CUBE_SQL = """
+SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       coalesce(o_orderstatus, 'ALL')   AS o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_price
+FROM orders
+GROUP BY CUBE(o_orderpriority, o_orderstatus)
+"""
+
+
+@_hash_shuffled
+def lineitem_weighted_discount(sf_dir: str, np_: int = 0):
+    """Revenue-weighted vs plain average discount per return flag —
+    the weighted-mean aggregate shape, exact integer units end-to-end
+    (numerator in 1e-4 price×discount units, denominators in cents /
+    row counts), so the ratios divide the SAME integers as the
+    DECIMAL oracle."""
+    ds = _pq(sf_dir, "lineitem",
+             ["l_returnflag", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = money_units(batch.column("l_extendedprice"))
+        du = money_units(batch.column("l_discount"))
+        t = pa.table({"l_returnflag": batch.column("l_returnflag"),
+                      "wnum": pc.multiply(cents, du),
+                      "wden": cents, "dsum": du,
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by("l_returnflag").aggregate(
+            [("wnum", "sum"), ("wden", "sum"), ("dsum", "sum"),
+             ("n", "sum")])
+        return g.rename_columns(["l_returnflag", "wnum", "wden",
+                                 "dsum", "n"])
+
+    agg = final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag"], ["wnum", "wden", "dsum", "n"], np_=np_)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": b["l_returnflag"],
+            "n": b["n"],
+            # op order mirrors the SQL: CAST-to-double sums, then divide
+            "wavg_discount": round_half_up(
+                (b["wnum"] / 10000.0) / (b["wden"] / 100.0), 6),
+            "avg_discount": round_half_up(
+                (b["dsum"] / 100.0) / b["n"], 6)})
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+WEIGHTED_DISCOUNT_SQL = """
+SELECT l_returnflag, count(*) AS n,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DOUBLE), 6) AS wavg_discount,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 6) AS avg_discount
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 def events_value_quantile_sketch(sf_dir: str):
     """Approximate per-type quantiles via the mergeable fixed-grid
     sketch (sketch.py) — the 100-TB replacement for the exact
@@ -303,6 +411,8 @@ def events_value_quantile_sketch(sf_dir: str):
 def analytics_extra_queries():
     return {
         "events_value_quantile_sketch": events_value_quantile_sketch,
+        "orders_cube": orders_cube,
+        "lineitem_weighted_discount": lineitem_weighted_discount,
         "events_value_histogram": events_value_histogram,
         "events_lag_delta": events_lag_delta,
         "events_quantiles_by_type": events_quantiles_by_type,
@@ -316,4 +426,6 @@ def analytics_extra_oracle_sql():
         "events_lag_delta": EVENTS_LAG_DELTA_SQL,
         "events_quantiles_by_type": EVENTS_QUANTILES_SQL,
         "events_range_join": EVENTS_RANGE_JOIN_SQL,
+        "orders_cube": ORDERS_CUBE_SQL,
+        "lineitem_weighted_discount": WEIGHTED_DISCOUNT_SQL,
     }

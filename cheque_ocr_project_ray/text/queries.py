@@ -1161,6 +1161,96 @@ SOURCE_BUDGET_SQL = (
 )
 
 
+def doc_source_dup_rate(sf_dir: str):
+    """Per-source exact-duplicate contamination rate — the dedup
+    QA report a curation run ends with.  Pass 1 reduces to
+    (fingerprint, count) partials (bounded-adaptive merge); the >1
+    fingerprint set broadcasts once; pass 2 re-fingerprints and rolls
+    up per source.  At corpus scale with a dup set past broadcast
+    size, swap pass 2's lookup for a hash join on the fingerprint —
+    same semantics, one more exchange."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_sums, map_pool,
+                                             round_half_up,
+                                             strip_schema_metadata)
+
+    def _read():
+        return ray.data.read_parquet(
+            str(Path(sf_dir) / "documents.parquet"),
+            columns=["source", "text"]) \
+            .map_batches(strip_schema_metadata, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    def fp_partial(batch: pa.Table) -> pa.Table:
+        fps = analysis.text_md5(batch.column("text").to_pylist())
+        t = pa.table({"fp": pa.array(fps, pa.string()),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by("fp").aggregate([("n", "sum")])
+        return g.rename_columns(["fp", "n"])
+
+    counts = collect_table(
+        final_merge_sums(_read().map_batches(fp_partial,
+                                             batch_format="pyarrow"),
+                         ["fp"], ["n"]).materialize())
+    if counts is None:
+        return pd.DataFrame({"source": pd.Series([], dtype="object"),
+                             "n_docs": pd.Series([], dtype="int64"),
+                             "n_dups": pd.Series([], dtype="int64"),
+                             "dup_rate": pd.Series([], dtype="float64")})
+    dup = counts.filter(pc.greater(counts.column("n"),
+                                   pa.scalar(1, pa.int64())))
+    dup_ref = ray.put(dup.column("fp").combine_chunks())
+
+    class Rollup:
+        def __init__(self):
+            self.dup_fps = ray.get(dup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            fps = pa.array(analysis.text_md5(
+                batch.column("text").to_pylist()), pa.string())
+            is_dup = pc.cast(pc.fill_null(
+                pc.is_in(fps, value_set=self.dup_fps), False), pa.int64())
+            t = pa.table({"source": batch.column("source"),
+                          "n_docs": pa.array(np.ones(batch.num_rows,
+                                                     np.int64)),
+                          "n_dups": is_dup})
+            g = t.group_by("source").aggregate(
+                [("n_docs", "sum"), ("n_dups", "sum")])
+            return g.rename_columns(["source", "n_docs", "n_dups"])
+
+    agg = final_merge_sums(
+        _read().map_batches(Rollup, batch_format="pyarrow",
+                            concurrency=(1, map_pool())),
+        ["source"], ["n_docs", "n_dups"])
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["dup_rate"] = round_half_up(
+            b["n_dups"].astype(np.float64) / b["n_docs"], 4)
+        return b
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+SOURCE_DUP_RATE_SQL = """
+WITH h AS (SELECT source, md5(text) AS fp FROM documents),
+c AS (SELECT fp, count(*) AS cnt FROM h GROUP BY fp)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dups,
+       round(CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS dup_rate
+FROM h JOIN c USING (fp)
+GROUP BY source
+"""
+
+
 def text_queries() -> dict[str, Callable]:
     return {
         "doc_token_stats": doc_token_stats,
@@ -1195,6 +1285,7 @@ def text_queries() -> dict[str, Callable]:
         "corpus_mix_sample": corpus_mix_sample,
         "doc_keyword_search": doc_keyword_search,
         "source_token_budget": source_token_budget,
+        "doc_source_dup_rate": doc_source_dup_rate,
     }
 
 
@@ -1232,4 +1323,5 @@ def text_oracle_sql() -> dict[str, str]:
         "corpus_mix_sample": MIX_SAMPLE_SQL,
         "doc_keyword_search": KEYWORD_SEARCH_SQL,
         "source_token_budget": SOURCE_BUDGET_SQL,
+        "doc_source_dup_rate": SOURCE_DUP_RATE_SQL,
     }

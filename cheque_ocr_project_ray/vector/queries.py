@@ -177,6 +177,53 @@ FROM n GROUP BY label
 """
 
 
+def embedding_quantize_error(sf_dir: str):
+    """Scalar int8 quantization (symmetric, per-vector max-abs scale)
+    with the reconstruction MSE per vector — the vector-compression
+    primitive for shipping embeddings at corpus scale.  Every float
+    op (divide, ×127, half-away round, reconstruct, square, sequential
+    sum) mirrors the SQL twin's expression order so the MSE matches
+    bit-for-bit before the output rounding.  Stateless streaming map."""
+    import pyarrow as pa
+    from cheque_ocr_project_ray.util import round_half_up
+    from cheque_ocr_project_ray.vector.ann import _table_matrix
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        m = _table_matrix(batch)
+        d = m.shape[1]
+        scale = np.max(np.abs(m), axis=1)
+        safe = np.where(scale == 0, 1.0, scale)[:, None]
+        code = round_half_up(m / safe * 127, 0)
+        recon = code * safe / 127
+        diff = m - recon
+        sq = diff * diff
+        acc = np.zeros(len(m), np.float64)
+        for j in range(d):          # sequential, like list_sum
+            acc += sq[:, j]
+        mse = np.where(scale == 0, 0.0, acc / d)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "scale": pa.array(round_half_up(scale, 6), pa.float64()),
+            "mse": pa.array(round_half_up(mse, 10), pa.float64())})
+
+    return _emb(sf_dir).map_batches(quantize, batch_format="pyarrow")
+
+
+QUANTIZE_ERROR_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS scale
+      FROM e)
+SELECT vec_id, round(scale, 6) AS scale,
+       round(CASE WHEN scale = 0 THEN 0.0 ELSE
+         list_sum(list_transform(v, x ->
+           (x - round(x / scale * 127) * scale / 127)
+           * (x - round(x / scale * 127) * scale / 127))) / len(v)
+       END, 10) AS mse
+FROM s
+"""
+
+
 def ann_lsh_topk(sf_dir: str):
     return ann.lsh_topk(_emb(sf_dir), _query_vec(sf_dir), k=10)
 
@@ -374,6 +421,7 @@ def vector_queries() -> dict[str, Callable]:
         "ann_knn_join": ann_knn_join,
         "ann_range_search": ann_range_search,
         "embedding_norm_stats": embedding_norm_stats,
+        "embedding_quantize_error": embedding_quantize_error,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "embedding_neardup": embedding_neardup,
@@ -389,6 +437,7 @@ def vector_oracle_sql() -> dict[str, str]:
         "ann_knn_join": KNN_JOIN_SQL,
         "ann_range_search": RANGE_SEARCH_SQL,
         "embedding_norm_stats": NORM_STATS_SQL,
+        "embedding_quantize_error": QUANTIZE_ERROR_SQL,
         "embedding_neardup": NEARDUP_SQL,
         "embedding_kmeans": KMEANS_SQL,
         "label_stats": LABEL_STATS_SQL,

@@ -159,3 +159,38 @@ def test_qsketch_merge_order_independent():
     b = qsketch_merge(parts[::-1])
     assert np.array_equal(a, b)
     assert qsketch_quantile(a, 0.5) == qsketch_quantile(b, 0.5)
+
+
+def test_source_dup_rate_counts_dups(tmp_path):
+    from cheque_ocr_project_ray.text.queries import doc_source_dup_rate
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["same", "same", "uniq1", "same", "uniq2", "uniq3"],
+        "lang": "en",
+        "source": ["a", "a", "a", "b", "b", "b"],
+        "n_chars": 4})
+    docs.to_parquet(tmp_path / "documents.parquet")
+    out = doc_source_dup_rate(str(tmp_path)).to_pandas() \
+        .sort_values("source").reset_index(drop=True)
+    assert list(out["n_docs"]) == [3, 3]
+    assert list(out["n_dups"]) == [2, 1]   # 'same' x3 spans sources
+    assert np.allclose(out["dup_rate"], [0.6667, 0.3333])
+
+
+def test_orders_cube_levels(tmp_path):
+    from cheque_ocr_project_ray.relational.analytics_extra import \
+        orders_cube
+    orders = pd.DataFrame({
+        "o_orderkey": range(4),
+        "o_custkey": 0,
+        "o_orderstatus": ["F", "O", "F", "O"],
+        "o_orderpriority": ["1-URGENT", "1-URGENT", "2-HIGH", "2-HIGH"],
+        "o_totalprice": [10.0, 20.0, 30.0, 40.0],
+        "o_orderdate": pd.to_datetime(["1996-01-01"] * 4)})
+    orders.to_parquet(tmp_path / "orders.parquet")
+    out = orders_cube(str(tmp_path)).to_pandas()
+    assert len(out) == 4 + 2 + 2 + 1          # fine + by_p + by_s + total
+    tot = out[(out["o_orderpriority"] == "ALL")
+              & (out["o_orderstatus"] == "ALL")]
+    assert tot["n_orders"].iloc[0] == 4
+    assert np.isclose(tot["total_price"].iloc[0], 100.0)
