@@ -408,11 +408,147 @@ def events_value_quantile_sketch(sf_dir: str):
                                        "p50_est", "p90_est"])
 
 
+@_hash_shuffled
+def events_type_markov(sf_dir: str, np_: int = 0):
+    """First-order event-type transition matrix: consecutive-event
+    (from, to) counts per user, merged globally, with row-normalized
+    transition probabilities — the sequence-model feature extractor.
+    Per-user ordering happens inside groupby(user).map_groups (the
+    sessionization partitioning assumption); the matrix itself is
+    |types|² — driver-tiny at any corpus size."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id",
+                                "event_type"])
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"])
+        t = g["event_type"].to_numpy()
+        if len(t) < 2:
+            return pd.DataFrame({
+                "from_type": pd.Series([], dtype="object"),
+                "to_type": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"from_type": t[:-1], "to_type": t[1:]}) \
+            .groupby(["from_type", "to_type"]).size() \
+            .reset_index(name="n")
+
+    partials = ds.groupby("user_id", num_partitions=np_).map_groups(
+        pairs, batch_format="pandas")
+    agg = final_merge_sums(partials, ["from_type", "to_type"], ["n"],
+                           np_=np_)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        totals = b.groupby("from_type")["n"].transform("sum")
+        b["prob"] = round_half_up(
+            b["n"].astype(np.float64) / totals, 6)
+        return b
+
+    return agg.repartition(1).map_batches(finish, batch_format="pandas",
+                                          batch_size=None)
+
+
+EVENTS_MARKOV_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events)
+SELECT event_type AS from_type, next_type AS to_type,
+       count(*) AS n,
+       round(CAST(count(*) AS DOUBLE)
+             / sum(count(*)) OVER (PARTITION BY event_type), 6) AS prob
+FROM s WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@_hash_shuffled
+def events_anomaly_mad(sf_dir: str, np_: int = 0):
+    """Robust outlier report per event type: exact median, median
+    absolute deviation (both via the exact Quantile aggregate —
+    linear interpolation, matching quantile_cont), and the count of
+    values beyond 5 MADs.  Three cheap grouped passes; the per-type
+    (median, MAD) table broadcasts into the final counting map."""
+    from ray.data.aggregate import Quantile
+
+    def med_of(col_ds, alias):
+        return col_ds.groupby("event_type", num_partitions=1).aggregate(
+            Quantile("v", q=0.5, alias_name=alias))
+
+    base = _pq(sf_dir, "events", ["event_type", "value"]).map_batches(
+        lambda b: pa.table({"event_type": b.column("event_type"),
+                            "v": b.column("value")}),
+        batch_format="pyarrow")
+    med = med_of(base, "med").to_pandas()
+    med_map = dict(zip(med["event_type"], med["med"]))
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        t = batch.column("event_type").to_pandas()
+        m = t.map(med_map).to_numpy(dtype=np.float64)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "v": pa.array(np.abs(
+                batch.column("v").to_numpy(zero_copy_only=False) - m))})
+
+    mad = med_of(base.map_batches(absdev, batch_format="pyarrow"),
+                 "mad").to_pandas()
+    mad_map = dict(zip(mad["event_type"], mad["mad"]))
+
+    def count_outliers(batch: pa.Table) -> pa.Table:
+        tp = batch.column("event_type").to_pandas()
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        m = tp.map(med_map).to_numpy(dtype=np.float64)
+        s = tp.map(mad_map).to_numpy(dtype=np.float64)
+        out = (np.abs(v - m) > 5.0 * s).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64)),
+                      "n_outliers": pa.array(out)})
+        g = t.group_by("event_type").aggregate(
+            [("n", "sum"), ("n_outliers", "sum")])
+        return g.rename_columns(["event_type", "n", "n_outliers"])
+
+    agg = final_merge_sums(
+        base.map_batches(count_outliers, batch_format="pyarrow"),
+        ["event_type"], ["n", "n_outliers"], np_=np_)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["median_value"] = round_half_up(
+            b["event_type"].map(med_map).astype(np.float64), 4)
+        b["mad"] = round_half_up(
+            b["event_type"].map(mad_map).astype(np.float64), 4)
+        return b[["event_type", "n", "median_value", "mad",
+                  "n_outliers"]]
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+EVENTS_ANOMALY_MAD_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type),
+mad AS (
+  SELECT e.event_type,
+         quantile_cont(abs(e.value - med.med), 0.5) AS mad
+  FROM events e JOIN med USING (event_type)
+  GROUP BY e.event_type)
+SELECT e.event_type, count(*) AS n,
+       round(any_value(med.med), 4) AS median_value,
+       round(any_value(mad.mad), 4) AS mad,
+       CAST(sum(CASE WHEN abs(e.value - med.med) > 5.0 * mad.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e
+JOIN med USING (event_type)
+JOIN mad ON mad.event_type = e.event_type
+GROUP BY e.event_type
+"""
+
+
 def analytics_extra_queries():
     return {
         "events_value_quantile_sketch": events_value_quantile_sketch,
         "orders_cube": orders_cube,
         "lineitem_weighted_discount": lineitem_weighted_discount,
+        "events_type_markov": events_type_markov,
+        "events_anomaly_mad": events_anomaly_mad,
         "events_value_histogram": events_value_histogram,
         "events_lag_delta": events_lag_delta,
         "events_quantiles_by_type": events_quantiles_by_type,
@@ -428,4 +564,6 @@ def analytics_extra_oracle_sql():
         "events_range_join": EVENTS_RANGE_JOIN_SQL,
         "orders_cube": ORDERS_CUBE_SQL,
         "lineitem_weighted_discount": WEIGHTED_DISCOUNT_SQL,
+        "events_type_markov": EVENTS_MARKOV_SQL,
+        "events_anomaly_mad": EVENTS_ANOMALY_MAD_SQL,
     }
