@@ -20,6 +20,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from cheque_ocr_project_ray.relational.queries import _hash_shuffled, _pq
+from cheque_ocr_project_ray.relational.tpch_extra import (_DAY_US,
+                                                          _ts_col_us)
 from cheque_ocr_project_ray.util import (final_merge_sums, money_units,
                                          round_half_up)
 
@@ -542,6 +544,126 @@ GROUP BY e.event_type
 """
 
 
+@_hash_shuffled
+def orders_yoy_growth(sf_dir: str, np_: int = 0):
+    """Yearly revenue with year-over-year growth % — the
+    window-over-aggregate shape: the shuffle reduces to |years| rows,
+    the LAG window folds on the driver."""
+    ds = _pq(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"yr": pc.cast(pc.year(batch.column("o_orderdate")),
+                                    pa.int64()),
+                      "cents": money_units(batch.column("o_totalprice")),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by("yr").aggregate([("cents", "sum"), ("n", "sum")])
+        return g.rename_columns(["yr", "cents", "n_orders"])
+
+    agg = final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["yr"], ["cents", "n_orders"], np_=np_)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values("yr").reset_index(drop=True)
+        b["revenue"] = b["cents"] / 100.0
+        prev = b["revenue"].shift(1)
+        b["yoy_pct"] = round_half_up(
+            (b["revenue"] - prev) / prev * 100.0, 4)
+        return b[["yr", "n_orders", "revenue", "yoy_pct"]]
+
+    return agg.repartition(1).map_batches(finish, batch_format="pandas",
+                                          batch_size=None)
+
+
+ORDERS_YOY_SQL = """
+WITH y AS (
+  SELECT year(o_orderdate) AS yr,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1)
+SELECT yr, n_orders, revenue,
+       round((revenue - lag(revenue) OVER (ORDER BY yr))
+             / lag(revenue) OVER (ORDER BY yr) * 100, 4) AS yoy_pct
+FROM y
+"""
+
+
+@_hash_shuffled
+def customer_rfm(sf_dir: str, np_: int = 0):
+    """RFM (recency / frequency / monetary) customer segmentation
+    with fixed deterministic thresholds.  One combiner pass emits
+    per-customer (count, exact cents, latest-order) partials — the
+    max-merge rides the min-reducer on the negated timestamp — and
+    the bounded-adaptive driver merge resolves them (customer-keyed;
+    the distributed groupby remains the unbounded fallback)."""
+    from cheque_ocr_project_ray.util import collect_table
+    import ray.data as _rd
+
+    ds = _pq(sf_dir, "orders",
+             ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = _ts_col_us(batch.column("o_orderdate"))
+        t = pa.table({"c_custkey": batch.column("o_custkey"),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64)),
+                      "cents": money_units(batch.column("o_totalprice")),
+                      "neg_last": pc.negate(us)})
+        g = t.group_by("c_custkey").aggregate(
+            [("n", "sum"), ("cents", "sum"), ("neg_last", "min")])
+        return g.rename_columns(["c_custkey", "n", "cents", "neg_last"])
+
+    t = collect_table(
+        ds.map_batches(partial, batch_format="pyarrow").materialize())
+    empty = pa.table({"c_custkey": pa.array([], pa.int64()),
+                      "n_orders": pa.array([], pa.int64()),
+                      "monetary": pa.array([], pa.float64()),
+                      "recency_days": pa.array([], pa.int64()),
+                      "segment": pa.array([], pa.string())})
+    if t is None or t.num_rows == 0:
+        return _rd.from_arrow(empty)
+    g = t.group_by("c_custkey").aggregate(
+        [("n", "sum"), ("cents", "sum"), ("neg_last", "min")])
+    cust = g.column("c_custkey").to_numpy(zero_copy_only=False)
+    n = g.column("n_sum").to_numpy(zero_copy_only=False)
+    cents = g.column("cents_sum").to_numpy(zero_copy_only=False)
+    last_us = -g.column("neg_last_min").to_numpy(zero_copy_only=False)
+    max_us = int(last_us.max())
+    recency = (max_us - last_us) // _DAY_US
+    seg = np.where(
+        (recency <= 180) & (n >= 12), "champion",
+        np.where(recency <= 180, "active",
+                 np.where(recency <= 540, "cooling", "lapsed")))
+    return _rd.from_arrow(pa.table({
+        "c_custkey": pa.array(cust, pa.int64()),
+        "n_orders": pa.array(n, pa.int64()),
+        "monetary": pa.array(cents / 100.0, pa.float64()),
+        "recency_days": pa.array(recency, pa.int64()),
+        "segment": pa.array(seg.tolist(), pa.string())}))
+
+
+CUSTOMER_RFM_SQL = """
+WITH mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+c AS (
+  SELECT o_custkey AS c_custkey, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS monetary,
+         max(o_orderdate) AS last_order
+  FROM orders GROUP BY 1)
+SELECT c_custkey, n_orders, monetary,
+       CAST(date_diff('day', last_order, mx.mxd) AS BIGINT)
+           AS recency_days,
+       CASE WHEN date_diff('day', last_order, mx.mxd) <= 180
+                 AND n_orders >= 12 THEN 'champion'
+            WHEN date_diff('day', last_order, mx.mxd) <= 180
+                 THEN 'active'
+            WHEN date_diff('day', last_order, mx.mxd) <= 540
+                 THEN 'cooling'
+            ELSE 'lapsed' END AS segment
+FROM c, mx
+"""
+
+
 def analytics_extra_queries():
     return {
         "events_value_quantile_sketch": events_value_quantile_sketch,
@@ -549,6 +671,8 @@ def analytics_extra_queries():
         "lineitem_weighted_discount": lineitem_weighted_discount,
         "events_type_markov": events_type_markov,
         "events_anomaly_mad": events_anomaly_mad,
+        "orders_yoy_growth": orders_yoy_growth,
+        "customer_rfm": customer_rfm,
         "events_value_histogram": events_value_histogram,
         "events_lag_delta": events_lag_delta,
         "events_quantiles_by_type": events_quantiles_by_type,
@@ -566,4 +690,6 @@ def analytics_extra_oracle_sql():
         "lineitem_weighted_discount": WEIGHTED_DISCOUNT_SQL,
         "events_type_markov": EVENTS_MARKOV_SQL,
         "events_anomaly_mad": EVENTS_ANOMALY_MAD_SQL,
+        "orders_yoy_growth": ORDERS_YOY_SQL,
+        "customer_rfm": CUSTOMER_RFM_SQL,
     }
