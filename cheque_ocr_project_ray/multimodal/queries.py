@@ -166,9 +166,58 @@ def media_bestof_variants(sf_dir: str):
     return _pool(ds, VariantBestOfStage)
 
 
+def media_dedup_exact(sf_dir: str):
+    """Content-addressed media dedup: one row per DISTINCT payload —
+    md5 fingerprint, copy count, and the keeper ref (min media_ref).
+    The multimodal twin of the text exact-dedup family: per-batch
+    partials carry (fp, count, min-ref) — never the payloads — and
+    merge via one bounded driver group_by (fingerprint-keyed; a
+    distributed groupby(fp) is the unbounded fallback at corpus
+    scale)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as _rd
+
+    from cheque_ocr_project_ray.util import collect_table
+
+    ds = _media_ds(sf_dir, ["media_ref", "data"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # DuckDB 1.0's md5() takes VARCHAR only — both engines hash the
+        # UPPERCASE-hex encoding of the payload (hex(data) in SQL)
+        fps = [hashlib.md5(d.hex().upper().encode()).hexdigest()
+               for d in batch.column("data").to_pylist()]
+        t = pa.table({"fp": pa.array(fps, pa.string()),
+                      "media_ref": batch.column("media_ref"),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by("fp").aggregate(
+            [("n", "sum"), ("media_ref", "min")])
+        return g.rename_columns(["fp", "n_copies", "keeper_ref"])
+
+    from cheque_ocr_project_ray.util import map_pool
+    parts = collect_table(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=DEFAULT_MEDIA_BATCH,
+                       concurrency=map_pool(), num_cpus=1)
+        .materialize())
+    empty = pa.table({"fp": pa.array([], pa.string()),
+                      "n_copies": pa.array([], pa.int64()),
+                      "keeper_ref": pa.array([], pa.string())})
+    if parts is None or parts.num_rows == 0:
+        return _rd.from_arrow(empty)
+    g = parts.group_by("fp").aggregate(
+        [("n_copies", "sum"), ("keeper_ref", "min")])
+    return _rd.from_arrow(g.rename_columns(
+        ["fp", "n_copies", "keeper_ref"]))
+
+
 def multimodal_queries() -> dict[str, Callable]:
     return {
         "media_decode_stats": media_decode_stats,
+        "media_dedup_exact": media_dedup_exact,
         "media_resize_plan": media_resize_plan,
         "media_frame_sample": media_frame_sample,
         "media_audio_features": media_audio_features,
@@ -251,8 +300,15 @@ SELECT m.media_ref, c.roi, CAST(c.cascade_order AS INTEGER) AS cascade_order,
        CAST(floor(m.width  * c.fx1::DOUBLE) AS INTEGER) AS x1
 FROM read_parquet('{glob}') m CROSS JOIN c
 """
+    dedup_exact = f"""
+SELECT md5(hex(data)) AS fp, count(*) AS n_copies,
+       min(media_ref) AS keeper_ref
+FROM read_parquet('{glob}')
+GROUP BY fp
+"""
     return {
         "media_decode_stats": decode_stats,
+        "media_dedup_exact": dedup_exact,
         "media_resize_plan": resize_plan,
         "media_frame_sample": frame_sample,
         "media_audio_features": audio_features,

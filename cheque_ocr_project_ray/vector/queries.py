@@ -177,6 +177,35 @@ FROM n GROUP BY label
 """
 
 
+FILTER_LABEL = 3
+
+
+def ann_filtered_topk(sf_dir: str):
+    """Filtered vector search — top-k cosine restricted to one label
+    (the metadata-constrained ANN shape every vector DB serves).  The
+    filter pushes down to the parquet read, so non-matching rows never
+    leave storage; the searcher is the same brute-force GEMM."""
+    import pyarrow.dataset as pads
+    ds = ray.data.read_parquet(
+        str(Path(sf_dir) / "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=pads.field("label") == FILTER_LABEL)
+    return ann.brute_force_topk(ds, _query_vec(sf_dir), k=10)
+
+
+ANN_FILTERED_SQL = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 5)
+           AS cos
+FROM embeddings e, q
+WHERE e.label = {FILTER_LABEL}
+ORDER BY cos DESC, vec_id
+LIMIT 10
+"""
+
+
 def embedding_quantize_error(sf_dir: str):
     """Scalar int8 quantization (symmetric, per-vector max-abs scale)
     with the reconstruction MSE per vector — the vector-compression
@@ -420,6 +449,7 @@ def vector_queries() -> dict[str, Callable]:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_knn_join": ann_knn_join,
         "ann_range_search": ann_range_search,
+        "ann_filtered_topk": ann_filtered_topk,
         "embedding_norm_stats": embedding_norm_stats,
         "embedding_quantize_error": embedding_quantize_error,
         "ann_lsh_topk": ann_lsh_topk,
@@ -436,6 +466,7 @@ def vector_oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": ANN_TOPK_SQL,
         "ann_knn_join": KNN_JOIN_SQL,
         "ann_range_search": RANGE_SEARCH_SQL,
+        "ann_filtered_topk": ANN_FILTERED_SQL,
         "embedding_norm_stats": NORM_STATS_SQL,
         "embedding_quantize_error": QUANTIZE_ERROR_SQL,
         "embedding_neardup": NEARDUP_SQL,
