@@ -664,6 +664,167 @@ FROM c, mx
 """
 
 
+@_hash_shuffled
+def events_ab_test(sf_dir: str, np_: int = 0):
+    """Two-sample experiment readout (assignment = user_id parity):
+    per event type, group means and the Welch t-statistic.  Sums and
+    sums-of-squares accumulate as EXACT integers (cents / cents²), so
+    the moments match the DECIMAL oracle bit-for-bit; only the final
+    t arithmetic is float, mirrored op-for-op."""
+    ds = _pq(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = money_units(batch.column("value"))
+        grp = pc.cast(pc.bit_wise_and(batch.column("user_id"),
+                                      pa.scalar(1, pa.int64())),
+                      pa.int64())
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "grp": grp,
+                      "n": pa.array(np.ones(batch.num_rows, np.int64)),
+                      "s": cents,
+                      "ss": pc.multiply(cents, cents)})
+        g = t.group_by(["event_type", "grp"]).aggregate(
+            [("n", "sum"), ("s", "sum"), ("ss", "sum")])
+        return g.rename_columns(["event_type", "grp", "n", "s", "ss"])
+
+    agg = final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "grp"], ["n", "s", "ss"], np_=np_)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in b.groupby("event_type", sort=True):
+            g = g.set_index("grp")
+            if 0 not in g.index or 1 not in g.index:
+                continue
+            out = {}
+            for k in (0, 1):
+                n = float(g.loc[k, "n"])
+                mean = (g.loc[k, "s"] / 100.0) / n
+                # sample variance from exact moments:
+                # (ss/1e4 - n*mean^2) / (n-1)
+                var = (g.loc[k, "ss"] / 10000.0 - n * mean * mean) \
+                    / (n - 1.0)
+                out[k] = (n, mean, var)
+            n0, m0, v0 = out[0]
+            n1, m1, v1 = out[1]
+            tstat = (m1 - m0) / np.sqrt(v1 / n1 + v0 / n0)
+            rows.append((et, int(n0), float(round_half_up(m0, 4)),
+                         int(n1), float(round_half_up(m1, 4)),
+                         float(round_half_up(tstat, 4))))
+        return pd.DataFrame(rows, columns=[
+            "event_type", "n_control", "mean_control",
+            "n_treat", "mean_treat", "t_stat"])
+
+    return agg.repartition(1).map_batches(finish, batch_format="pandas",
+                                          batch_size=None)
+
+
+EVENTS_AB_TEST_SQL = """
+WITH g AS (
+  SELECT event_type, CAST(user_id % 2 AS BIGINT) AS grp,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+         CAST(sum(CAST(value AS DECIMAL(18,2))
+                  * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ss
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT event_type, grp, n, s / n AS mean,
+         (ss - n * (s / n) * (s / n)) / (n - 1.0) AS var
+  FROM g)
+SELECT c.event_type,
+       c.n AS n_control, round(c.mean, 4) AS mean_control,
+       t.n AS n_treat,   round(t.mean, 4) AS mean_treat,
+       round((t.mean - c.mean)
+             / sqrt(t.var / t.n + c.var / c.n), 4) AS t_stat
+FROM m c JOIN m t ON c.event_type = t.event_type
+WHERE c.grp = 0 AND t.grp = 1
+"""
+
+
+@_hash_shuffled
+def events_values_except(sf_dir: str, np_: int = 0):
+    """EXCEPT set op over a HIGH-cardinality key: distinct values
+    observed in 'click' events but never in 'view' events — the
+    set-difference twin of events_users_both (INTERSECT; a user-level
+    difference is vacuously empty on this dense corpus).  Keys travel
+    as exact integer cents; per-batch flag partials, one bounded
+    merge, one vectorized mask."""
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array(["click", "view"]))
+        b = batch.filter(keep)
+        is_a = pc.cast(pc.equal(b.column("event_type"), "click"),
+                       pa.int64())
+        t = pa.table({"cents": money_units(b.column("value")),
+                      "n_a": is_a,
+                      "n_b": pc.subtract(pa.scalar(1, pa.int64()), is_a)})
+        g = t.group_by("cents").aggregate(
+            [("n_a", "sum"), ("n_b", "sum")])
+        return g.rename_columns(["cents", "n_a", "n_b"])
+
+    agg = final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["cents"], ["n_a", "n_b"], np_=np_)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        keep = (b["n_a"] > 0) & (b["n_b"] == 0)
+        return pd.DataFrame({"value": b.loc[keep, "cents"] / 100.0})
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+EVENTS_VALUES_EXCEPT_SQL = """
+SELECT DISTINCT value FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT DISTINCT value FROM events WHERE event_type = 'view'
+"""
+
+
+@_hash_shuffled
+def events_weekday_profile(sf_dir: str, np_: int = 0):
+    """Weekday seasonality: per (event type, ISO weekday) event count
+    and exact value sum — one combiner pass over the calendar
+    dimension."""
+    ds = _pq(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # ISO weekday (Mon=1..Sun=7), matching DuckDB isodow():
+        # pyarrow day_of_week counts Mon=0, so +1
+        dow = pc.add(pc.cast(pc.day_of_week(
+            batch.column("ts").cast(pa.timestamp("us"))), pa.int64()),
+            pa.scalar(1, pa.int64()))
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "isodow": dow,
+                      "n": pa.array(np.ones(batch.num_rows, np.int64)),
+                      "cents": money_units(batch.column("value"))})
+        g = t.group_by(["event_type", "isodow"]).aggregate(
+            [("n", "sum"), ("cents", "sum")])
+        return g.rename_columns(["event_type", "isodow", "n_events",
+                                 "cents"])
+
+    agg = final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "isodow"], ["n_events", "cents"], np_=np_)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_value"] = b["cents"] / 100.0
+        return b.drop(columns=["cents"])
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+EVENTS_WEEKDAY_SQL = """
+SELECT event_type, CAST(isodow(ts) AS BIGINT) AS isodow,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def analytics_extra_queries():
     return {
         "events_value_quantile_sketch": events_value_quantile_sketch,
@@ -673,6 +834,9 @@ def analytics_extra_queries():
         "events_anomaly_mad": events_anomaly_mad,
         "orders_yoy_growth": orders_yoy_growth,
         "customer_rfm": customer_rfm,
+        "events_ab_test": events_ab_test,
+        "events_values_except": events_values_except,
+        "events_weekday_profile": events_weekday_profile,
         "events_value_histogram": events_value_histogram,
         "events_lag_delta": events_lag_delta,
         "events_quantiles_by_type": events_quantiles_by_type,
@@ -692,4 +856,7 @@ def analytics_extra_oracle_sql():
         "events_anomaly_mad": EVENTS_ANOMALY_MAD_SQL,
         "orders_yoy_growth": ORDERS_YOY_SQL,
         "customer_rfm": CUSTOMER_RFM_SQL,
+        "events_ab_test": EVENTS_AB_TEST_SQL,
+        "events_values_except": EVENTS_VALUES_EXCEPT_SQL,
+        "events_weekday_profile": EVENTS_WEEKDAY_SQL,
     }
