@@ -89,6 +89,40 @@ def _cheque_queries() -> dict[str, Callable[[str], Any]]:
         return status_histogram(
             build_cheque_pipeline(ensure_fixture(sf_dir), cfg=cfg))
 
+    def cheque_review_queue(sf_dir: str, k: int = 50):
+        """The V3 human-review worklist: lowest-confidence REVIEW-state
+        docs first (IssuerBatchProcessorV3.py:446-473 drives a manual
+        queue exactly like this).  Per-batch local bottom-k before the
+        tiny global sort — no full sort of the corpus."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from cheque_ocr_project_ray.config import DEFAULT_CONFIG
+        from cheque_ocr_project_ray.util import round_half_up
+
+        cfg = DEFAULT_CONFIG.with_overrides(status_ladder="v3",
+                                            threshold=0.85)
+        ds = build_cheque_pipeline(ensure_fixture(sf_dir), cfg=cfg)
+
+        def local_bottomk(batch: pa.Table) -> pa.Table:
+            keep = pc.is_in(batch.column("status"),
+                            value_set=pa.array(["REVIEW",
+                                                "REVIEW-SHORT"]))
+            b = batch.filter(keep)
+            conf = pa.array(round_half_up(
+                b.column("issuer_conf").to_numpy(zero_copy_only=False),
+                4), pa.float64())
+            t = pa.table({"doc_id": b.column("doc_id"),
+                          "issuer": b.column("issuer"),
+                          "issuer_conf": conf,
+                          "status": b.column("status")})
+            idx = pc.select_k_unstable(
+                t, k, [("issuer_conf", "ascending"),
+                       ("doc_id", "ascending")])
+            return t.take(idx)
+
+        return ds.map_batches(local_bottomk, batch_format="pyarrow") \
+            .sort(["issuer_conf", "doc_id"]).limit(k)
+
     def cheque_spelling_fix(sf_dir: str):
         """Post-extraction issuer spelling cleanup (M22,
         dbf_processor.py:117-128 applied to every extracted issuer)."""
@@ -171,6 +205,7 @@ def _cheque_queries() -> dict[str, Callable[[str], Any]]:
         "cheque_spans_json": cheque_spans_json,
         "cheque_status_histogram": cheque_status_histogram,
         "cheque_status_histogram_v3": cheque_status_histogram_v3,
+        "cheque_review_queue": cheque_review_queue,
         "cheque_spelling_fix": cheque_spelling_fix,
         "cheque_final_join": cheque_final_join,
         "cheque_checkpoint_rollup": cheque_checkpoint_rollup,
@@ -255,6 +290,15 @@ FROM read_parquet('{exp}') GROUP BY status_v3
         "cheque_spelling_fix": f"""
 SELECT doc_id, issuer, issuer_fixed, issuer_conf
 FROM read_parquet('{exp}')
+""",
+        "cheque_review_queue": f"""
+SELECT doc_id, issuer_v3 AS issuer,
+       round(issuer_conf_v3, 4) AS issuer_conf,
+       status_v3 AS status
+FROM read_parquet('{exp}')
+WHERE status_v3 IN ('REVIEW', 'REVIEW-SHORT')
+ORDER BY round(issuer_conf_v3, 4), doc_id
+LIMIT 50
 """,
         "cheque_run_summary": f"""
 SELECT count(*) AS processed,

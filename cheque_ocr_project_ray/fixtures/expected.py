@@ -48,7 +48,7 @@ from cheque_ocr_project_ray.oracle import (
 )
 from cheque_ocr_project_ray.state.drawer_dict import build_drawer_dict
 
-EXPECTED_VERSION = 1
+EXPECTED_VERSION = 2
 # Must mirror the driver-query configs: cheque_* queries run
 # DEFAULT_CONFIG (v1, threshold .90); the v3 variant runs .85
 # (IssuerBatchProcessorV3.py:519 default).
@@ -72,6 +72,8 @@ EXPECTED_SCHEMA = pa.schema([
     ("media_bytes", pa.int64()),
     ("spans_json", pa.string()),
     ("status_v3", pa.string()),
+    ("issuer_v3", pa.string()),
+    ("issuer_conf_v3", pa.float64()),
     ("issuer_fixed", pa.string()),
 ])
 
@@ -192,6 +194,8 @@ def generate_expected(fixture_dir: str | Path) -> Path:
                 "media_bytes": doc["media_bytes"],
                 "spans_json": spans_to_json(fields_to_spans(f1)),
                 "status_v3": f3["status"],
+                "issuer_v3": f3["issuer"],
+                "issuer_conf_v3": f3["issuer_conf"],
                 "issuer_fixed": correct_spelling(f1["issuer"]),
             })
 
