@@ -706,6 +706,170 @@ GROUP BY p_type
 """
 
 
+# --- Q6: forecasting revenue change (pure filter + scalar aggregate) --
+@_hash_shuffled
+def q6_forecast_revenue(sf_dir: str, np_: int = 0):
+    """TPC-H Q6: one-table predicate (ship year, discount band,
+    quantity cap) and a single exact revenue sum — the minimal
+    filter→aggregate shape; no join, no per-key shuffle at all."""
+    lo, hi = _ts_us(1996, 1, 1), _ts_us(1997, 1, 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = _ts_col_us(batch.column("l_shipdate"))
+        disc_u = money_units(batch.column("l_discount"))
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(us, pa.scalar(lo)),
+                    pc.less(us, pa.scalar(hi))),
+            pc.and_(
+                pc.and_(pc.greater_equal(disc_u,
+                                         pa.scalar(5, pa.int64())),
+                        pc.less_equal(disc_u, pa.scalar(7, pa.int64()))),
+                pc.less(batch.column("l_quantity"), pa.scalar(24.0))))
+        b = batch.filter(keep)
+        rev = pc.multiply(money_units(b.column("l_extendedprice")),
+                          money_units(b.column("l_discount")))
+        return pa.table({
+            "k": pa.array([0], pa.int64()),
+            "du": pa.array([pc.sum(rev).as_py() or 0], pa.int64()),
+            "n_items": pa.array([b.num_rows], pa.int64())})
+
+    agg = final_merge_sums(
+        _pq(sf_dir, "lineitem",
+            ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["k"], ["du", "n_items"], np_=np_)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"revenue": b["du"] / 10000.0,
+                             "n_items": b["n_items"]})
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+Q6_FORECAST_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- Q8: national market share within one region ----------------------
+Q8_NATION = "NATION_2"
+Q8_REGION = "ASIA"
+
+
+@_hash_shuffled
+def q8_market_share(sf_dir: str, np_: int = 0):
+    """TPC-H Q8: the share of one supplier nation's revenue in a
+    region's customer market, by order year.  Orders (filtered to the
+    region's customers via a broadcast key set) hash-join lineitem;
+    the supplier-nation flag is a broadcast lookup; the share is a
+    ratio of two exact integer sums per year."""
+    nation = pq.read_table(str(Path(sf_dir) / "nation.parquet"))
+    region = pq.read_table(str(Path(sf_dir) / "region.parquet"))
+    rkey = region.filter(pc.equal(region.column("r_name"), Q8_REGION)) \
+        .column("r_regionkey")
+    nat = nation.filter(pc.is_in(nation.column("n_regionkey"),
+                                 value_set=rkey))
+    customer = pq.read_table(str(Path(sf_dir) / "customer.parquet"),
+                             columns=["c_custkey", "c_nationkey"])
+    cust_keys = customer.filter(pc.is_in(
+        customer.column("c_nationkey"),
+        value_set=nat.column("n_nationkey"))).column("c_custkey")
+    supplier = pq.read_table(str(Path(sf_dir) / "supplier.parquet"),
+                             columns=["s_suppkey", "s_nationkey"])
+    target_nk = nation.filter(pc.equal(nation.column("n_name"),
+                                       Q8_NATION)).column("n_nationkey")
+    dims_ref = ray.put((cust_keys.combine_chunks(),
+                        supplier.column("s_suppkey").combine_chunks(),
+                        pc.is_in(supplier.column("s_nationkey"),
+                                 value_set=target_nk).combine_chunks()))
+
+    class OrderFilter:
+        def __init__(self):
+            self.ckeys, _, _ = ray.get(dims_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            b = batch.filter(pc.is_in(batch.column("o_custkey"),
+                                      value_set=self.ckeys))
+            return pa.table({
+                "l_orderkey": b.column("o_orderkey"),
+                "o_year": pc.cast(pc.year(b.column("o_orderdate")),
+                                  pa.int64())})
+
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(OrderFilter, batch_format="pyarrow",
+                     concurrency=(1, map_pool()))
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    joined = hash_join(li, orders, on="l_orderkey",
+                       num_partitions=np_ or None)
+
+    class SharePartial:
+        def __init__(self):
+            _, self.skeys, self.is_target = ray.get(dims_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            si = pc.index_in(batch.column("l_suppkey"),
+                             value_set=self.skeys)
+            target = pc.fill_null(self.is_target.take(si), False)
+            du = _du(batch)
+            t = pa.table({
+                "o_year": batch.column("o_year"),
+                "nation_du": pc.if_else(target, du,
+                                        pa.scalar(0, pa.int64())),
+                "total_du": du})
+            g = t.group_by("o_year").aggregate(
+                [("nation_du", "sum"), ("total_du", "sum")])
+            return g.rename_columns(["o_year", "nation_du", "total_du"])
+
+    agg = final_merge_sums(
+        joined.map_batches(SharePartial, batch_format="pyarrow",
+                           concurrency=(1, map_pool())),
+        ["o_year"], ["nation_du", "total_du"], np_=np_)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        nat_rev = b["nation_du"] / 10000.0
+        tot_rev = b["total_du"] / 10000.0
+        return pd.DataFrame({
+            "o_year": b["o_year"],
+            "mkt_share": round_half_up(nat_rev / tot_rev, 6),
+            "total_revenue": tot_rev})
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+Q8_MARKET_SHARE_SQL = f"""
+SELECT year(o_orderdate) AS o_year,
+       round(CAST(sum(CASE WHEN sn.n_name = '{Q8_NATION}'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                  ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE), 6) AS mkt_share,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS total_revenue
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+JOIN region   ON r_regionkey = cn.n_regionkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+WHERE r_name = '{Q8_REGION}'
+GROUP BY o_year
+"""
+
+
 def tpch_extra_queries():
     return {
         "q4_late_orders": q4_late_orders,
@@ -716,6 +880,8 @@ def tpch_extra_queries():
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q21_sole_late_supplier": q21_sole_late_supplier,
         "suppliers_per_parttype": suppliers_per_parttype,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q8_market_share": q8_market_share,
     }
 
 
@@ -729,4 +895,6 @@ def tpch_extra_oracle_sql():
         "q19_disjunctive_revenue": Q19_DISJUNCTIVE_SQL,
         "q21_sole_late_supplier": Q21_SOLE_LATE_SQL,
         "suppliers_per_parttype": SUPPLIERS_PER_PARTTYPE_SQL,
+        "q6_forecast_revenue": Q6_FORECAST_SQL,
+        "q8_market_share": Q8_MARKET_SHARE_SQL,
     }
