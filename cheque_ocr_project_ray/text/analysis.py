@@ -437,6 +437,43 @@ def unigram_logprob(batch: pa.Table, vocab: np.ndarray,
     })
 
 
+def bigram_logprob(batch: pa.Table, bvocab: np.ndarray,
+                   bscore: np.ndarray) -> pa.Table:
+    """Mean add-one-smoothed bigram log-probability per doc against a
+    broadcast corpus bigram LM (``bvocab`` sorted bigram strings,
+    ``bscore[i] = ln((c(w1,w2)+1)/(c(w1)+V))``).  The LM is built from
+    the same corpus, so every doc bigram resolves; docs with <2 tokens
+    have no bigrams and are dropped (both engines agree)."""
+    n = len(batch)
+    _, flat, parent = _prep(batch)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_bigrams": pa.array([], pa.int64()),
+                      "logprob": pa.array([], pa.float64())})
+    if len(flat) < 2:
+        return empty
+    bg = pc.binary_join_element_wise(
+        flat.slice(0, len(flat) - 1), flat.slice(1), " ")
+    keep = parent[:-1] == parent[1:]
+    bg = bg.filter(pa.array(keep))
+    if len(bg) == 0:
+        return empty
+    bparent = parent[:-1][keep]
+    fl = np.asarray(bg.to_numpy(zero_copy_only=False),
+                    dtype=bvocab.dtype)
+    pos = np.searchsorted(bvocab, fl)
+    sums = np.bincount(bparent, weights=bscore[pos], minlength=n)
+    counts = np.bincount(bparent, minlength=n)
+    m = counts > 0
+    return pa.table({
+        "doc_id": pa.array(ids[m], pa.int64()),
+        "n_bigrams": pa.array(counts[m], pa.int64()),
+        "logprob": pa.array(round_half_up(sums[m] / counts[m], 6)),
+    })
+
+
 def train_split(batch: pa.Table) -> pa.Table:
     from cheque_ocr_project_ray.text.dedup import _stable64
     ids = batch.column("doc_id").to_pylist()

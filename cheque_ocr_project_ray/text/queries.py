@@ -1161,6 +1161,86 @@ SOURCE_BUDGET_SQL = (
 )
 
 
+def doc_bigram_logprob(sf_dir: str):
+    """Mean add-one-smoothed BIGRAM log-likelihood per doc under the
+    corpus's own bigram LM — the next rung above unigram LM filtering
+    (sequence-aware perplexity, still trained on the corpus itself).
+    Pass 1 reduces to the bounded bigram+unigram vocabularies through
+    the combiner; the per-bigram smoothed scores broadcast once;
+    pass 2 is a stateless lookup + bincount mean."""
+    import numpy as np
+    import ray
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_sums, map_pool)
+
+    docs = _docs(sf_dir)
+    uni = collect_table(final_merge_sums(
+        docs.map_batches(analysis.token_counts, batch_format="pyarrow"),
+        ["tok"], ["n"]).materialize())
+    big = collect_table(final_merge_sums(
+        docs.map_batches(analysis.bigram_counts, batch_format="pyarrow"),
+        ["bigram"], ["n"]).materialize())
+    import pyarrow as pa
+    if uni is None or big is None:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_bigrams": pa.array([], pa.int64()),
+            "logprob": pa.array([], pa.float64())}))
+    utok = np.array(uni.column("tok").to_pylist(), dtype=object)
+    ucnt = uni.column("n").to_numpy()
+    uorder = np.argsort(utok)
+    utok, ucnt = utok[uorder], ucnt[uorder]
+    vsize = float(len(utok))
+    bg = np.array(big.column("bigram").to_pylist(), dtype=object)
+    bcnt = big.column("n").to_numpy()
+    border = np.argsort(bg)
+    bg, bcnt = bg[border], bcnt[border]
+    w1 = np.array([b.split(" ", 1)[0] for b in bg], dtype=object)
+    c1 = ucnt[np.searchsorted(utok, w1)]
+    # ln((c2 + 1) / (c1 + V)) — op order mirrors the SQL expression
+    score = np.log((bcnt + 1) / (c1 + vsize))
+    state_ref = ray.put((bg, score))
+
+    class Score:
+        def __init__(self):
+            self.bvocab, self.bscore = ray.get(state_ref)
+
+        def __call__(self, batch):
+            return analysis.bigram_logprob(batch, self.bvocab,
+                                           self.bscore)
+
+    return docs.map_batches(Score, batch_format="pyarrow",
+                            concurrency=(1, map_pool()))
+
+
+BIGRAM_LOGPROB_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), w AS (
+  SELECT doc_id, unnest(toks) AS tok FROM t
+), uc AS (
+  SELECT tok, count(*) AS c1 FROM w GROUP BY tok
+), v AS (
+  SELECT CAST(count(*) AS DOUBLE) AS vsize FROM uc
+), b AS (
+  SELECT doc_id, unnest(list_transform(toks[1:len(toks)-1],
+                                       (x, i) -> x || ' ' || toks[i + 1]))
+             AS bigram
+  FROM t
+), bc AS (
+  SELECT bigram, count(*) AS c2 FROM b GROUP BY bigram
+), s AS (
+  SELECT doc_id, ln((c2 + 1) / (c1 + vsize)) AS sc
+  FROM b
+  JOIN bc USING (bigram)
+  JOIN uc ON uc.tok = split_part(b.bigram, ' ', 1), v
+)
+SELECT doc_id, count(*) AS n_bigrams, round(avg(sc), 6) AS logprob
+FROM s GROUP BY doc_id
+"""
+
+
 def doc_source_dup_rate(sf_dir: str):
     """Per-source exact-duplicate contamination rate — the dedup
     QA report a curation run ends with.  Pass 1 reduces to
@@ -1286,6 +1366,7 @@ def text_queries() -> dict[str, Callable]:
         "doc_keyword_search": doc_keyword_search,
         "source_token_budget": source_token_budget,
         "doc_source_dup_rate": doc_source_dup_rate,
+        "doc_bigram_logprob": doc_bigram_logprob,
     }
 
 
@@ -1324,4 +1405,5 @@ def text_oracle_sql() -> dict[str, str]:
         "doc_keyword_search": KEYWORD_SEARCH_SQL,
         "source_token_budget": SOURCE_BUDGET_SQL,
         "doc_source_dup_rate": SOURCE_DUP_RATE_SQL,
+        "doc_bigram_logprob": BIGRAM_LOGPROB_SQL,
     }
