@@ -825,8 +825,69 @@ GROUP BY 1, 2
 """
 
 
+@_hash_shuffled
+def orders_pareto(sf_dir: str, np_: int = 0):
+    """Pareto concentration: the smallest set of top customers whose
+    revenue covers ≥50% of the total, with each one's cumulative
+    share.  Per-customer exact cents reduce through the combiner;
+    the sort+cumsum folds over the (customer-bounded) aggregate on
+    the driver.  The coverage cut compares INTEGERS
+    ((cum − own) × 2 < total), so the kept set is bit-deterministic
+    and identical to the DECIMAL oracle's."""
+    from cheque_ocr_project_ray.util import collect_table
+    import ray.data as _rd
+
+    ds = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"c_custkey": batch.column("o_custkey"),
+                      "cents": money_units(batch.column("o_totalprice"))})
+        g = t.group_by("c_custkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["c_custkey", "cents"])
+
+    agg = collect_table(final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["c_custkey"], ["cents"], np_=np_).materialize())
+    empty = pa.table({"c_custkey": pa.array([], pa.int64()),
+                      "revenue": pa.array([], pa.float64()),
+                      "cum_share": pa.array([], pa.float64())})
+    if agg is None or agg.num_rows == 0:
+        return _rd.from_arrow(empty)
+    cust = agg.column("c_custkey").to_numpy(zero_copy_only=False)
+    cents = agg.column("cents").to_numpy(zero_copy_only=False)
+    order = np.lexsort((cust, -cents))
+    cust, cents = cust[order], cents[order]
+    cum = np.cumsum(cents)
+    total = int(cum[-1])
+    keep = (cum - cents) * 2 < total
+    share = round_half_up((cum[keep] / 100.0) / (total / 100.0), 6)
+    return _rd.from_arrow(pa.table({
+        "c_custkey": pa.array(cust[keep], pa.int64()),
+        "revenue": pa.array(cents[keep] / 100.0, pa.float64()),
+        "cum_share": pa.array(share, pa.float64())}))
+
+
+ORDERS_PARETO_SQL = """
+WITH c AS (
+  SELECT o_custkey AS c_custkey,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1),
+t AS (SELECT sum(rev) AS total FROM c),
+w AS (
+  SELECT c_custkey, rev,
+         sum(rev) OVER (ORDER BY rev DESC, c_custkey) AS cum
+  FROM c)
+SELECT c_custkey, CAST(rev AS DOUBLE) AS revenue,
+       round(CAST(cum AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+           AS cum_share
+FROM w, t
+WHERE (cum - rev) * 2 < t.total
+"""
+
+
 def analytics_extra_queries():
     return {
+        "orders_pareto": orders_pareto,
         "events_value_quantile_sketch": events_value_quantile_sketch,
         "orders_cube": orders_cube,
         "lineitem_weighted_discount": lineitem_weighted_discount,
@@ -859,4 +920,5 @@ def analytics_extra_oracle_sql():
         "events_ab_test": EVENTS_AB_TEST_SQL,
         "events_values_except": EVENTS_VALUES_EXCEPT_SQL,
         "events_weekday_profile": EVENTS_WEEKDAY_SQL,
+        "orders_pareto": ORDERS_PARETO_SQL,
     }

@@ -1161,6 +1161,144 @@ SOURCE_BUDGET_SQL = (
 )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def doc_bm25_topk(sf_dir: str):
+    """BM25 ranked retrieval for the fixed keyword set — the scoring
+    rung above boolean search (doc_keyword_search) on the same
+    tokenizer.  Pass 1 reduces to per-term document frequencies and
+    the mean doc length (combiner partials, bounded merge); the tiny
+    (df, idf, avgdl) state broadcasts; pass 2 scores per batch
+    (one is_in + bincounts), keeps a local top-k, and a tiny global
+    sort finishes.  Every float op mirrors the SQL expression order;
+    scores round to 6dp with doc_id tie-breaks."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_sums, map_pool)
+
+    docs = _docs(sf_dir)
+    terms = list(KEYWORD_TERMS)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        toks = analysis._token_lists(batch.column("text"))
+        flat = pc.list_flatten(toks).combine_chunks()
+        n = batch.num_rows
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        parent = np.repeat(np.arange(n), lens)
+        rows = [("\x00total", int(lens.sum())), ("\x00docs", n)]
+        idx = pc.index_in(flat, value_set=pa.array(terms))
+        valid = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        ti = pc.fill_null(idx, -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        for t_i, term in enumerate(terms):
+            hits = np.bincount(parent[valid & (ti == t_i)], minlength=n)
+            rows.append((term, int(np.count_nonzero(hits))))
+        return pa.table({"key": pa.array([r[0] for r in rows]),
+                         "n": pa.array([r[1] for r in rows],
+                                       pa.int64())})
+
+    st = collect_table(final_merge_sums(
+        docs.map_batches(stats_partial, batch_format="pyarrow"),
+        ["key"], ["n"]).materialize())
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+    if st is None:
+        import ray.data as _rd
+        return _rd.from_arrow(empty)
+    stats = dict(zip(st.column("key").to_pylist(),
+                     st.column("n").to_pylist()))
+    n_docs = float(stats["\x00docs"])
+    avgdl = stats["\x00total"] / n_docs
+    # BM25 idf with the +1 floor (Robertson-Sparck-Jones, as in Lucene)
+    idf = np.array([np.log(1.0 + (n_docs - stats.get(t, 0) + 0.5)
+                           / (stats.get(t, 0) + 0.5))
+                    for t in terms])
+    state_ref = ray.put((np.array(terms, dtype=object), idf, avgdl))
+
+    class Score:
+        def __init__(self):
+            self.terms, self.idf, self.avgdl = ray.get(state_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            toks = analysis._token_lists(batch.column("text"))
+            flat = pc.list_flatten(toks).combine_chunks()
+            n = batch.num_rows
+            lens = pc.list_value_length(toks).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            parent = np.repeat(np.arange(n), lens)
+            idx = pc.index_in(flat, value_set=pa.array(list(self.terms)))
+            valid = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+            ti = pc.fill_null(idx, -1).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            score = np.zeros(n, np.float64)
+            dl = lens.astype(np.float64)
+            norm = BM25_K1 * (1.0 - BM25_B + BM25_B * (dl / self.avgdl))
+            for t_i in range(len(self.terms)):
+                tf = np.bincount(parent[valid & (ti == t_i)],
+                                 minlength=n).astype(np.float64)
+                score += self.idf[t_i] * (tf * (BM25_K1 + 1.0)) \
+                    / (tf + norm)
+            from cheque_ocr_project_ray.util import round_half_up
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            keep = score > 0
+            t = pa.table({"doc_id": pa.array(ids[keep], pa.int64()),
+                          "score": pa.array(round_half_up(score[keep], 6),
+                                            pa.float64())})
+            k = pc.select_k_unstable(
+                t, BM25_TOPK, [("score", "descending"),
+                               ("doc_id", "ascending")])
+            return t.take(k)
+
+    return docs.map_batches(Score, batch_format="pyarrow",
+                            concurrency=(1, map_pool())) \
+        .sort(["score", "doc_id"], descending=[True, False]) \
+        .limit(BM25_TOPK)
+
+
+BM25_TOPK_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS ws,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS dl
+  FROM documents
+), tok AS (
+  SELECT doc_id, dl, tt.w AS term FROM t, LATERAL unnest(ws) AS tt(w)
+  WHERE tt.w IN ({", ".join(f"'{x}'" for x in KEYWORD_TERMS)})
+), tf AS (
+  SELECT doc_id, any_value(dl) AS dl, term, count(*) AS tf
+  FROM tok GROUP BY doc_id, term
+), stats AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n_docs,
+         (SELECT sum(len(regexp_split_to_array(trim(text), '\\s+')))
+          / CAST(count(*) AS DOUBLE) FROM documents) AS avgdl
+), df AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * ({BM25_K1}::DOUBLE + 1.0))
+             / (tf.tf + {BM25_K1}::DOUBLE * (1.0 - {BM25_B}::DOUBLE
+                + {BM25_B}::DOUBLE * (tf.dl / stats.avgdl)))) AS score
+  FROM tf JOIN df USING (term), stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY round(score, 6) DESC, doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
 def doc_bigram_logprob(sf_dir: str):
     """Mean add-one-smoothed BIGRAM log-likelihood per doc under the
     corpus's own bigram LM — the next rung above unigram LM filtering
@@ -1367,6 +1505,7 @@ def text_queries() -> dict[str, Callable]:
         "source_token_budget": source_token_budget,
         "doc_source_dup_rate": doc_source_dup_rate,
         "doc_bigram_logprob": doc_bigram_logprob,
+        "doc_bm25_topk": doc_bm25_topk,
     }
 
 
@@ -1406,4 +1545,5 @@ def text_oracle_sql() -> dict[str, str]:
         "source_token_budget": SOURCE_BUDGET_SQL,
         "doc_source_dup_rate": SOURCE_DUP_RATE_SQL,
         "doc_bigram_logprob": BIGRAM_LOGPROB_SQL,
+        "doc_bm25_topk": BM25_TOPK_SQL,
     }
