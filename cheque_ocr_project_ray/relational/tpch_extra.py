@@ -870,6 +870,85 @@ GROUP BY o_year
 """
 
 
+# --- market-basket co-occurrence (distributed self-join) --------------
+@_hash_shuffled
+def part_type_basket(sf_dir: str, np_: int = 0):
+    """Part types bought together: distinct (order, type) pairs
+    SELF-JOIN on the order key → unordered type pairs with
+    co-occurrence counts and support.  The self-join is the same
+    partitioned hash exchange as any large-large join; the pair
+    matrix is |types|² — driver-tiny."""
+    part = pq.read_table(str(Path(sf_dir) / "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    part_ref = ray.put((part.column("p_partkey").combine_chunks(),
+                        part.column("p_type").combine_chunks()))
+
+    class OrderTypes:
+        def __init__(self):
+            self.pkeys, self.ptype = ray.get(part_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pi = pc.index_in(batch.column("l_partkey"),
+                             value_set=self.pkeys)
+            t = pa.table({"l_orderkey": batch.column("l_orderkey"),
+                          "p_type": self.ptype.take(pi),
+                          "one": pa.array(np.ones(batch.num_rows,
+                                                  np.int64))})
+            g = t.group_by(["l_orderkey", "p_type"]).aggregate(
+                [("one", "min")])
+            return g.rename_columns(["l_orderkey", "p_type", "one"])
+
+    pairs_src = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]) \
+        .map_batches(OrderTypes, batch_format="pyarrow",
+                     concurrency=(1, map_pool()))
+    distinct = final_merge_min(pairs_src, ["l_orderkey", "p_type"],
+                               ["one"], np_=np_).drop_columns(["one"])
+    right = distinct.map_batches(
+        lambda b: b.rename_columns(["l_orderkey", "type_b"]),
+        batch_format="pyarrow")
+    joined = hash_join(distinct, right, on="l_orderkey",
+                       num_partitions=np_ or None)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch.column("p_type"), batch.column("type_b"))
+        b = batch.filter(keep)
+        t = pa.table({"type_a": b.column("p_type"),
+                      "type_b": b.column("type_b"),
+                      "n_orders": pa.array(np.ones(b.num_rows,
+                                                   np.int64))})
+        g = t.group_by(["type_a", "type_b"]).aggregate(
+            [("n_orders", "sum")])
+        return g.rename_columns(["type_a", "type_b", "n_orders"])
+
+    n_total = pq.ParquetFile(
+        str(Path(sf_dir) / "orders.parquet")).metadata.num_rows
+
+    agg = final_merge_sums(
+        joined.map_batches(pair_partial, batch_format="pyarrow"),
+        ["type_a", "type_b"], ["n_orders"], np_=np_)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["support"] = round_half_up(
+            b["n_orders"].astype(np.float64) / n_total, 6)
+        return b
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+PART_TYPE_BASKET_SQL = """
+WITH ot AS (
+  SELECT DISTINCT l_orderkey, p_type
+  FROM lineitem JOIN part ON p_partkey = l_partkey)
+SELECT a.p_type AS type_a, b.p_type AS type_b,
+       count(*) AS n_orders,
+       round(CAST(count(*) AS DOUBLE)
+             / (SELECT count(*) FROM orders), 6) AS support
+FROM ot a JOIN ot b
+  ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+GROUP BY 1, 2
+"""
+
+
 def tpch_extra_queries():
     return {
         "q4_late_orders": q4_late_orders,
@@ -882,6 +961,7 @@ def tpch_extra_queries():
         "suppliers_per_parttype": suppliers_per_parttype,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q8_market_share": q8_market_share,
+        "part_type_basket": part_type_basket,
     }
 
 
@@ -897,4 +977,5 @@ def tpch_extra_oracle_sql():
         "suppliers_per_parttype": SUPPLIERS_PER_PARTTYPE_SQL,
         "q6_forecast_revenue": Q6_FORECAST_SQL,
         "q8_market_share": Q8_MARKET_SHARE_SQL,
+        "part_type_basket": PART_TYPE_BASKET_SQL,
     }
