@@ -885,9 +885,79 @@ WHERE (cum - rev) * 2 < t.total
 """
 
 
+KS_TYPE_A, KS_TYPE_B = "click", "view"
+
+
+@_hash_shuffled
+def events_ks_drift(sf_dir: str, np_: int = 0):
+    """Two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of two event types — the distribution-drift monitor.
+    Per-batch partials reduce to (value, count_a, count_b); the ECDF
+    cumsum + max-gap folds over the (value-bounded) merged grid on
+    the driver.  Counts stay integers until the final two divisions,
+    so the statistic is bit-deterministic."""
+    from cheque_ocr_project_ray.util import collect_table
+
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array([KS_TYPE_A, KS_TYPE_B]))
+        b = batch.filter(keep)
+        is_a = pc.cast(pc.equal(b.column("event_type"), KS_TYPE_A),
+                       pa.int64())
+        t = pa.table({"cents": money_units(b.column("value")),
+                      "na": is_a,
+                      "nb": pc.subtract(pa.scalar(1, pa.int64()), is_a)})
+        g = t.group_by("cents").aggregate([("na", "sum"), ("nb", "sum")])
+        return g.rename_columns(["cents", "na", "nb"])
+
+    t = collect_table(final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["cents"], ["na", "nb"], np_=np_).materialize())
+    if t is None or t.num_rows == 0:
+        return pd.DataFrame({"ks": pd.Series([], dtype="float64"),
+                             "n_a": pd.Series([], dtype="int64"),
+                             "n_b": pd.Series([], dtype="int64")})
+    cents = t.column("cents").to_numpy(zero_copy_only=False)
+    na = t.column("na").to_numpy(zero_copy_only=False)
+    nb = t.column("nb").to_numpy(zero_copy_only=False)
+    order = np.argsort(cents)
+    ca, cb = np.cumsum(na[order]), np.cumsum(nb[order])
+    ta, tb = int(ca[-1]), int(cb[-1])
+    ks = np.max(np.abs(ca / float(ta) - cb / float(tb)))
+    return pd.DataFrame({"ks": [float(round_half_up(ks, 6))],
+                         "n_a": [ta], "n_b": [tb]})
+
+
+EVENTS_KS_SQL = f"""
+WITH e2 AS (
+  SELECT value, event_type FROM events
+  WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')),
+g AS (
+  SELECT value,
+         sum(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END)
+             AS na,
+         sum(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END)
+             AS nb
+  FROM e2 GROUP BY value),
+c AS (
+  SELECT sum(na) OVER (ORDER BY value) AS ca,
+         sum(nb) OVER (ORDER BY value) AS cb
+  FROM g),
+t AS (SELECT CAST(sum(na) AS DOUBLE) AS ta,
+             CAST(sum(nb) AS DOUBLE) AS tb FROM g)
+SELECT round(max(abs(ca / t.ta - cb / t.tb)), 6) AS ks,
+       CAST(t.ta AS BIGINT) AS n_a, CAST(t.tb AS BIGINT) AS n_b
+FROM c, t
+GROUP BY t.ta, t.tb
+"""
+
+
 def analytics_extra_queries():
     return {
         "orders_pareto": orders_pareto,
+        "events_ks_drift": events_ks_drift,
         "events_value_quantile_sketch": events_value_quantile_sketch,
         "orders_cube": orders_cube,
         "lineitem_weighted_discount": lineitem_weighted_discount,
@@ -921,4 +991,5 @@ def analytics_extra_oracle_sql():
         "events_values_except": EVENTS_VALUES_EXCEPT_SQL,
         "events_weekday_profile": EVENTS_WEEKDAY_SQL,
         "orders_pareto": ORDERS_PARETO_SQL,
+        "events_ks_drift": EVENTS_KS_SQL,
     }
