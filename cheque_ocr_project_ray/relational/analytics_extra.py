@@ -954,10 +954,72 @@ GROUP BY t.ta, t.tb
 """
 
 
+@_hash_shuffled
+def events_user_entropy(sf_dir: str, np_: int = 0):
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity signal.  Per-(user, type) counts reduce
+    through the combiner; the entropy fold runs vectorized over the
+    (user×type-bounded) merged table on the driver (distributed
+    groupby is the unbounded fallback)."""
+    from cheque_ocr_project_ray.util import collect_table
+    import ray.data as _rd
+
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "event_type": batch.column("event_type"),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by(["user_id", "event_type"]).aggregate(
+            [("n", "sum")])
+        return g.rename_columns(["user_id", "event_type", "n"])
+
+    t = collect_table(final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id", "event_type"], ["n"], np_=np_).materialize())
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "n_events": pa.array([], pa.int64()),
+                      "n_types": pa.array([], pa.int64()),
+                      "entropy": pa.array([], pa.float64())})
+    if t is None or t.num_rows == 0:
+        return _rd.from_arrow(empty)
+    uid = t.column("user_id").to_numpy(zero_copy_only=False)
+    n = t.column("n").to_numpy(zero_copy_only=False)
+    users, codes = np.unique(uid, return_inverse=True)
+    totals = np.bincount(codes, weights=n.astype(np.float64))
+    n_types = np.bincount(codes)
+    p = n / totals[codes]
+    terms = p * np.log(p)
+    ent = -np.bincount(codes, weights=terms)
+    return _rd.from_arrow(pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "n_events": pa.array(totals.astype(np.int64), pa.int64()),
+        "n_types": pa.array(n_types.astype(np.int64), pa.int64()),
+        "entropy": pa.array(round_half_up(ent, 6), pa.float64())}))
+
+
+EVENTS_ENTROPY_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2),
+u AS (
+  SELECT user_id, CAST(sum(n) AS DOUBLE) AS total,
+         count(*) AS n_types
+  FROM c GROUP BY 1)
+SELECT c.user_id,
+       CAST(u.total AS BIGINT) AS n_events,
+       u.n_types,
+       round(-sum((c.n / u.total) * ln(c.n / u.total)), 6) AS entropy
+FROM c JOIN u USING (user_id)
+GROUP BY c.user_id, u.total, u.n_types
+"""
+
+
 def analytics_extra_queries():
     return {
         "orders_pareto": orders_pareto,
         "events_ks_drift": events_ks_drift,
+        "events_user_entropy": events_user_entropy,
         "events_value_quantile_sketch": events_value_quantile_sketch,
         "orders_cube": orders_cube,
         "lineitem_weighted_discount": lineitem_weighted_discount,
@@ -992,4 +1054,5 @@ def analytics_extra_oracle_sql():
         "events_weekday_profile": EVENTS_WEEKDAY_SQL,
         "orders_pareto": ORDERS_PARETO_SQL,
         "events_ks_drift": EVENTS_KS_SQL,
+        "events_user_entropy": EVENTS_ENTROPY_SQL,
     }
