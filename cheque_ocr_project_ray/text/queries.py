@@ -1379,6 +1379,106 @@ FROM s GROUP BY doc_id
 """
 
 
+JSD_SRC_A, JSD_SRC_B = "src0", "src1"
+
+
+def doc_source_jsd(sf_dir: str):
+    """Jensen-Shannon divergence between two sources' unigram
+    distributions — the corpus-mix drift monitor (are two slices of
+    the corpus statistically the same text?).  Per-batch (token,
+    count_a, count_b) partials, one bounded vocabulary merge, then a
+    vectorized driver fold; counts stay integers until the final
+    probability divisions."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_sums,
+                                             round_half_up,
+                                             strip_schema_metadata)
+
+    ds = ray.data.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"),
+        columns=["source", "text"]) \
+        .map_batches(strip_schema_metadata, batch_format="pyarrow",
+                     zero_copy_batch=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("source"),
+                        value_set=pa.array([JSD_SRC_A, JSD_SRC_B]))
+        b = batch.filter(keep)
+        if b.num_rows == 0:
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "na": pa.array([], pa.int64()),
+                             "nb": pa.array([], pa.int64())})
+        toks = analysis._token_lists(b.column("text"))
+        flat = pc.list_flatten(toks).combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        is_a = pc.equal(b.column("source"), JSD_SRC_A).to_numpy(
+            zero_copy_only=False)
+        row_a = np.repeat(is_a.astype(np.int64), lens)
+        t = pa.table({"tok": flat,
+                      "na": pa.array(row_a, pa.int64()),
+                      "nb": pa.array(1 - row_a, pa.int64())})
+        g = t.group_by("tok").aggregate([("na", "sum"), ("nb", "sum")])
+        return g.rename_columns(["tok", "na", "nb"])
+
+    t = collect_table(final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["tok"], ["na", "nb"]).materialize())
+    if t is None or t.num_rows == 0:
+        return pd.DataFrame({"jsd": pd.Series([], dtype="float64"),
+                             "n_tokens_a": pd.Series([], dtype="int64"),
+                             "n_tokens_b": pd.Series([], dtype="int64")})
+    na = t.column("na").to_numpy(zero_copy_only=False).astype(np.float64)
+    nb = t.column("nb").to_numpy(zero_copy_only=False).astype(np.float64)
+    ta, tb = na.sum(), nb.sum()
+    pa_ = na / ta
+    pb_ = nb / tb
+    m = (pa_ + pb_) / 2.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        kl_a = np.where(pa_ > 0, pa_ * np.log(pa_ / m), 0.0)
+        kl_b = np.where(pb_ > 0, pb_ * np.log(pb_ / m), 0.0)
+    jsd = 0.5 * kl_a.sum() + 0.5 * kl_b.sum()
+    return pd.DataFrame({"jsd": [float(round_half_up(jsd, 6))],
+                         "n_tokens_a": [int(ta)],
+                         "n_tokens_b": [int(tb)]})
+
+
+SOURCE_JSD_SQL = f"""
+WITH w AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+'))
+             AS tok
+  FROM documents
+  WHERE source IN ('{JSD_SRC_A}', '{JSD_SRC_B}')),
+c AS (
+  SELECT tok,
+         sum(CASE WHEN source = '{JSD_SRC_A}' THEN 1 ELSE 0 END)
+             AS na,
+         sum(CASE WHEN source = '{JSD_SRC_B}' THEN 1 ELSE 0 END)
+             AS nb
+  FROM w GROUP BY tok),
+t AS (SELECT CAST(sum(na) AS DOUBLE) AS ta,
+             CAST(sum(nb) AS DOUBLE) AS tb FROM c),
+p AS (
+  SELECT na / t.ta AS pa, nb / t.tb AS pb,
+         (na / t.ta + nb / t.tb) / 2.0 AS m, t.ta, t.tb
+  FROM c, t)
+SELECT round(0.5 * sum(CASE WHEN pa > 0 THEN pa * ln(pa / m)
+                       ELSE 0 END)
+             + 0.5 * sum(CASE WHEN pb > 0 THEN pb * ln(pb / m)
+                         ELSE 0 END), 6) AS jsd,
+       CAST(any_value(ta) AS BIGINT) AS n_tokens_a,
+       CAST(any_value(tb) AS BIGINT) AS n_tokens_b
+FROM p
+"""
+
+
 def doc_source_dup_rate(sf_dir: str):
     """Per-source exact-duplicate contamination rate — the dedup
     QA report a curation run ends with.  Pass 1 reduces to
@@ -1506,6 +1606,7 @@ def text_queries() -> dict[str, Callable]:
         "doc_source_dup_rate": doc_source_dup_rate,
         "doc_bigram_logprob": doc_bigram_logprob,
         "doc_bm25_topk": doc_bm25_topk,
+        "doc_source_jsd": doc_source_jsd,
     }
 
 
@@ -1546,4 +1647,5 @@ def text_oracle_sql() -> dict[str, str]:
         "doc_source_dup_rate": SOURCE_DUP_RATE_SQL,
         "doc_bigram_logprob": BIGRAM_LOGPROB_SQL,
         "doc_bm25_topk": BM25_TOPK_SQL,
+        "doc_source_jsd": SOURCE_JSD_SQL,
     }
