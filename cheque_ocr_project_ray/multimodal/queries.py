@@ -214,10 +214,74 @@ def media_dedup_exact(sf_dir: str):
         ["fp", "n_copies", "keeper_ref"]))
 
 
+def media_integrity_audit(sf_dir: str):
+    """Referential-integrity audit between the span table and the
+    media store: every image span's ref must resolve to a payload,
+    every payload should be referenced.  Both sides reduce to
+    DISTINCT ref sets through per-batch combiners (refs travel,
+    payloads don't); the set difference folds on the driver
+    (ref-cardinality-bounded; a distributed anti-join is the
+    unbounded fallback)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_min)
+
+    fixture = ensure_fixture(sf_dir)
+
+    def span_refs(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(batch.column("spans"))
+        kinds = pc.struct_field(flat, "kind")
+        refs = pc.struct_field(flat, "media_ref").filter(
+            pc.equal(kinds, "image"))
+        t = pa.table({"ref": refs,
+                      "one": pa.array(np.ones(len(refs), np.int64))})
+        g = t.group_by("ref").aggregate([("one", "min")])
+        return g.rename_columns(["ref", "one"])
+
+    refs_t = collect_table(final_merge_min(
+        ray.data.read_parquet(str(Path(fixture) / "cheques"),
+                              columns=["spans"])
+        .map_batches(span_refs, batch_format="pyarrow"),
+        ["ref"], ["one"]).materialize())
+
+    def store_refs(batch: pa.Table) -> pa.Table:
+        t = pa.table({"ref": batch.column("media_ref"),
+                      "one": pa.array(np.ones(batch.num_rows,
+                                              np.int64))})
+        g = t.group_by("ref").aggregate([("one", "min")])
+        return g.rename_columns(["ref", "one"])
+
+    store_t = collect_table(final_merge_min(
+        _media_ds(sf_dir, ["media_ref"])
+        .map_batches(store_refs, batch_format="pyarrow"),
+        ["ref"], ["one"]).materialize())
+
+    span_set = np.array([] if refs_t is None
+                        else refs_t.column("ref").to_pylist(),
+                        dtype=object)
+    store_set = np.array([] if store_t is None
+                         else store_t.column("ref").to_pylist(),
+                         dtype=object)
+    orphans = int(np.count_nonzero(~np.isin(span_set, store_set)))
+    unreferenced = int(np.count_nonzero(~np.isin(store_set, span_set)))
+    return pd.DataFrame({
+        "n_span_refs": [len(span_set)],
+        "n_payloads": [len(store_set)],
+        "n_orphan_refs": [orphans],
+        "n_unreferenced_payloads": [unreferenced]})
+
+
 def multimodal_queries() -> dict[str, Callable]:
     return {
         "media_decode_stats": media_decode_stats,
         "media_dedup_exact": media_dedup_exact,
+        "media_integrity_audit": media_integrity_audit,
         "media_resize_plan": media_resize_plan,
         "media_frame_sample": media_frame_sample,
         "media_audio_features": media_audio_features,
@@ -306,7 +370,23 @@ SELECT md5(hex(data)) AS fp, count(*) AS n_copies,
 FROM read_parquet('{glob}')
 GROUP BY fp
 """
+    cheques_glob = f"{ensure_fixture(ORACLE_SF_DIR)}/cheques/*.parquet"
+    integrity_audit = f"""
+WITH r AS (
+  SELECT DISTINCT s.media_ref AS ref
+  FROM (SELECT unnest(spans) AS s FROM read_parquet('{cheques_glob}'))
+  WHERE s.kind = 'image'),
+p AS (SELECT DISTINCT media_ref AS ref FROM read_parquet('{glob}'))
+SELECT (SELECT count(*) FROM r) AS n_span_refs,
+       (SELECT count(*) FROM p) AS n_payloads,
+       (SELECT count(*) FROM r
+        WHERE ref NOT IN (SELECT ref FROM p)) AS n_orphan_refs,
+       (SELECT count(*) FROM p
+        WHERE ref NOT IN (SELECT ref FROM r))
+           AS n_unreferenced_payloads
+"""
     return {
+        "media_integrity_audit": integrity_audit,
         "media_decode_stats": decode_stats,
         "media_dedup_exact": dedup_exact,
         "media_resize_plan": resize_plan,

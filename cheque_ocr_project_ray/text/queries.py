@@ -1379,6 +1379,100 @@ FROM s GROUP BY doc_id
 """
 
 
+def doc_quality_filter_p75(sf_dir: str):
+    """Percentile-threshold curation: keep docs scoring ABOVE their
+    language's 75th percentile — the statistical filter real curation
+    runs use instead of fixed cutoffs.  Pass 1 scores every doc
+    (stateless map, materialized once); the per-language thresholds
+    are exact: per-(lang, score) counts reduce through the combiner
+    (scores are 6dp-rounded, so the distinct grid is bounded), and the
+    driver replicates quantile_cont's interpolation bit-for-bit
+    ((CRN−RN)·a + (RN−FRN)·b — Ray's own Quantile aggregate orders the
+    same math differently and drifts ~1e-6, which a > filter cannot
+    tolerate).  Thresholds broadcast into the final filter."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_sums,
+                                             strip_schema_metadata)
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        s = analysis.quality_score(batch)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "lang": batch.column("lang"),
+                         "score": s.column("score")})
+
+    scored = ray.data.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"),
+        columns=["doc_id", "text", "lang"]) \
+        .map_batches(strip_schema_metadata, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .map_batches(score_batch, batch_format="pyarrow") \
+        .materialize()
+
+    def grid_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"lang": batch.column("lang"),
+                      "score": batch.column("score"),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by(["lang", "score"]).aggregate([("n", "sum")])
+        return g.rename_columns(["lang", "score", "n"])
+
+    grid = collect_table(final_merge_sums(
+        scored.map_batches(grid_partial, batch_format="pyarrow"),
+        ["lang", "score"], ["n"]).materialize())
+    thr_map = {}
+    if grid is not None:
+        gdf = grid.to_pandas().sort_values(["lang", "score"])
+        for lang, g in gdf.groupby("lang", sort=False):
+            vals = g["score"].to_numpy()
+            cum = g["n"].to_numpy().cumsum()
+            n = int(cum[-1])
+            rn = (n - 1) * 0.75
+            frn, crn = np.floor(rn), np.ceil(rn)
+            a = vals[np.searchsorted(cum, frn + 1)]
+            b = vals[np.searchsorted(cum, crn + 1)]
+            thr_map[lang] = float(a) if crn == frn else \
+                float((crn - rn) * a + (rn - frn) * b)
+    thr_ref = ray.put(thr_map)
+
+    class Filter:
+        def __init__(self):
+            self.thr = ray.get(thr_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            langs = batch.column("lang").to_pandas()
+            t = langs.map(self.thr).to_numpy(dtype=np.float64)
+            keep = batch.column("score").to_numpy(
+                zero_copy_only=False) > t
+            return batch.filter(pa.array(keep))
+
+    from cheque_ocr_project_ray.util import map_pool
+    return scored.map_batches(Filter, batch_format="pyarrow",
+                              concurrency=(1, map_pool()))
+
+
+QUALITY_FILTER_P75_SQL = """
+WITH q AS ({QUALITY}),
+z AS (
+  SELECT doc_id,
+         {W0} + {W1} * stop_ratio + {W2} * ttr
+         + {W3} * ln(n_tokens) AS z
+  FROM q),
+s AS (
+  SELECT d.doc_id, d.lang, round(1.0 / (1.0 + exp(-z)), 6) AS score
+  FROM z JOIN documents d USING (doc_id)),
+t AS (SELECT lang, quantile_cont(score, 0.75) AS thr FROM s
+      GROUP BY lang)
+SELECT s.doc_id, s.lang, s.score
+FROM s JOIN t USING (lang)
+WHERE s.score > t.thr
+"""
+
+
 JSD_SRC_A, JSD_SRC_B = "src0", "src1"
 
 
@@ -1607,6 +1701,7 @@ def text_queries() -> dict[str, Callable]:
         "doc_bigram_logprob": doc_bigram_logprob,
         "doc_bm25_topk": doc_bm25_topk,
         "doc_source_jsd": doc_source_jsd,
+        "doc_quality_filter_p75": doc_quality_filter_p75,
     }
 
 
@@ -1648,4 +1743,8 @@ def text_oracle_sql() -> dict[str, str]:
         "doc_bigram_logprob": BIGRAM_LOGPROB_SQL,
         "doc_bm25_topk": BM25_TOPK_SQL,
         "doc_source_jsd": SOURCE_JSD_SQL,
+        "doc_quality_filter_p75": QUALITY_FILTER_P75_SQL.format(
+            QUALITY=QUALITY_SQL, W0=analysis.QUALITY_W[0],
+            W1=analysis.QUALITY_W[1], W2=analysis.QUALITY_W[2],
+            W3=analysis.QUALITY_W[3]),
     }
