@@ -1382,8 +1382,10 @@ FROM s GROUP BY doc_id
 def doc_quality_filter_p75(sf_dir: str):
     """Percentile-threshold curation: keep docs scoring ABOVE their
     language's 75th percentile — the statistical filter real curation
-    runs use instead of fixed cutoffs.  Pass 1 scores every doc
-    (stateless map, materialized once); the per-language thresholds
+    runs use instead of fixed cutoffs.  Both passes STREAM (pass 2
+    re-scores rather than materializing a corpus-sized scored table —
+    recompute is cheaper than a 100-TB spill); the per-language
+    thresholds
     are exact: per-(lang, score) counts reduce through the combiner
     (scores are 6dp-rounded, so the distinct grid is bounded), and the
     driver replicates quantile_cont's interpolation bit-for-bit
@@ -1406,13 +1408,13 @@ def doc_quality_filter_p75(sf_dir: str):
                          "lang": batch.column("lang"),
                          "score": s.column("score")})
 
-    scored = ray.data.read_parquet(
-        str(Path(sf_dir) / "documents.parquet"),
-        columns=["doc_id", "text", "lang"]) \
-        .map_batches(strip_schema_metadata, batch_format="pyarrow",
-                     zero_copy_batch=True) \
-        .map_batches(score_batch, batch_format="pyarrow") \
-        .materialize()
+    def scored():
+        return ray.data.read_parquet(
+            str(Path(sf_dir) / "documents.parquet"),
+            columns=["doc_id", "text", "lang"]) \
+            .map_batches(strip_schema_metadata, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .map_batches(score_batch, batch_format="pyarrow")
 
     def grid_partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"lang": batch.column("lang"),
@@ -1422,7 +1424,7 @@ def doc_quality_filter_p75(sf_dir: str):
         return g.rename_columns(["lang", "score", "n"])
 
     grid = collect_table(final_merge_sums(
-        scored.map_batches(grid_partial, batch_format="pyarrow"),
+        scored().map_batches(grid_partial, batch_format="pyarrow"),
         ["lang", "score"], ["n"]).materialize())
     thr_map = {}
     if grid is not None:
@@ -1451,8 +1453,8 @@ def doc_quality_filter_p75(sf_dir: str):
             return batch.filter(pa.array(keep))
 
     from cheque_ocr_project_ray.util import map_pool
-    return scored.map_batches(Filter, batch_format="pyarrow",
-                              concurrency=(1, map_pool()))
+    return scored().map_batches(Filter, batch_format="pyarrow",
+                                concurrency=(1, map_pool()))
 
 
 QUALITY_FILTER_P75_SQL = """
