@@ -177,6 +177,44 @@ FROM n GROUP BY label
 """
 
 
+RECALL_PROBES = 4
+
+
+def ann_recall_eval(sf_dir: str):
+    """Index-quality evaluation: recall@10 of the LSH and IVF paths
+    against exact brute force, averaged over probe queries — the
+    harness that decides whether an approximate index is good enough
+    to deploy.  Approximate by design → rows-only (pytest bounds it:
+    recall ∈ [0, 1] and the exact path's self-recall is 1)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    probes = pq.read_table(str(Path(sf_dir) / "embeddings.parquet"),
+                           columns=["vec_id", "embedding"],
+                           filters=[("vec_id", "<", RECALL_PROBES)])
+    qids = probes["vec_id"].to_pylist()
+    qvecs = [np.asarray(v, dtype=np.float64)
+             for v in probes["embedding"].to_pylist()]
+
+    def topk_ids(ds_result):
+        return set(ds_result.to_pandas()["vec_id"].tolist())
+
+    recalls = {"lsh": [], "ivf": []}
+    for qid, qv in zip(qids, qvecs):
+        exact = topk_ids(ann.brute_force_topk(_emb(sf_dir), qv, k=10))
+        for name, fn in (("lsh", ann.lsh_topk), ("ivf", ann.ivf_topk)):
+            approx = topk_ids(fn(_emb(sf_dir), qv, k=10))
+            recalls[name].append(len(approx & exact) / 10.0)
+
+    from cheque_ocr_project_ray.util import round_half_up
+    return pd.DataFrame({
+        "method": ["lsh", "ivf"],
+        "recall_at_10": [float(round_half_up(np.mean(recalls["lsh"]), 4)),
+                         float(round_half_up(np.mean(recalls["ivf"]), 4))],
+        "n_queries": [len(qids)] * 2})
+
+
 FILTER_LABEL = 3
 
 
@@ -450,6 +488,7 @@ def vector_queries() -> dict[str, Callable]:
         "ann_knn_join": ann_knn_join,
         "ann_range_search": ann_range_search,
         "ann_filtered_topk": ann_filtered_topk,
+        "ann_recall_eval": ann_recall_eval,
         "embedding_norm_stats": embedding_norm_stats,
         "embedding_quantize_error": embedding_quantize_error,
         "ann_lsh_topk": ann_lsh_topk,

@@ -30,7 +30,7 @@ def test_expected_families_present():
                   "media_decode_stats", "corpus_curation",
                   "corpus_pipeline", "events_sessions"):
         assert probe in qs
-    assert len(qs) >= 146
+    assert len(qs) >= 147
     assert len(entry.oracle_sql()) >= 138
 
 
