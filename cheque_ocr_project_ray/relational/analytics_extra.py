@@ -1015,11 +1015,72 @@ GROUP BY c.user_id, u.total, u.n_types
 """
 
 
+@_hash_shuffled
+def events_benford(sf_dir: str, np_: int = 0):
+    """Benford's-law first-digit audit over event values — the fraud /
+    data-fabrication screen.  The leading digit comes from the EXACT
+    integer-cent representation (float log10 digit extraction
+    disagrees between libm implementations on boundary values —
+    measured), so both engines bucket identically; per-digit χ²
+    contributions are the only float math."""
+    ds = _pq(sf_dir, "events", ["value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = money_units(batch.column("value"))
+        digit = pc.cast(pc.utf8_slice_codeunits(
+            pc.cast(cents, pa.string()), 0, 1), pa.int64())
+        t = pa.table({"digit": digit,
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by("digit").aggregate([("n", "sum")])
+        return g.rename_columns(["digit", "n"])
+
+    agg = final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["digit"], ["n"], np_=np_)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values("digit").reset_index(drop=True)
+        total = float(b["n"].sum())
+        obs_p = b["n"] / total
+        benford_p = np.log(1.0 + 1.0 / b["digit"].to_numpy(np.float64)) \
+            / np.log(10.0)
+        exp_n = total * benford_p
+        chi2 = (b["n"] - exp_n) * (b["n"] - exp_n) / exp_n
+        return pd.DataFrame({
+            "digit": b["digit"], "n": b["n"],
+            "obs_p": round_half_up(obs_p, 6),
+            "benford_p": round_half_up(benford_p, 6),
+            "chi2_term": round_half_up(chi2, 4)})
+
+    return agg.repartition(1).map_batches(finish, batch_format="pandas",
+                                          batch_size=None)
+
+
+EVENTS_BENFORD_SQL = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                               AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+             AS digit
+  FROM events),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
+SELECT digit, n,
+       round(n / t.total, 6) AS obs_p,
+       round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_p,
+       round((n - t.total * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+             * (n - t.total * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+             / (t.total * (ln(1.0 + 1.0 / digit) / ln(10.0))), 4)
+           AS chi2_term
+FROM c, t
+"""
+
+
 def analytics_extra_queries():
     return {
         "orders_pareto": orders_pareto,
         "events_ks_drift": events_ks_drift,
         "events_user_entropy": events_user_entropy,
+        "events_benford": events_benford,
         "events_value_quantile_sketch": events_value_quantile_sketch,
         "orders_cube": orders_cube,
         "lineitem_weighted_discount": lineitem_weighted_discount,
@@ -1055,4 +1116,5 @@ def analytics_extra_oracle_sql():
         "orders_pareto": ORDERS_PARETO_SQL,
         "events_ks_drift": EVENTS_KS_SQL,
         "events_user_entropy": EVENTS_ENTROPY_SQL,
+        "events_benford": EVENTS_BENFORD_SQL,
     }
