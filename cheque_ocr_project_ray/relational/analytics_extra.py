@@ -1027,10 +1027,12 @@ def events_benford(sf_dir: str, np_: int = 0):
 
     def partial(batch: pa.Table) -> pa.Table:
         cents = money_units(batch.column("value"))
+        # zero-cent values have no leading significant digit
+        cents = cents.filter(pc.greater(cents, pa.scalar(0, pa.int64())))
         digit = pc.cast(pc.utf8_slice_codeunits(
             pc.cast(cents, pa.string()), 0, 1), pa.int64())
         t = pa.table({"digit": digit,
-                      "n": pa.array(np.ones(batch.num_rows, np.int64))})
+                      "n": pa.array(np.ones(len(digit), np.int64))})
         g = t.group_by("digit").aggregate([("n", "sum")])
         return g.rename_columns(["digit", "n"])
 
@@ -1061,7 +1063,8 @@ WITH d AS (
   SELECT CAST(substr(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
                                AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
              AS digit
-  FROM events),
+  FROM events
+  WHERE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) > 0),
 c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
 t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
 SELECT digit, n,
