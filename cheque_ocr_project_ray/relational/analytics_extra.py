@@ -1078,9 +1078,67 @@ FROM c, t
 """
 
 
+@_hash_shuffled
+def events_value_gini(sf_dir: str, np_: int = 0):
+    """Gini coefficient of the value distribution per event type —
+    the inequality/concentration measure.  Computed from the
+    (type, cents, count) grid with the rank-weighted identity
+    G = Σ(2·rank − n − 1)·xᵢ / (n·Σxᵢ): tie order cannot matter
+    (equal values share the weight sum), and both numerator and
+    denominator stay EXACT integers until the final division."""
+    from cheque_ocr_project_ray.util import collect_table
+
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "cents": money_units(batch.column("value")),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by(["event_type", "cents"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "cents", "n"])
+
+    grid = collect_table(final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "cents"], ["n"], np_=np_).materialize())
+    if grid is None or grid.num_rows == 0:
+        return pd.DataFrame({"event_type": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64"),
+                             "gini": pd.Series([], dtype="float64")})
+    gdf = grid.to_pandas().sort_values(["event_type", "cents"])
+    rows = []
+    for et, g in gdf.groupby("event_type", sort=True):
+        c = g["cents"].to_numpy()
+        cnt = g["n"].to_numpy()
+        n = int(cnt.sum())
+        # ranks occupied by each distinct value: s+1 .. s+cnt
+        # Σ(2·rank) over the run = 2·(cnt·s + cnt(cnt+1)/2)
+        s = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        wsum = 2 * (cnt * s + cnt * (cnt + 1) // 2) - cnt * (n + 1)
+        num = int(np.sum(wsum * c))
+        den = n * int(np.sum(cnt * c))
+        rows.append((et, n, float(round_half_up(num / den, 6))))
+    return pd.DataFrame(rows, columns=["event_type", "n", "gini"])
+
+
+EVENTS_GINI_SQL = """
+WITH r AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type, CAST(any_value(n) AS BIGINT) AS n,
+       round(CAST(sum((2 * rn - n - 1) * cents) AS DOUBLE)
+             / (any_value(n) * sum(cents)), 6) AS gini
+FROM r GROUP BY event_type
+"""
+
+
 def analytics_extra_queries():
     return {
         "orders_pareto": orders_pareto,
+        "events_value_gini": events_value_gini,
         "events_ks_drift": events_ks_drift,
         "events_user_entropy": events_user_entropy,
         "events_benford": events_benford,
@@ -1120,4 +1178,5 @@ def analytics_extra_oracle_sql():
         "events_ks_drift": EVENTS_KS_SQL,
         "events_user_entropy": EVENTS_ENTROPY_SQL,
         "events_benford": EVENTS_BENFORD_SQL,
+        "events_value_gini": EVENTS_GINI_SQL,
     }
