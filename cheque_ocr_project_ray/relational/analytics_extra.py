@@ -1135,10 +1135,67 @@ FROM r GROUP BY event_type
 """
 
 
+@_hash_shuffled
+def events_value_means(sf_dir: str, np_: int = 0):
+    """Arithmetic, geometric, and harmonic mean of values per event
+    type — the Pythagorean-means profile.  The arithmetic mean rides
+    exact integer cents; the log- and reciprocal-sums are float
+    combiner partials (4dp output rounding absorbs summation-order
+    drift, the same tolerance every float aggregate here uses).
+    Zero values are excluded (undefined log/reciprocal) in BOTH
+    engines."""
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = money_units(batch.column("value"))
+        keep = pc.greater(cents, pa.scalar(0, pa.int64()))
+        b = batch.filter(keep)
+        cents = cents.filter(keep)
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        t = pa.table({"event_type": b.column("event_type"),
+                      "n": pa.array(np.ones(b.num_rows, np.int64)),
+                      "cents": cents,
+                      "ln_sum": pa.array(np.log(v), pa.float64()),
+                      "inv_sum": pa.array(1.0 / v, pa.float64())})
+        g = t.group_by("event_type").aggregate(
+            [("n", "sum"), ("cents", "sum"), ("ln_sum", "sum"),
+             ("inv_sum", "sum")])
+        return g.rename_columns(
+            ["event_type", "n", "cents", "ln_sum", "inv_sum"])
+
+    agg = final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], ["n", "cents", "ln_sum", "inv_sum"], np_=np_)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].astype(np.float64)
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "n": b["n"],
+            "arith_mean": round_half_up((b["cents"] / 100.0) / n, 4),
+            "geo_mean": round_half_up(np.exp(b["ln_sum"] / n), 4),
+            "harm_mean": round_half_up(n / b["inv_sum"], 4)})
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+EVENTS_MEANS_SQL = """
+SELECT event_type, count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 4) AS arith_mean,
+       round(exp(sum(ln(value)) / count(*)), 4) AS geo_mean,
+       round(count(*) / sum(1.0 / value), 4) AS harm_mean
+FROM events
+WHERE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) > 0
+GROUP BY event_type
+"""
+
+
 def analytics_extra_queries():
     return {
         "orders_pareto": orders_pareto,
         "events_value_gini": events_value_gini,
+        "events_value_means": events_value_means,
         "events_ks_drift": events_ks_drift,
         "events_user_entropy": events_user_entropy,
         "events_benford": events_benford,
@@ -1179,4 +1236,5 @@ def analytics_extra_oracle_sql():
         "events_user_entropy": EVENTS_ENTROPY_SQL,
         "events_benford": EVENTS_BENFORD_SQL,
         "events_value_gini": EVENTS_GINI_SQL,
+        "events_value_means": EVENTS_MEANS_SQL,
     }
