@@ -1191,11 +1191,91 @@ GROUP BY event_type
 """
 
 
+@_hash_shuffled
+def orders_monthly_dense(sf_dir: str, np_: int = 0):
+    """Calendar densification (gap fill): EVERY month in the data
+    range × EVERY priority, zero-filled where no orders exist — the
+    time-series shape downstream models need (missing ≠ absent).
+    One combiner pass; the dense grid is generated on the driver and
+    left-merged against the (month×priority-bounded) aggregate."""
+    from cheque_ocr_project_ray.util import collect_table
+    import ray.data as _rd
+
+    ds = _pq(sf_dir, "orders",
+             ["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate").cast(pa.timestamp("us"))
+        ym = pc.add(pc.multiply(pc.cast(pc.year(d), pa.int64()),
+                                pa.scalar(100, pa.int64())),
+                    pc.cast(pc.month(d), pa.int64()))
+        t = pa.table({"ym": ym,
+                      "o_orderpriority": batch.column("o_orderpriority"),
+                      "n_orders": pa.array(np.ones(batch.num_rows,
+                                                   np.int64)),
+                      "cents": money_units(batch.column("o_totalprice"))})
+        g = t.group_by(["ym", "o_orderpriority"]).aggregate(
+            [("n_orders", "sum"), ("cents", "sum")])
+        return g.rename_columns(["ym", "o_orderpriority", "n_orders",
+                                 "cents"])
+
+    t = collect_table(final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["ym", "o_orderpriority"], ["n_orders", "cents"],
+        np_=np_).materialize())
+    empty = pa.table({"ym": pa.array([], pa.int64()),
+                      "o_orderpriority": pa.array([], pa.string()),
+                      "n_orders": pa.array([], pa.int64()),
+                      "revenue": pa.array([], pa.float64())})
+    if t is None or t.num_rows == 0:
+        return _rd.from_arrow(empty)
+    df = t.to_pandas()
+    yms = df["ym"].to_numpy()
+    lo_y, lo_m = divmod(int(yms.min()), 100)
+    hi_y, hi_m = divmod(int(yms.max()), 100)
+    months = [y * 100 + m
+              for y in range(lo_y, hi_y + 1)
+              for m in range(1, 13)
+              if (y, m) >= (lo_y, lo_m) and (y, m) <= (hi_y, hi_m)]
+    prios = sorted(df["o_orderpriority"].unique())
+    grid = pd.MultiIndex.from_product(
+        [months, prios], names=["ym", "o_orderpriority"]).to_frame(
+        index=False)
+    out = grid.merge(df, on=["ym", "o_orderpriority"], how="left")
+    out["n_orders"] = out["n_orders"].fillna(0).astype(np.int64)
+    out["revenue"] = out["cents"].fillna(0) / 100.0
+    return _rd.from_pandas(out[["ym", "o_orderpriority", "n_orders",
+                                "revenue"]])
+
+
+ORDERS_MONTHLY_DENSE_SQL = """
+WITH agg AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+             AS ym,
+         o_orderpriority, count(*) AS n_orders,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1, 2),
+months AS (
+  SELECT CAST(year(d) * 100 + month(d) AS BIGINT) AS ym
+  FROM (SELECT unnest(generate_series(
+            date_trunc('month', (SELECT min(o_orderdate) FROM orders)),
+            date_trunc('month', (SELECT max(o_orderdate) FROM orders)),
+            INTERVAL 1 MONTH)) AS d)),
+prios AS (SELECT DISTINCT o_orderpriority FROM orders)
+SELECT months.ym, prios.o_orderpriority,
+       COALESCE(agg.n_orders, 0) AS n_orders,
+       CAST(COALESCE(agg.rev, 0) AS DOUBLE) AS revenue
+FROM months CROSS JOIN prios
+LEFT JOIN agg USING (ym, o_orderpriority)
+"""
+
+
 def analytics_extra_queries():
     return {
         "orders_pareto": orders_pareto,
         "events_value_gini": events_value_gini,
         "events_value_means": events_value_means,
+        "orders_monthly_dense": orders_monthly_dense,
         "events_ks_drift": events_ks_drift,
         "events_user_entropy": events_user_entropy,
         "events_benford": events_benford,
@@ -1237,4 +1317,5 @@ def analytics_extra_oracle_sql():
         "events_benford": EVENTS_BENFORD_SQL,
         "events_value_gini": EVENTS_GINI_SQL,
         "events_value_means": EVENTS_MEANS_SQL,
+        "orders_monthly_dense": ORDERS_MONTHLY_DENSE_SQL,
     }
