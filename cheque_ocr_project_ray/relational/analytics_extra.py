@@ -1270,12 +1270,86 @@ LEFT JOIN agg USING (ym, o_orderpriority)
 """
 
 
+SESSION_GAP_MIN = 30
+
+
+@_hash_shuffled
+def events_session_stats(sf_dir: str, np_: int = 0):
+    """Session-LEVEL aggregates (one row per session, not per user):
+    event count, exact value sum, and duration for every gap-delimited
+    session — the windowed-aggregate companion to events_sessions.
+    Per-user ordering inside groupby(user).map_groups; session ids are
+    the cumulative gap count, so both engines number sessions
+    identically."""
+    import pyarrow.parquet as pq_
+    from pathlib import Path
+    if pq_.ParquetFile(str(Path(sf_dir) / "events.parquet")) \
+            .metadata.num_rows == 0:
+        return pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "session_id": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64"),
+            "sum_value": pd.Series([], dtype="float64"),
+            "duration_s": pd.Series([], dtype="float64")})
+    gap_us = SESSION_GAP_MIN * 60_000_000
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"])
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        cents = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        new = np.ones(len(us), np.int64)
+        new[1:] = (np.diff(us) > gap_us).astype(np.int64)
+        sid = np.cumsum(new)
+        n = np.bincount(sid)[1:]
+        vs = np.bincount(sid, weights=cents)[1:]
+        t0 = us[new.astype(bool)]
+        ends = np.concatenate((np.flatnonzero(new)[1:] - 1,
+                               [len(us) - 1]))
+        dur = (us[ends] - t0) / 1_000_000.0
+        return pd.DataFrame({
+            "user_id": g["user_id"].iloc[0],
+            "session_id": np.arange(1, len(n) + 1),
+            "n_events": n,
+            "sum_value": vs / 100.0,
+            "duration_s": dur})
+
+    return ds.groupby("user_id", num_partitions=np_).map_groups(
+        sessions, batch_format="pandas")
+
+
+EVENTS_SESSION_STATS_SQL = f"""
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > {SESSION_GAP_MIN} * 60 * 1000000 OR
+              lag(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS is_start
+  FROM events),
+s AS (
+  SELECT user_id, ts, value,
+         sum(is_start) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0
+           AS duration_s
+FROM s GROUP BY user_id, session_id
+"""
+
+
 def analytics_extra_queries():
     return {
         "orders_pareto": orders_pareto,
         "events_value_gini": events_value_gini,
         "events_value_means": events_value_means,
         "orders_monthly_dense": orders_monthly_dense,
+        "events_session_stats": events_session_stats,
         "events_ks_drift": events_ks_drift,
         "events_user_entropy": events_user_entropy,
         "events_benford": events_benford,
@@ -1318,4 +1392,5 @@ def analytics_extra_oracle_sql():
         "events_value_gini": EVENTS_GINI_SQL,
         "events_value_means": EVENTS_MEANS_SQL,
         "orders_monthly_dense": ORDERS_MONTHLY_DENSE_SQL,
+        "events_session_stats": EVENTS_SESSION_STATS_SQL,
     }
