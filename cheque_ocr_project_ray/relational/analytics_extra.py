@@ -1343,6 +1343,102 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+@_hash_shuffled
+def events_value_winsorized(sf_dir: str, np_: int = 0):
+    """Winsorized (p05/p95-clipped) mean per event type — the robust
+    mean that survives outliers.  The clip thresholds come from the
+    exact quantile_cont replica over the (type, cents, count) grid
+    (bit-equal to DuckDB; Ray's Quantile would drift past the clip
+    comparison), broadcast into a second clipping pass."""
+    import ray
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             quantile_cont_from_grid)
+
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def grid_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "cents": money_units(batch.column("value")),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by(["event_type", "cents"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "cents", "n"])
+
+    grid = collect_table(final_merge_sums(
+        ds.map_batches(grid_partial, batch_format="pyarrow"),
+        ["event_type", "cents"], ["n"], np_=np_).materialize())
+    if grid is None or grid.num_rows == 0:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64"),
+            "p05": pd.Series([], dtype="float64"),
+            "p95": pd.Series([], dtype="float64"),
+            "winsorized_mean": pd.Series([], dtype="float64")})
+    gdf = grid.to_pandas().sort_values(["event_type", "cents"])
+    bounds = {}
+    for et, g in gdf.groupby("event_type", sort=False):
+        vals = g["cents"].to_numpy() / 100.0
+        cnts = g["n"].to_numpy()
+        bounds[et] = (quantile_cont_from_grid(vals, cnts, 0.05),
+                      quantile_cont_from_grid(vals, cnts, 0.95))
+    b_ref = ray.put(bounds)
+
+    class Clip:
+        def __init__(self):
+            self.bounds = ray.get(b_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            et = batch.column("event_type").to_pandas()
+            lo = et.map({k: v[0] for k, v in self.bounds.items()}) \
+                .to_numpy(dtype=np.float64)
+            hi = et.map({k: v[1] for k, v in self.bounds.items()}) \
+                .to_numpy(dtype=np.float64)
+            v = batch.column("value").to_numpy(zero_copy_only=False)
+            clipped = np.minimum(np.maximum(v, lo), hi)
+            t = pa.table({"event_type": batch.column("event_type"),
+                          "n": pa.array(np.ones(batch.num_rows,
+                                                np.int64)),
+                          "csum": pa.array(clipped, pa.float64())})
+            g = t.group_by("event_type").aggregate(
+                [("n", "sum"), ("csum", "sum")])
+            return g.rename_columns(["event_type", "n", "csum"])
+
+    from cheque_ocr_project_ray.util import map_pool
+    agg = final_merge_sums(
+        ds.map_batches(Clip, batch_format="pyarrow",
+                       concurrency=(1, map_pool())),
+        ["event_type"], ["n", "csum"], np_=np_)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "n": b["n"],
+            "p05": round_half_up(
+                b["event_type"].map({k: v[0]
+                                     for k, v in bounds.items()}), 4),
+            "p95": round_half_up(
+                b["event_type"].map({k: v[1]
+                                     for k, v in bounds.items()}), 4),
+            "winsorized_mean": round_half_up(b["csum"] / b["n"], 4)})
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+EVENTS_WINSORIZED_SQL = """
+WITH t AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type)
+SELECT e.event_type, count(*) AS n,
+       round(any_value(t.lo), 4) AS p05,
+       round(any_value(t.hi), 4) AS p95,
+       round(sum(least(greatest(e.value, t.lo), t.hi)) / count(*), 4)
+           AS winsorized_mean
+FROM events e JOIN t USING (event_type)
+GROUP BY e.event_type
+"""
+
+
 def analytics_extra_queries():
     return {
         "orders_pareto": orders_pareto,
@@ -1350,6 +1446,7 @@ def analytics_extra_queries():
         "events_value_means": events_value_means,
         "orders_monthly_dense": orders_monthly_dense,
         "events_session_stats": events_session_stats,
+        "events_value_winsorized": events_value_winsorized,
         "events_ks_drift": events_ks_drift,
         "events_user_entropy": events_user_entropy,
         "events_benford": events_benford,
@@ -1393,4 +1490,5 @@ def analytics_extra_oracle_sql():
         "events_value_means": EVENTS_MEANS_SQL,
         "orders_monthly_dense": ORDERS_MONTHLY_DENSE_SQL,
         "events_session_stats": EVENTS_SESSION_STATS_SQL,
+        "events_value_winsorized": EVENTS_WINSORIZED_SQL,
     }

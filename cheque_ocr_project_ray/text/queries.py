@@ -1426,19 +1426,13 @@ def doc_quality_filter_p75(sf_dir: str):
     grid = collect_table(final_merge_sums(
         scored().map_batches(grid_partial, batch_format="pyarrow"),
         ["lang", "score"], ["n"]).materialize())
+    from cheque_ocr_project_ray.util import quantile_cont_from_grid
     thr_map = {}
     if grid is not None:
         gdf = grid.to_pandas().sort_values(["lang", "score"])
         for lang, g in gdf.groupby("lang", sort=False):
-            vals = g["score"].to_numpy()
-            cum = g["n"].to_numpy().cumsum()
-            n = int(cum[-1])
-            rn = (n - 1) * 0.75
-            frn, crn = np.floor(rn), np.ceil(rn)
-            a = vals[np.searchsorted(cum, frn + 1)]
-            b = vals[np.searchsorted(cum, crn + 1)]
-            thr_map[lang] = float(a) if crn == frn else \
-                float((crn - rn) * a + (rn - frn) * b)
+            thr_map[lang] = quantile_cont_from_grid(
+                g["score"].to_numpy(), g["n"].to_numpy(), 0.75)
     thr_ref = ray.put(thr_map)
 
     class Filter:
