@@ -949,6 +949,49 @@ GROUP BY 1, 2
 """
 
 
+# --- distribution of group sizes (lineitems per order) ----------------
+@_hash_shuffled
+def order_size_histogram(sf_dir: str, np_: int = 0):
+    """How many lineitems does an order have?  The group-size
+    distribution: per-order counts reduce through the combiner
+    (bounded-adaptive merge over the order-keyed partials), then the
+    histogram of those counts folds driver-side.  Exact integers
+    end-to-end."""
+    from cheque_ocr_project_ray.util import collect_table
+    import ray.data as _rd
+
+    ds = _pq(sf_dir, "lineitem", ["l_orderkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by("l_orderkey").aggregate([("n", "sum")])
+        return g.rename_columns(["l_orderkey", "n"])
+
+    per_order = collect_table(final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_orderkey"], ["n"], np_=np_).materialize())
+    empty = pa.table({"order_size": pa.array([], pa.int64()),
+                      "n_orders": pa.array([], pa.int64())})
+    if per_order is None or per_order.num_rows == 0:
+        return _rd.from_arrow(empty)
+    sizes, counts = np.unique(
+        per_order.column("n").to_numpy(zero_copy_only=False),
+        return_counts=True)
+    return _rd.from_arrow(pa.table({
+        "order_size": pa.array(sizes, pa.int64()),
+        "n_orders": pa.array(counts.astype(np.int64), pa.int64())}))
+
+
+ORDER_SIZE_HISTOGRAM_SQL = """
+WITH c AS (
+  SELECT l_orderkey, count(*) AS order_size
+  FROM lineitem GROUP BY l_orderkey)
+SELECT order_size, count(*) AS n_orders
+FROM c GROUP BY order_size
+"""
+
+
 def tpch_extra_queries():
     return {
         "q4_late_orders": q4_late_orders,
@@ -962,6 +1005,7 @@ def tpch_extra_queries():
         "q6_forecast_revenue": q6_forecast_revenue,
         "q8_market_share": q8_market_share,
         "part_type_basket": part_type_basket,
+        "order_size_histogram": order_size_histogram,
     }
 
 
@@ -978,4 +1022,5 @@ def tpch_extra_oracle_sql():
         "q6_forecast_revenue": Q6_FORECAST_SQL,
         "q8_market_share": Q8_MARKET_SHARE_SQL,
         "part_type_basket": PART_TYPE_BASKET_SQL,
+        "order_size_histogram": ORDER_SIZE_HISTOGRAM_SQL,
     }
