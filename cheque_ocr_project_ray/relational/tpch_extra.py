@@ -992,6 +992,109 @@ FROM c GROUP BY order_size
 """
 
 
+# --- entity-360 profile: supplier scorecard ---------------------------
+@_hash_shuffled
+def supplier_scorecard(sf_dir: str, np_: int = 0):
+    """Multi-metric supplier profile in one pass over the joined fact
+    stream: exact revenue, item count, DISTINCT part count (two-stage
+    dedup), and late-shipment rate (>75 days after the order date).
+    One partitioned hash join feeds two combiner reductions; supplier
+    names decorate the (supplier-bounded) result on the driver."""
+    from cheque_ocr_project_ray.util import collect_table
+    import ray.data as _rd
+
+    def ofilter(batch: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": batch.column("o_orderkey"),
+                         "o_date_us": _ts_col_us(
+                             batch.column("o_orderdate"))})
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderdate"]) \
+        .map_batches(ofilter, batch_format="pyarrow")
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_suppkey", "l_partkey", "l_shipdate",
+              "l_extendedprice", "l_discount"])
+    joined = hash_join(li, orders, on="l_orderkey",
+                       num_partitions=np_ or None).materialize()
+
+    def metric_partial(batch: pa.Table) -> pa.Table:
+        ship = _ts_col_us(batch.column("l_shipdate"))
+        late = pc.cast(pc.greater(
+            ship, pc.add(batch.column("o_date_us"),
+                         pa.scalar(75 * _DAY_US))), pa.int64())
+        t = pa.table({"l_suppkey": batch.column("l_suppkey"),
+                      "n_items": pa.array(np.ones(batch.num_rows,
+                                                  np.int64)),
+                      "du": _du(batch), "n_late": late})
+        g = t.group_by("l_suppkey").aggregate(
+            [("n_items", "sum"), ("du", "sum"), ("n_late", "sum")])
+        return g.rename_columns(["l_suppkey", "n_items", "du",
+                                 "n_late"])
+
+    metrics = collect_table(final_merge_sums(
+        joined.map_batches(metric_partial, batch_format="pyarrow"),
+        ["l_suppkey"], ["n_items", "du", "n_late"], np_=np_)
+        .materialize())
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"l_suppkey": batch.column("l_suppkey"),
+                      "l_partkey": batch.column("l_partkey"),
+                      "one": pa.array(np.ones(batch.num_rows,
+                                              np.int64))})
+        g = t.group_by(["l_suppkey", "l_partkey"]).aggregate(
+            [("one", "min")])
+        return g.rename_columns(["l_suppkey", "l_partkey", "one"])
+
+    pairs = collect_table(final_merge_min(
+        joined.map_batches(pair_partial, batch_format="pyarrow"),
+        ["l_suppkey", "l_partkey"], ["one"], np_=np_).materialize())
+
+    empty = pa.table({"s_suppkey": pa.array([], pa.int64()),
+                      "s_name": pa.array([], pa.string()),
+                      "n_items": pa.array([], pa.int64()),
+                      "revenue": pa.array([], pa.float64()),
+                      "n_parts": pa.array([], pa.int64()),
+                      "late_rate": pa.array([], pa.float64())})
+    if metrics is None or metrics.num_rows == 0:
+        return _rd.from_arrow(empty)
+    mdf = metrics.to_pandas()
+    np_counts = pairs.to_pandas().groupby("l_suppkey").size() \
+        if pairs is not None else pd.Series(dtype="int64")
+    mdf["n_parts"] = mdf["l_suppkey"].map(np_counts).fillna(0) \
+        .astype(np.int64)
+    supplier = pq.read_table(str(Path(sf_dir) / "supplier.parquet"),
+                             columns=["s_suppkey", "s_name"]).to_pandas()
+    out = mdf.merge(supplier, left_on="l_suppkey",
+                    right_on="s_suppkey", how="inner")
+    return _rd.from_pandas(pd.DataFrame({
+        "s_suppkey": out["s_suppkey"],
+        "s_name": out["s_name"],
+        "n_items": out["n_items"],
+        "revenue": out["du"] / 10000.0,
+        "n_parts": out["n_parts"],
+        "late_rate": round_half_up(
+            out["n_late"].astype(np.float64) / out["n_items"], 6)}))
+
+
+SUPPLIER_SCORECARD_SQL = """
+WITH j AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+         * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 75 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+per AS (
+  SELECT l_suppkey, count(*) AS n_items,
+         CAST(sum(rev) AS DOUBLE) AS revenue,
+         CAST(sum(late) AS BIGINT) AS n_late,
+         count(DISTINCT l_partkey) AS n_parts
+  FROM j GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, n_items, revenue, n_parts,
+       round(CAST(n_late AS DOUBLE) / n_items, 6) AS late_rate
+FROM per JOIN supplier ON s_suppkey = l_suppkey
+"""
+
+
 def tpch_extra_queries():
     return {
         "q4_late_orders": q4_late_orders,
@@ -1006,6 +1109,7 @@ def tpch_extra_queries():
         "q8_market_share": q8_market_share,
         "part_type_basket": part_type_basket,
         "order_size_histogram": order_size_histogram,
+        "supplier_scorecard": supplier_scorecard,
     }
 
 
@@ -1023,4 +1127,5 @@ def tpch_extra_oracle_sql():
         "q8_market_share": Q8_MARKET_SHARE_SQL,
         "part_type_basket": PART_TYPE_BASKET_SQL,
         "order_size_histogram": ORDER_SIZE_HISTOGRAM_SQL,
+        "supplier_scorecard": SUPPLIER_SCORECARD_SQL,
     }
