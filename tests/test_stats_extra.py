@@ -1,0 +1,108 @@
+"""Unit references for the statistical operators added late in
+round 2 — the oracle sweep cross-checks DuckDB; these pin the math
+against hand-computable cases."""
+
+import numpy as np
+import pandas as pd
+
+
+def _events(tmp_path, values, users=None, types=None, ts=None):
+    n = len(values)
+    df = pd.DataFrame({
+        "event_id": np.arange(n),
+        "ts": ts if ts is not None else
+        pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(np.arange(n), unit="m"),
+        "user_id": users if users is not None else np.zeros(n, np.int64),
+        "event_type": types if types is not None else ["a"] * n,
+        "value": values,
+        "props": "{}"})
+    df.to_parquet(tmp_path / "events.parquet")
+    return df
+
+
+def test_gini_extremes(tmp_path):
+    from cheque_ocr_project_ray.relational.analytics_extra import \
+        events_value_gini
+    # type 'eq': perfectly equal -> gini 0; 'uneq': one holder of
+    # everything (others at 0.01 to stay positive) -> gini near 1
+    vals = [5.0] * 4 + [0.01, 0.01, 0.01, 100.0]
+    types = ["eq"] * 4 + ["uneq"] * 4
+    _events(tmp_path, vals, types=types)
+    out = events_value_gini(str(tmp_path)) \
+        .sort_values("event_type").reset_index(drop=True)
+    assert out.loc[0, "event_type"] == "eq"
+    assert out.loc[0, "gini"] == 0.0
+    assert out.loc[1, "gini"] > 0.7
+
+
+def test_winsorized_mean_clips(tmp_path):
+    from cheque_ocr_project_ray.relational.analytics_extra import \
+        events_value_winsorized
+    # one huge outlier: the winsorized mean must sit far below the
+    # arithmetic mean
+    vals = [10.0] * 19 + [10000.0]
+    _events(tmp_path, vals)
+    out = events_value_winsorized(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    assert out["winsorized_mean"].iloc[0] < 600.0
+    assert out["p95"].iloc[0] < 10000.0
+
+
+def test_session_stats_numbering(tmp_path):
+    from cheque_ocr_project_ray.relational.analytics_extra import \
+        events_session_stats
+    ts = pd.to_datetime([
+        "2024-01-01 00:00", "2024-01-01 00:10",   # session 1 (2 events)
+        "2024-01-01 02:00",                        # session 2 (gap > 30m)
+        "2024-01-01 02:20", "2024-01-01 02:40"])   # still session 2
+    _events(tmp_path, [1.0, 2.0, 4.0, 8.0, 16.0], ts=ts)
+    out = events_session_stats(str(tmp_path)).to_pandas() \
+        .sort_values("session_id").reset_index(drop=True)
+    assert list(out["session_id"]) == [1, 2]
+    assert list(out["n_events"]) == [2, 3]
+    assert np.allclose(out["sum_value"], [3.0, 28.0])
+    assert np.allclose(out["duration_s"], [600.0, 2400.0])
+
+
+def test_benford_uniform_digits(tmp_path):
+    from cheque_ocr_project_ray.relational.analytics_extra import \
+        events_benford
+    # 9 values with distinct leading digits, one each
+    _events(tmp_path, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0])
+    out = events_benford(str(tmp_path)).to_pandas()
+    assert list(out["digit"]) == list(range(1, 10))
+    assert (out["n"] == 1).all()
+    assert np.isclose(out["benford_p"].sum(), 1.0, atol=1e-4)
+
+
+def test_supplier_scorecard_distincts(tmp_path):
+    from cheque_ocr_project_ray.relational.tpch_extra import \
+        supplier_scorecard
+    d0 = pd.to_datetime("1996-01-01")
+    pd.DataFrame({
+        "o_orderkey": [1, 2],
+        "o_orderdate": [d0, d0],
+        "o_custkey": 0, "o_orderstatus": "F",
+        "o_totalprice": 1.0, "o_orderpriority": "1-URGENT",
+    }).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame({
+        # supplier 7: 3 items over 2 distinct parts, 1 late
+        "l_orderkey": [1, 1, 2],
+        "l_suppkey": [7, 7, 7],
+        "l_partkey": [100, 100, 200],
+        "l_shipdate": [d0 + pd.Timedelta(days=10),
+                       d0 + pd.Timedelta(days=100),
+                       d0 + pd.Timedelta(days=20)],
+        "l_extendedprice": [10.0, 20.0, 30.0],
+        "l_discount": [0.0, 0.0, 0.5],
+    }).to_parquet(tmp_path / "lineitem.parquet")
+    pd.DataFrame({
+        "s_suppkey": [7], "s_name": ["s7"],
+        "s_nationkey": 0, "s_acctbal": 0.0,
+    }).to_parquet(tmp_path / "supplier.parquet")
+    out = supplier_scorecard(str(tmp_path)).to_pandas()
+    assert list(out["n_items"]) == [3]
+    assert list(out["n_parts"]) == [2]
+    assert np.allclose(out["revenue"], [10.0 + 20.0 + 15.0])
+    assert np.allclose(out["late_rate"], [1 / 3], atol=1e-6)
