@@ -595,8 +595,10 @@ def customer_rfm(sf_dir: str, np_: int = 0):
     with fixed deterministic thresholds.  One combiner pass emits
     per-customer (count, exact cents, latest-order) partials — the
     max-merge rides the min-reducer on the negated timestamp — and
-    the bounded-adaptive driver merge resolves them (customer-keyed;
-    the distributed groupby remains the unbounded fallback)."""
+    merge bounded-adaptively: one driver Arrow group_by while the
+    partial stream fits, a REAL distributed groupby (Sum+Min
+    aggregates) past the bound, with only the global max-date and the
+    final vectorized segmentation on the driver/finish side."""
     from cheque_ocr_project_ray.util import collect_table
     import ray.data as _rd
 
@@ -613,33 +615,48 @@ def customer_rfm(sf_dir: str, np_: int = 0):
             [("n", "sum"), ("cents", "sum"), ("neg_last", "min")])
         return g.rename_columns(["c_custkey", "n", "cents", "neg_last"])
 
-    t = collect_table(
-        ds.map_batches(partial, batch_format="pyarrow").materialize())
     empty = pa.table({"c_custkey": pa.array([], pa.int64()),
                       "n_orders": pa.array([], pa.int64()),
                       "monetary": pa.array([], pa.float64()),
                       "recency_days": pa.array([], pa.int64()),
                       "segment": pa.array([], pa.string())})
-    if t is None or t.num_rows == 0:
+    part = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if part.count() <= 2_000_000:
+        t = collect_table(part)
+        if t is None or t.num_rows == 0:
+            return _rd.from_arrow(empty)
+        g = t.group_by("c_custkey").aggregate(
+            [("n", "sum"), ("cents", "sum"), ("neg_last", "min")])
+        merged = _rd.from_arrow(g.rename_columns(
+            ["c_custkey", "n", "cents", "neg_last"]))
+    else:
+        from ray.data.aggregate import Min, Sum
+        merged = part.groupby("c_custkey",
+                              num_partitions=np_ or None).aggregate(
+            Sum("n", alias_name="n"), Sum("cents", alias_name="cents"),
+            Min("neg_last", alias_name="neg_last"))
+    mx = merged.min("neg_last")
+    if mx is None:
         return _rd.from_arrow(empty)
-    g = t.group_by("c_custkey").aggregate(
-        [("n", "sum"), ("cents", "sum"), ("neg_last", "min")])
-    cust = g.column("c_custkey").to_numpy(zero_copy_only=False)
-    n = g.column("n_sum").to_numpy(zero_copy_only=False)
-    cents = g.column("cents_sum").to_numpy(zero_copy_only=False)
-    last_us = -g.column("neg_last_min").to_numpy(zero_copy_only=False)
-    max_us = int(last_us.max())
-    recency = (max_us - last_us) // _DAY_US
-    seg = np.where(
-        (recency <= 180) & (n >= 12), "champion",
-        np.where(recency <= 180, "active",
-                 np.where(recency <= 540, "cooling", "lapsed")))
-    return _rd.from_arrow(pa.table({
-        "c_custkey": pa.array(cust, pa.int64()),
-        "n_orders": pa.array(n, pa.int64()),
-        "monetary": pa.array(cents / 100.0, pa.float64()),
-        "recency_days": pa.array(recency, pa.int64()),
-        "segment": pa.array(seg.tolist(), pa.string())}))
+    max_us = -int(mx)
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        cents = b.column("cents").to_numpy(zero_copy_only=False)
+        last_us = -b.column("neg_last").to_numpy(zero_copy_only=False)
+        recency = (max_us - last_us) // _DAY_US
+        seg = np.where(
+            (recency <= 180) & (n >= 12), "champion",
+            np.where(recency <= 180, "active",
+                     np.where(recency <= 540, "cooling", "lapsed")))
+        return pa.table({
+            "c_custkey": b.column("c_custkey"),
+            "n_orders": pa.array(n, pa.int64()),
+            "monetary": pa.array(cents / 100.0, pa.float64()),
+            "recency_days": pa.array(recency, pa.int64()),
+            "segment": pa.array(seg.tolist(), pa.string())})
+
+    return merged.map_batches(finish, batch_format="pyarrow")
 
 
 CUSTOMER_RFM_SQL = """
