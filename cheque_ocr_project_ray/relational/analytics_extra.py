@@ -590,7 +590,8 @@ FROM y
 
 
 @_hash_shuffled
-def customer_rfm(sf_dir: str, np_: int = 0):
+def customer_rfm(sf_dir: str, np_: int = 0,
+                 bound: int = 2_000_000):
     """RFM (recency / frequency / monetary) customer segmentation
     with fixed deterministic thresholds.  One combiner pass emits
     per-customer (count, exact cents, latest-order) partials — the
@@ -621,7 +622,7 @@ def customer_rfm(sf_dir: str, np_: int = 0):
                       "recency_days": pa.array([], pa.int64()),
                       "segment": pa.array([], pa.string())})
     part = ds.map_batches(partial, batch_format="pyarrow").materialize()
-    if part.count() <= 2_000_000:
+    if part.count() <= bound:
         t = collect_table(part)
         if t is None or t.num_rows == 0:
             return _rd.from_arrow(empty)

@@ -106,3 +106,26 @@ def test_supplier_scorecard_distincts(tmp_path):
     assert list(out["n_parts"]) == [2]
     assert np.allclose(out["revenue"], [10.0 + 20.0 + 15.0])
     assert np.allclose(out["late_rate"], [1 / 3], atol=1e-6)
+
+
+def test_customer_rfm_path_parity(tmp_path):
+    """The distributed Sum+Min fallback must produce exactly the
+    bounded driver path's result (bound=0 forces the fallback)."""
+    from cheque_ocr_project_ray.relational.analytics_extra import \
+        customer_rfm
+    rng = np.random.default_rng(13)
+    n = 400
+    pd.DataFrame({
+        "o_orderkey": np.arange(n),
+        "o_custkey": rng.integers(0, 40, n),
+        "o_orderstatus": "O",
+        "o_orderdate": pd.to_datetime("1999-01-01")
+        + pd.to_timedelta(rng.integers(0, 900, n), unit="D"),
+        "o_totalprice": rng.uniform(10, 900, n).round(2),
+        "o_orderpriority": "1-URGENT",
+    }).to_parquet(tmp_path / "orders.parquet")
+    a = customer_rfm(str(tmp_path)).to_pandas() \
+        .sort_values("c_custkey").reset_index(drop=True)
+    b = customer_rfm(str(tmp_path), bound=0).to_pandas() \
+        .sort_values("c_custkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
