@@ -973,12 +973,14 @@ GROUP BY t.ta, t.tb
 
 
 @_hash_shuffled
-def events_user_entropy(sf_dir: str, np_: int = 0):
+def events_user_entropy(sf_dir: str, np_: int = 0,
+                        bound: int = 2_000_000):
     """Shannon entropy of each user's event-type distribution — the
     behavioral-diversity signal.  Per-(user, type) counts reduce
-    through the combiner; the entropy fold runs vectorized over the
-    (user×type-bounded) merged table on the driver (distributed
-    groupby is the unbounded fallback)."""
+    through the combiner; within ``bound`` the entropy fold runs
+    vectorized on the driver; past it the fold moves into a
+    distributed groupby(user).map_groups over the already-reduced
+    (user, type, n) rows (≤ |types| rows per group)."""
     from cheque_ocr_project_ray.util import collect_table
     import ray.data as _rd
 
@@ -992,28 +994,44 @@ def events_user_entropy(sf_dir: str, np_: int = 0):
             [("n", "sum")])
         return g.rename_columns(["user_id", "event_type", "n"])
 
-    t = collect_table(final_merge_sums(
+    merged = final_merge_sums(
         ds.map_batches(partial, batch_format="pyarrow"),
-        ["user_id", "event_type"], ["n"], np_=np_).materialize())
+        ["user_id", "event_type"], ["n"], np_=np_).materialize()
     empty = pa.table({"user_id": pa.array([], pa.int64()),
                       "n_events": pa.array([], pa.int64()),
                       "n_types": pa.array([], pa.int64()),
                       "entropy": pa.array([], pa.float64())})
-    if t is None or t.num_rows == 0:
-        return _rd.from_arrow(empty)
-    uid = t.column("user_id").to_numpy(zero_copy_only=False)
-    n = t.column("n").to_numpy(zero_copy_only=False)
-    users, codes = np.unique(uid, return_inverse=True)
-    totals = np.bincount(codes, weights=n.astype(np.float64))
-    n_types = np.bincount(codes)
-    p = n / totals[codes]
-    terms = p * np.log(p)
-    ent = -np.bincount(codes, weights=terms)
-    return _rd.from_arrow(pa.table({
-        "user_id": pa.array(users, pa.int64()),
-        "n_events": pa.array(totals.astype(np.int64), pa.int64()),
-        "n_types": pa.array(n_types.astype(np.int64), pa.int64()),
-        "entropy": pa.array(round_half_up(ent, 6), pa.float64())}))
+    if merged.count() <= bound:
+        t = collect_table(merged)
+        if t is None or t.num_rows == 0:
+            return _rd.from_arrow(empty)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        users, codes = np.unique(uid, return_inverse=True)
+        totals = np.bincount(codes, weights=n.astype(np.float64))
+        n_types = np.bincount(codes)
+        p = n / totals[codes]
+        terms = p * np.log(p)
+        ent = -np.bincount(codes, weights=terms)
+        return _rd.from_arrow(pa.table({
+            "user_id": pa.array(users, pa.int64()),
+            "n_events": pa.array(totals.astype(np.int64), pa.int64()),
+            "n_types": pa.array(n_types.astype(np.int64), pa.int64()),
+            "entropy": pa.array(round_half_up(ent, 6), pa.float64())}))
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        n = group["n"].to_numpy(np.float64)
+        total = n.sum()
+        p = n / total
+        return pd.DataFrame({
+            "user_id": [group["user_id"].iloc[0]],
+            "n_events": [np.int64(total)],
+            "n_types": [len(group)],
+            "entropy": [float(round_half_up(-(p * np.log(p)).sum(),
+                                            6))]})
+
+    return merged.groupby("user_id", num_partitions=np_).map_groups(
+        fold, batch_format="pandas")
 
 
 EVENTS_ENTROPY_SQL = """

@@ -129,3 +129,17 @@ def test_customer_rfm_path_parity(tmp_path):
     b = customer_rfm(str(tmp_path), bound=0).to_pandas() \
         .sort_values("c_custkey").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_entropy_path_parity(tmp_path):
+    from cheque_ocr_project_ray.relational.analytics_extra import \
+        events_user_entropy
+    rng = np.random.default_rng(17)
+    _events(tmp_path, rng.uniform(1, 10, 300).round(2),
+            users=rng.integers(0, 12, 300),
+            types=rng.choice(["a", "b", "c"], 300).tolist())
+    a = events_user_entropy(str(tmp_path)).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    b = events_user_entropy(str(tmp_path), bound=0).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
