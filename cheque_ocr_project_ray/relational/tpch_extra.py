@@ -396,12 +396,14 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
 
 # --- Q15: top supplier(s) by windowed revenue --------------------------
 @_hash_shuffled
-def q15_top_supplier(sf_dir: str, np_: int = 0):
+def q15_top_supplier(sf_dir: str, np_: int = 0,
+                     bound: int = 2_000_000):
     """TPC-H Q15: revenue per supplier over one quarter; keep the
     max-revenue supplier(s), ties included.  Exact integer money units
-    make the max/tie comparison deterministic.  The per-supplier
-    aggregate is supplier-bounded, so the argmax runs on the driver
-    over the merged (small) table."""
+    make the max/tie comparison deterministic.  Within ``bound`` the
+    argmax runs on the driver; past it the global max comes from a
+    distributed aggregate and the tie filter runs distributed too —
+    only the (tiny) tie set is ever collected."""
     lo, hi = _ts_us(1996, 1, 1), _ts_us(1996, 4, 1)
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -419,14 +421,22 @@ def q15_top_supplier(sf_dir: str, np_: int = 0):
         .map_batches(partial, batch_format="pyarrow"),
         ["l_suppkey"], ["du"], np_=np_)
 
-    t = collect_table(agg.materialize())
+    agg = agg.materialize()
     empty = pa.table({"s_suppkey": pa.array([], pa.int64()),
                       "s_name": pa.array([], pa.string()),
                       "total_revenue": pa.array([], pa.float64())})
-    if t is None or t.num_rows == 0:
-        return ray.data.from_arrow(empty)
-    mx = pc.max(t.column("du"))
-    best = t.filter(pc.equal(t.column("du"), mx))
+    if agg.count() <= bound:
+        t = collect_table(agg)
+        if t is None or t.num_rows == 0:
+            return ray.data.from_arrow(empty)
+        mx = pc.max(t.column("du"))
+        best = t.filter(pc.equal(t.column("du"), mx))
+    else:
+        mx_val = agg.max("du")
+        best = collect_table(agg.filter(
+            expr=f"du == {int(mx_val)}").materialize())
+        if best is None or best.num_rows == 0:
+            return ray.data.from_arrow(empty)
     supplier = pq.read_table(str(Path(sf_dir) / "supplier.parquet"),
                              columns=["s_suppkey", "s_name"])
     out = best.rename_columns(["s_suppkey", "du"]).join(
@@ -968,19 +978,22 @@ def order_size_histogram(sf_dir: str, np_: int = 0):
         g = t.group_by("l_orderkey").aggregate([("n", "sum")])
         return g.rename_columns(["l_orderkey", "n"])
 
-    per_order = collect_table(final_merge_sums(
+    per_order = final_merge_sums(
         ds.map_batches(partial, batch_format="pyarrow"),
-        ["l_orderkey"], ["n"], np_=np_).materialize())
-    empty = pa.table({"order_size": pa.array([], pa.int64()),
-                      "n_orders": pa.array([], pa.int64())})
-    if per_order is None or per_order.num_rows == 0:
-        return _rd.from_arrow(empty)
-    sizes, counts = np.unique(
-        per_order.column("n").to_numpy(zero_copy_only=False),
-        return_counts=True)
-    return _rd.from_arrow(pa.table({
-        "order_size": pa.array(sizes, pa.int64()),
-        "n_orders": pa.array(counts.astype(np.int64), pa.int64())}))
+        ["l_orderkey"], ["n"], np_=np_)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"order_size": batch.column("n"),
+                      "n_orders": pa.array(np.ones(batch.num_rows,
+                                                   np.int64))})
+        g = t.group_by("order_size").aggregate([("n_orders", "sum")])
+        return g.rename_columns(["order_size", "n_orders"])
+
+    # second merge keyed by the SIZE (tiny domain): the histogram
+    # never needs the per-order table on the driver at any scale
+    return final_merge_sums(
+        per_order.map_batches(hist_partial, batch_format="pyarrow"),
+        ["order_size"], ["n_orders"], np_=np_)
 
 
 ORDER_SIZE_HISTOGRAM_SQL = """

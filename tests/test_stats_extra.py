@@ -143,3 +143,23 @@ def test_entropy_path_parity(tmp_path):
     b = events_user_entropy(str(tmp_path), bound=0).to_pandas() \
         .sort_values("user_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_q15_distributed_max_path(tmp_path):
+    from cheque_ocr_project_ray.relational.tpch_extra import \
+        q15_top_supplier
+    li = pd.DataFrame({
+        "l_suppkey": [1, 2, 2, 3],
+        "l_shipdate": pd.to_datetime(["1996-02-01"] * 4),
+        "l_extendedprice": [100.0, 60.0, 40.0, 50.0],
+        "l_discount": [0.0] * 4})
+    sup = pd.DataFrame({"s_suppkey": [1, 2, 3],
+                        "s_name": ["s1", "s2", "s3"],
+                        "s_nationkey": 0, "s_acctbal": 0.0})
+    li.to_parquet(tmp_path / "lineitem.parquet")
+    sup.to_parquet(tmp_path / "supplier.parquet")
+    a = q15_top_supplier(str(tmp_path)).to_pandas()
+    b = q15_top_supplier(str(tmp_path), bound=0).to_pandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert sorted(a["s_suppkey"]) == [1, 2]   # tie at 100.0
