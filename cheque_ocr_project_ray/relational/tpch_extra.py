@@ -1011,8 +1011,10 @@ def supplier_scorecard(sf_dir: str, np_: int = 0):
     """Multi-metric supplier profile in one pass over the joined fact
     stream: exact revenue, item count, DISTINCT part count (two-stage
     dedup), and late-shipment rate (>75 days after the order date).
-    One partitioned hash join feeds two combiner reductions; supplier
-    names decorate the (supplier-bounded) result on the driver."""
+    One partitioned hash join feeds two combiner reductions (the
+    distinct-part stream reduces to one count per supplier through a
+    second merge — the raw pair stream never hits the driver);
+    supplier names decorate the (supplier-bounded) result."""
     from cheque_ocr_project_ray.util import collect_table
     import ray.data as _rd
 
@@ -1057,9 +1059,19 @@ def supplier_scorecard(sf_dir: str, np_: int = 0):
             [("one", "min")])
         return g.rename_columns(["l_suppkey", "l_partkey", "one"])
 
-    pairs = collect_table(final_merge_min(
+    distinct_pairs = final_merge_min(
         joined.map_batches(pair_partial, batch_format="pyarrow"),
-        ["l_suppkey", "l_partkey"], ["one"], np_=np_).materialize())
+        ["l_suppkey", "l_partkey"], ["one"], np_=np_)
+
+    def count_parts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("l_suppkey").aggregate([("one", "sum")])
+        return g.rename_columns(["l_suppkey", "n_parts"])
+
+    # the (supplier, part) stream never hits the driver: a second
+    # supplier-keyed merge reduces it to one count per supplier
+    pairs = collect_table(final_merge_sums(
+        distinct_pairs.map_batches(count_parts, batch_format="pyarrow"),
+        ["l_suppkey"], ["n_parts"], np_=np_).materialize())
 
     empty = pa.table({"s_suppkey": pa.array([], pa.int64()),
                       "s_name": pa.array([], pa.string()),
@@ -1070,7 +1082,7 @@ def supplier_scorecard(sf_dir: str, np_: int = 0):
     if metrics is None or metrics.num_rows == 0:
         return _rd.from_arrow(empty)
     mdf = metrics.to_pandas()
-    np_counts = pairs.to_pandas().groupby("l_suppkey").size() \
+    np_counts = pairs.to_pandas().set_index("l_suppkey")["n_parts"] \
         if pairs is not None else pd.Series(dtype="int64")
     mdf["n_parts"] = mdf["l_suppkey"].map(np_counts).fillna(0) \
         .astype(np.int64)
