@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "q10_returned_revenue",    # hash join + per-key top-k
     "events_range_join",       # banded non-equi interval join
     "ann_range_search",        # radius search (streaming GEMM filter)
+    "supplier_scorecard",      # entity-360 multi-metric join profile
+    "doc_bm25_topk",           # two-pass ranked retrieval
 ]
 
 
