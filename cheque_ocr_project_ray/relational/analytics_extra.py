@@ -1475,8 +1475,60 @@ GROUP BY e.event_type
 """
 
 
+def _type_value_rollup(ds, np_):
+    """(event_type → count, exact value sum) over any events stream —
+    shared by the multi-format readers so format parity is checked by
+    the SAME aggregate."""
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "n_events": pa.array(np.ones(batch.num_rows,
+                                                   np.int64)),
+                      "cents": money_units(batch.column("value"))})
+        g = t.group_by("event_type").aggregate(
+            [("n_events", "sum"), ("cents", "sum")])
+        return g.rename_columns(["event_type", "n_events", "cents"])
+
+    agg = final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], ["n_events", "cents"], np_=np_)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_value"] = b["cents"] / 100.0
+        return b.drop(columns=["cents"])
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+_FORMAT_ROLLUP_SQL = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@_hash_shuffled
+def events_csv_roundtrip(sf_dir: str, np_: int = 0):
+    """The events stream ingested from CSV (ray.data.read_csv +
+    schema normalization) — the oracle runs on the PARQUET table, so
+    a green row proves the CSV reader path is byte-equivalent to the
+    parquet path."""
+    from cheque_ocr_project_ray.sources.formats import read_events_csv
+    return _type_value_rollup(read_events_csv(sf_dir), np_)
+
+
+@_hash_shuffled
+def events_jsonl_roundtrip(sf_dir: str, np_: int = 0):
+    """Same parity check for JSON-lines ingestion
+    (ray.data.read_json)."""
+    from cheque_ocr_project_ray.sources.formats import read_events_jsonl
+    return _type_value_rollup(read_events_jsonl(sf_dir), np_)
+
+
 def analytics_extra_queries():
     return {
+        "events_csv_roundtrip": events_csv_roundtrip,
+        "events_jsonl_roundtrip": events_jsonl_roundtrip,
         "orders_pareto": orders_pareto,
         "events_value_gini": events_value_gini,
         "events_value_means": events_value_means,
@@ -1527,4 +1579,6 @@ def analytics_extra_oracle_sql():
         "orders_monthly_dense": ORDERS_MONTHLY_DENSE_SQL,
         "events_session_stats": EVENTS_SESSION_STATS_SQL,
         "events_value_winsorized": EVENTS_WINSORIZED_SQL,
+        "events_csv_roundtrip": _FORMAT_ROLLUP_SQL,
+        "events_jsonl_roundtrip": _FORMAT_ROLLUP_SQL,
     }
