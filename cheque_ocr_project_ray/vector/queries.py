@@ -177,6 +177,67 @@ FROM n GROUP BY label
 """
 
 
+def embedding_covariance(sf_dir: str):
+    """Full dimension×dimension covariance matrix of the embedding
+    space (upper triangle, long form) — the PCA / whitening
+    prerequisite.  Each block contributes one GEMM (XᵀX) plus a
+    column-sum; the 2080 partial rows per block merge through the
+    bounded-adaptive path.  Same moment identity and 6dp rounding as
+    the grouped covariance family (events_hour_value_stats)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from cheque_ocr_project_ray.util import (final_merge_sums,
+                                             round_half_up)
+    from cheque_ocr_project_ray.vector.ann import _table_matrix
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _table_matrix(batch)
+        d = m.shape[1]
+        s1 = m.sum(axis=0)
+        s2 = m.T @ m
+        iu, ju = np.triu_indices(d)
+        return pa.table({
+            "i": pa.array(iu.astype(np.int64)),
+            "j": pa.array(ju.astype(np.int64)),
+            "sxy": pa.array(s2[iu, ju], pa.float64()),
+            "sx": pa.array(s1[iu], pa.float64()),
+            "sy": pa.array(s1[ju], pa.float64()),
+            "n": pa.array(np.full(len(iu), len(m), np.int64))})
+
+    agg = final_merge_sums(
+        _emb(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        ["i", "j"], ["sxy", "sx", "sy", "n"])
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].astype(np.float64)
+        cov = b["sxy"] / n - (b["sx"] / n) * (b["sy"] / n)
+        return pd.DataFrame({"i": b["i"], "j": b["j"],
+                             "cov": round_half_up(cov, 6)})
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+EMBEDDING_COVARIANCE_SQL = """
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+d AS (
+  SELECT unnest(list_transform(v, (x, i) -> struct_pack(i := i,
+                                                        x := x))) AS u,
+         v
+  FROM e),
+p AS (
+  SELECT d.u.i - 1 AS i, d.u.x AS xi, t.w.i - 1 AS j, t.w.x AS xj
+  FROM d, LATERAL unnest(list_transform(d.v,
+           (y, k) -> struct_pack(i := k, x := y))) AS t(w)
+  WHERE d.u.i <= t.w.i)
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       round(sum(xi * xj) / count(*)
+             - (sum(xi) / count(*)) * (sum(xj) / count(*)), 6) AS cov
+FROM p GROUP BY i, j
+"""
+
+
 RECALL_PROBES = 4
 
 
@@ -489,6 +550,7 @@ def vector_queries() -> dict[str, Callable]:
         "ann_range_search": ann_range_search,
         "ann_filtered_topk": ann_filtered_topk,
         "ann_recall_eval": ann_recall_eval,
+        "embedding_covariance": embedding_covariance,
         "embedding_norm_stats": embedding_norm_stats,
         "embedding_quantize_error": embedding_quantize_error,
         "ann_lsh_topk": ann_lsh_topk,
@@ -506,6 +568,7 @@ def vector_oracle_sql() -> dict[str, str]:
         "ann_knn_join": KNN_JOIN_SQL,
         "ann_range_search": RANGE_SEARCH_SQL,
         "ann_filtered_topk": ANN_FILTERED_SQL,
+        "embedding_covariance": EMBEDDING_COVARIANCE_SQL,
         "embedding_norm_stats": NORM_STATS_SQL,
         "embedding_quantize_error": QUANTIZE_ERROR_SQL,
         "embedding_neardup": NEARDUP_SQL,
