@@ -238,6 +238,104 @@ FROM p GROUP BY i, j
 """
 
 
+PCA_ROUNDS = 4
+
+
+def embedding_pca_top(sf_dir: str):
+    """Top principal component by FIXED-round power iteration (like
+    the fixed-round k-means): the covariance matrix reduces from
+    per-block GEMM partials, then 4 deterministic matvec+normalize
+    rounds from the uniform seed run on the (dim²-sized) driver
+    matrix.  The SQL twin unrolls the same rounds over the long-form
+    covariance — measured drift between the engines is ~1e-16, far
+    inside the 6dp output rounding.  No sign ambiguity: both engines
+    run the identical iteration from the identical all-positive
+    seed."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_sums,
+                                             round_half_up)
+    from cheque_ocr_project_ray.vector.ann import _table_matrix
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _table_matrix(batch)
+        d = m.shape[1]
+        s1 = m.sum(axis=0)
+        s2 = m.T @ m
+        iu, ju = np.triu_indices(d)
+        return pa.table({
+            "i": pa.array(iu.astype(np.int64)),
+            "j": pa.array(ju.astype(np.int64)),
+            "sxy": pa.array(s2[iu, ju], pa.float64()),
+            "n": pa.array(np.full(len(iu), len(m), np.int64)),
+            "sx": pa.array(s1[iu], pa.float64()),
+            "sy": pa.array(s1[ju], pa.float64())})
+
+    t = collect_table(final_merge_sums(
+        _emb(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        ["i", "j"], ["sxy", "n", "sx", "sy"]).materialize())
+    if t is None or t.num_rows == 0:
+        return pd.DataFrame({"dim": pd.Series([], dtype="int64"),
+                             "loading": pd.Series([], dtype="float64"),
+                             "eigval": pd.Series([], dtype="float64")})
+    df = t.to_pandas()
+    d = int(df["i"].max()) + 1
+    C = np.zeros((d, d))
+    n = df["n"].to_numpy(np.float64)
+    cov = df["sxy"] / n - (df["sx"] / n) * (df["sy"] / n)
+    C[df["i"], df["j"]] = cov
+    C[df["j"], df["i"]] = cov
+    v = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(PCA_ROUNDS):
+        w = C @ v
+        norm = np.sqrt((w * w).sum())
+        v = w / norm
+    return pd.DataFrame({"dim": np.arange(d, dtype=np.int64),
+                         "loading": round_half_up(v, 6),
+                         "eigval": round_half_up(
+                             np.full(d, norm), 6)})
+
+
+def _pca_sql() -> str:
+    rounds = []
+    prev = "v0"
+    for r in range(1, PCA_ROUNDS + 1):
+        rounds.append(f"""
+w{r} AS (
+  SELECT c.i, sum(c.cov * {prev}.val) AS w
+  FROM c JOIN {prev} ON {prev}.i = c.j GROUP BY c.i),
+n{r} AS (SELECT sqrt(sum(w * w)) AS nn FROM w{r}),
+v{r} AS (SELECT i, w / nn AS val FROM w{r}, n{r})""")
+        prev = f"v{r}"
+    return f"""
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+d AS (
+  SELECT unnest(list_transform(v, (x, i) -> struct_pack(i := i,
+                                                        x := x))) AS u,
+         v
+  FROM e),
+p AS (
+  SELECT d.u.i - 1 AS i, d.u.x AS xi, t.w.i - 1 AS j, t.w.x AS xj
+  FROM d, LATERAL unnest(list_transform(d.v,
+           (y, k) -> struct_pack(i := k, x := y))) AS t(w)),
+c AS (
+  SELECT i, j,
+         sum(xi * xj) / count(*)
+         - (sum(xi) / count(*)) * (sum(xj) / count(*)) AS cov
+  FROM p GROUP BY i, j),
+dims AS (SELECT count(DISTINCT i) AS d FROM c),
+v0 AS (SELECT DISTINCT i, 1.0 / sqrt(dims.d) AS val FROM c, dims),
+{",".join(rounds)}
+SELECT CAST(v{PCA_ROUNDS}.i AS BIGINT) AS dim,
+       round(v{PCA_ROUNDS}.val, 6) AS loading,
+       round((SELECT nn FROM n{PCA_ROUNDS}), 6) AS eigval
+FROM v{PCA_ROUNDS}
+"""
+
+
 RECALL_PROBES = 4
 
 
@@ -551,6 +649,7 @@ def vector_queries() -> dict[str, Callable]:
         "ann_filtered_topk": ann_filtered_topk,
         "ann_recall_eval": ann_recall_eval,
         "embedding_covariance": embedding_covariance,
+        "embedding_pca_top": embedding_pca_top,
         "embedding_norm_stats": embedding_norm_stats,
         "embedding_quantize_error": embedding_quantize_error,
         "ann_lsh_topk": ann_lsh_topk,
@@ -569,6 +668,7 @@ def vector_oracle_sql() -> dict[str, str]:
         "ann_range_search": RANGE_SEARCH_SQL,
         "ann_filtered_topk": ANN_FILTERED_SQL,
         "embedding_covariance": EMBEDDING_COVARIANCE_SQL,
+        "embedding_pca_top": _pca_sql(),
         "embedding_norm_stats": NORM_STATS_SQL,
         "embedding_quantize_error": QUANTIZE_ERROR_SQL,
         "embedding_neardup": NEARDUP_SQL,
