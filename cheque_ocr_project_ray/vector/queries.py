@@ -336,6 +336,55 @@ FROM v{PCA_ROUNDS}
 """
 
 
+def embedding_pca_scores(sf_dir: str):
+    """Apply the fitted top component: each vector's projection onto
+    PC1 — fit on the driver (64-dim vector), broadcast, one GEMV per
+    block.  The fit→transform pattern every feature pipeline uses."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+
+    from cheque_ocr_project_ray.util import map_pool, round_half_up
+    from cheque_ocr_project_ray.vector.ann import _table_matrix
+
+    fit = embedding_pca_top(sf_dir)
+    v = fit.sort_values("dim")["loading"].to_numpy(np.float64) \
+        if len(fit) else np.array([])
+    v_ref = ray.put(v)
+
+    class Project:
+        def __init__(self):
+            self.v = ray.get(v_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _table_matrix(batch)
+            return pa.table({
+                "vec_id": batch.column("vec_id"),
+                "pc1": pa.array(round_half_up(m @ self.v, 6),
+                                pa.float64())})
+
+    return _emb(sf_dir).map_batches(Project, batch_format="pyarrow",
+                                    concurrency=(1, map_pool()))
+
+
+def _pca_scores_sql() -> str:
+    """Project every embedding onto the SQL-fitted (ROUNDED, the same
+    values the engine broadcast) component."""
+    return f"""
+WITH fit AS ({_pca_sql()}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+x AS (
+  SELECT vec_id, t.u.i - 1 AS dim, t.u.x AS x
+  FROM e, LATERAL unnest(list_transform(e.v,
+           (y, k) -> struct_pack(i := k, x := y))) AS t(u))
+SELECT x.vec_id, round(sum(x.x * fit.loading), 6) AS pc1
+FROM x JOIN fit USING (dim)
+GROUP BY x.vec_id
+"""
+
+
 RECALL_PROBES = 4
 
 
@@ -650,6 +699,7 @@ def vector_queries() -> dict[str, Callable]:
         "ann_recall_eval": ann_recall_eval,
         "embedding_covariance": embedding_covariance,
         "embedding_pca_top": embedding_pca_top,
+        "embedding_pca_scores": embedding_pca_scores,
         "embedding_norm_stats": embedding_norm_stats,
         "embedding_quantize_error": embedding_quantize_error,
         "ann_lsh_topk": ann_lsh_topk,
@@ -669,6 +719,7 @@ def vector_oracle_sql() -> dict[str, str]:
         "ann_filtered_topk": ANN_FILTERED_SQL,
         "embedding_covariance": EMBEDDING_COVARIANCE_SQL,
         "embedding_pca_top": _pca_sql(),
+        "embedding_pca_scores": _pca_scores_sql(),
         "embedding_norm_stats": NORM_STATS_SQL,
         "embedding_quantize_error": QUANTIZE_ERROR_SQL,
         "embedding_neardup": NEARDUP_SQL,
