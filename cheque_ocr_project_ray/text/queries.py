@@ -1469,6 +1469,70 @@ WHERE s.score > t.thr
 """
 
 
+HASH_DIMS = 64
+
+
+def doc_feature_hashing(sf_dir: str):
+    """The hashing trick: every doc becomes a signed-count vector in
+    a fixed 64-dim space (dim = md5(token) mod 64, sign from an
+    independent hash bit) — the vectorizer that needs NO vocabulary
+    pass and therefore no shuffle at all.  Long-form output
+    (doc_id, dim, weight) with EXACT integer weights; the word hash
+    is the proven md5_number_lower convention, so the whole op has a
+    pure-SQL oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cheque_ocr_project_ray.text.dedup import _stable64
+
+    def vectorize(batch: pa.Table) -> pa.Table:
+        toks = analysis._token_lists(batch.column("text"))
+        flat = pc.list_flatten(toks).combine_chunks()
+        n = batch.num_rows
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        parent = np.repeat(np.arange(n), lens)
+        words = flat.to_numpy(zero_copy_only=False)
+        keep = words != ""          # SQL's list_filter(x -> x <> '')
+        words, parent = words[keep], parent[keep]
+        if len(words) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "weight": pa.array([], pa.int64())})
+        h = np.fromiter((_stable64(w) for w in words),
+                        dtype=np.uint64, count=len(words))
+        dim = (h % HASH_DIMS).astype(np.int64)
+        sign = (((h >> np.uint64(6)) & np.uint64(1)).astype(np.int64)
+                * 2 - 1)
+        acc = np.zeros(n * HASH_DIMS, np.int64)
+        np.add.at(acc, parent * HASH_DIMS + dim, sign)
+        nz = np.flatnonzero(acc)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[nz // HASH_DIMS], pa.int64()),
+            "dim": pa.array(nz % HASH_DIMS, pa.int64()),
+            "weight": pa.array(acc[nz], pa.int64())})
+
+    return _docs(sf_dir).map_batches(vectorize, batch_format="pyarrow")
+
+
+FEATURE_HASHING_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+h AS (SELECT doc_id, md5_number_lower(tok) AS h FROM w),
+g AS (
+  SELECT doc_id, CAST(h % {HASH_DIMS} AS BIGINT) AS dim,
+         CAST(sum(CASE WHEN (h // 64) % 2 = 1 THEN 1 ELSE -1 END)
+              AS BIGINT) AS weight
+  FROM h GROUP BY doc_id, dim)
+SELECT doc_id, dim, weight FROM g WHERE weight <> 0
+"""
+
+
 JSD_SRC_A, JSD_SRC_B = "src0", "src1"
 
 
@@ -1698,6 +1762,7 @@ def text_queries() -> dict[str, Callable]:
         "doc_bm25_topk": doc_bm25_topk,
         "doc_source_jsd": doc_source_jsd,
         "doc_quality_filter_p75": doc_quality_filter_p75,
+        "doc_feature_hashing": doc_feature_hashing,
     }
 
 
@@ -1739,6 +1804,7 @@ def text_oracle_sql() -> dict[str, str]:
         "doc_bigram_logprob": BIGRAM_LOGPROB_SQL,
         "doc_bm25_topk": BM25_TOPK_SQL,
         "doc_source_jsd": SOURCE_JSD_SQL,
+        "doc_feature_hashing": FEATURE_HASHING_SQL,
         "doc_quality_filter_p75": QUALITY_FILTER_P75_SQL.format(
             QUALITY=QUALITY_SQL, W0=analysis.QUALITY_W[0],
             W1=analysis.QUALITY_W[1], W2=analysis.QUALITY_W[2],
