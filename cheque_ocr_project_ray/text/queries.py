@@ -1533,6 +1533,111 @@ SELECT doc_id, dim, weight FROM g WHERE weight <> 0
 """
 
 
+HASH_SIM_K = 20
+
+
+def doc_hash_similarity(sf_dir: str):
+    """Similarity search over the HASHED doc vectors: top-20 docs by
+    cosine to doc 0 — text → vectorize → search with no vocabulary,
+    no embedding model, and no shuffle (the 64-dim query vector
+    broadcasts; every float op starts from exact integer dot products
+    and norms, so the cosine is bit-equal to the SQL twin's)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    from cheque_ocr_project_ray.text.dedup import _stable64
+    from cheque_ocr_project_ray.util import map_pool, round_half_up
+
+    def _hash_vec(text: str) -> np.ndarray:
+        words = [w for w in
+                 __import__("re").split(r"\s+", text.strip()) if w]
+        acc = np.zeros(HASH_DIMS, np.int64)
+        for w in words:
+            h = _stable64(w)
+            acc[h % HASH_DIMS] += 1 if (h >> 6) & 1 else -1
+        return acc
+
+    import pyarrow.parquet as pq_
+    from pathlib import Path
+    q_text = pq_.read_table(str(Path(sf_dir) / "documents.parquet"),
+                            columns=["doc_id", "text"],
+                            filters=[("doc_id", "=", 0)])
+    qv = _hash_vec(q_text["text"].to_pylist()[0])
+    qq = float(np.sqrt((qv * qv).sum()))
+    q_ref = ray.put((qv, qq))
+
+    class Score:
+        def __init__(self):
+            self.qv, self.qq = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            toks = analysis._token_lists(batch.column("text"))
+            flat = pc.list_flatten(toks).combine_chunks()
+            n = batch.num_rows
+            lens = pc.list_value_length(toks).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            parent = np.repeat(np.arange(n), lens)
+            words = flat.to_numpy(zero_copy_only=False)
+            keep = words != ""
+            words, parent = words[keep], parent[keep]
+            acc = np.zeros(n * HASH_DIMS, np.int64)
+            if len(words):
+                h = np.fromiter((_stable64(w) for w in words),
+                                dtype=np.uint64, count=len(words))
+                dim = (h % HASH_DIMS).astype(np.int64)
+                sign = (((h >> np.uint64(6)) & np.uint64(1))
+                        .astype(np.int64) * 2 - 1)
+                np.add.at(acc, parent * HASH_DIMS + dim, sign)
+            m = acc.reshape(n, HASH_DIMS)
+            dp = m @ self.qv                       # exact int64
+            dd = np.sqrt((m * m).sum(axis=1).astype(np.float64))
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            ok = (dd > 0) & (ids != 0)
+            cos = round_half_up(dp[ok] / (self.qq * dd[ok]), 5)
+            t = pa.table({"doc_id": pa.array(ids[ok], pa.int64()),
+                          "cos": pa.array(cos, pa.float64())})
+            k = pc.select_k_unstable(
+                t, HASH_SIM_K, [("cos", "descending"),
+                                ("doc_id", "ascending")])
+            return t.take(k)
+
+    return _docs(sf_dir).map_batches(Score, batch_format="pyarrow",
+                                     concurrency=(1, map_pool())) \
+        .sort(["cos", "doc_id"], descending=[True, False]) \
+        .limit(HASH_SIM_K)
+
+
+HASH_SIMILARITY_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+h AS (SELECT doc_id, md5_number_lower(tok) AS h FROM w),
+g AS (
+  SELECT doc_id, CAST(h % {HASH_DIMS} AS BIGINT) AS dim,
+         CAST(sum(CASE WHEN (h // 64) % 2 = 1 THEN 1 ELSE -1 END)
+              AS BIGINT) AS weight
+  FROM h GROUP BY doc_id, dim),
+q AS (SELECT dim, weight FROM g WHERE doc_id = 0),
+qn AS (SELECT sqrt(CAST(sum(weight * weight) AS DOUBLE)) AS qq FROM q),
+d AS (SELECT doc_id,
+             sqrt(CAST(sum(weight * weight) AS DOUBLE)) AS dd
+      FROM g GROUP BY doc_id),
+dot AS (
+  SELECT g.doc_id, CAST(sum(g.weight * q.weight) AS BIGINT) AS dp
+  FROM g JOIN q USING (dim) GROUP BY g.doc_id)
+SELECT d.doc_id, round(dp / (qn.qq * d.dd), 5) AS cos
+FROM dot JOIN d USING (doc_id), qn
+WHERE d.doc_id <> 0 AND d.dd > 0
+ORDER BY round(dp / (qn.qq * d.dd), 5) DESC, d.doc_id
+LIMIT {HASH_SIM_K}
+"""
+
+
 JSD_SRC_A, JSD_SRC_B = "src0", "src1"
 
 
@@ -1763,6 +1868,7 @@ def text_queries() -> dict[str, Callable]:
         "doc_source_jsd": doc_source_jsd,
         "doc_quality_filter_p75": doc_quality_filter_p75,
         "doc_feature_hashing": doc_feature_hashing,
+        "doc_hash_similarity": doc_hash_similarity,
     }
 
 
@@ -1805,6 +1911,7 @@ def text_oracle_sql() -> dict[str, str]:
         "doc_bm25_topk": BM25_TOPK_SQL,
         "doc_source_jsd": SOURCE_JSD_SQL,
         "doc_feature_hashing": FEATURE_HASHING_SQL,
+        "doc_hash_similarity": HASH_SIMILARITY_SQL,
         "doc_quality_filter_p75": QUALITY_FILTER_P75_SQL.format(
             QUALITY=QUALITY_SQL, W0=analysis.QUALITY_W[0],
             W1=analysis.QUALITY_W[1], W2=analysis.QUALITY_W[2],
