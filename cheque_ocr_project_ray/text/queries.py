@@ -1533,6 +1533,71 @@ SELECT doc_id, dim, weight FROM g WHERE weight <> 0
 """
 
 
+def corpus_zipf_slope(sf_dir: str):
+    """Zipf's-law fit: OLS slope of ln(frequency) on ln(rank) over
+    the corpus vocabulary — the classic sanity check that a text
+    corpus is natural-language-shaped (slope ≈ −1) rather than
+    synthetic or corrupted.  One vocabulary-bounded combiner merge;
+    the regression folds from exact moment sums on the driver,
+    mirroring the SQL formula op-for-op."""
+    import numpy as np
+    import pandas as pd
+
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_sums,
+                                             round_half_up)
+
+    docs = _docs(sf_dir)
+    ct = collect_table(final_merge_sums(
+        docs.map_batches(analysis.token_counts, batch_format="pyarrow"),
+        ["tok"], ["n"]).materialize())
+    if ct is None or ct.num_rows == 0:
+        return pd.DataFrame({"n_terms": pd.Series([], dtype="int64"),
+                             "slope": pd.Series([], dtype="float64"),
+                             "intercept": pd.Series([], dtype="float64")})
+    df = ct.to_pandas()
+    # rank = row_number ordered by (freq DESC, token ASC) — ties get
+    # deterministic distinct ranks in both engines
+    df = df.sort_values(["n", "tok"],
+                        ascending=[False, True]).reset_index(drop=True)
+    x = np.log(np.arange(1, len(df) + 1, dtype=np.float64))
+    y = np.log(df["n"].to_numpy(np.float64))
+    k = float(len(df))
+    sx, sy = x.sum(), y.sum()
+    sxy, sxx = (x * y).sum(), (x * x).sum()
+    slope = (sxy / k - (sx / k) * (sy / k)) \
+        / (sxx / k - (sx / k) * (sx / k))
+    intercept = sy / k - slope * (sx / k)
+    return pd.DataFrame({"n_terms": [len(df)],
+                         "slope": [float(round_half_up(slope, 6))],
+                         "intercept": [float(round_half_up(intercept,
+                                                           6))]})
+
+
+ZIPF_SLOPE_SQL = """
+WITH w AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+c AS (SELECT tok, count(*) AS n FROM w GROUP BY tok),
+r AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, tok) AS DOUBLE))
+             AS x,
+         ln(CAST(n AS DOUBLE)) AS y
+  FROM c),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS k, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM r)
+SELECT CAST(k AS BIGINT) AS n_terms,
+       round((sxy / k - (sx / k) * (sy / k))
+             / (sxx / k - (sx / k) * (sx / k)), 6) AS slope,
+       round(sy / k - ((sxy / k - (sx / k) * (sy / k))
+                       / (sxx / k - (sx / k) * (sx / k))) * (sx / k), 6)
+           AS intercept
+FROM s
+"""
+
+
 HASH_SIM_K = 20
 
 
@@ -1869,6 +1934,7 @@ def text_queries() -> dict[str, Callable]:
         "doc_quality_filter_p75": doc_quality_filter_p75,
         "doc_feature_hashing": doc_feature_hashing,
         "doc_hash_similarity": doc_hash_similarity,
+        "corpus_zipf_slope": corpus_zipf_slope,
     }
 
 
@@ -1912,6 +1978,7 @@ def text_oracle_sql() -> dict[str, str]:
         "doc_source_jsd": SOURCE_JSD_SQL,
         "doc_feature_hashing": FEATURE_HASHING_SQL,
         "doc_hash_similarity": HASH_SIMILARITY_SQL,
+        "corpus_zipf_slope": ZIPF_SLOPE_SQL,
         "doc_quality_filter_p75": QUALITY_FILTER_P75_SQL.format(
             QUALITY=QUALITY_SQL, W0=analysis.QUALITY_W[0],
             W1=analysis.QUALITY_W[1], W2=analysis.QUALITY_W[2],
