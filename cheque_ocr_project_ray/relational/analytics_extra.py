@@ -1525,10 +1525,79 @@ def events_jsonl_roundtrip(sf_dir: str, np_: int = 0):
     return _type_value_rollup(read_events_jsonl(sf_dir), np_)
 
 
+CONV_WINDOW_US = 3600 * 1_000_000
+
+
+@_hash_shuffled
+def events_conversion_window(sf_dir: str, np_: int = 0):
+    """Time-BOUNDED conversion: users who purchase within one hour
+    AFTER a click — the attribution-window funnel (the plain funnel
+    only orders steps; real conversion windows expire).  Per-user
+    vectorized two-pointer check inside groupby(user).map_groups;
+    one tiny global sum."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def flags(group: pd.DataFrame) -> pd.DataFrame:
+        us = group["ts"].astype("datetime64[us]").astype("int64")
+        et = group["event_type"].to_numpy()
+        clicks = np.sort(us[et == "click"].to_numpy())
+        if len(clicks) == 0:
+            return pd.DataFrame({"has_click": pd.Series([], dtype="int64"),
+                                 "converted": pd.Series([], dtype="int64")})
+        purchases = np.sort(us[et == "purchase"].to_numpy())
+        # purchase p converts iff a click exists in [p - window, p)
+        lo = np.searchsorted(clicks, purchases - CONV_WINDOW_US,
+                             side="left")
+        hi = np.searchsorted(clicks, purchases, side="left")
+        converted = int(np.any(hi > lo))
+        return pd.DataFrame({"has_click": [1], "converted": [converted]})
+
+    partials = ds.groupby("user_id", num_partitions=np_).map_groups(
+        flags, batch_format="pandas")
+
+    def total(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": pa.array([0], pa.int64()),
+            "n_users": pa.array([int(pc.sum(
+                batch.column("has_click")).as_py() or 0)], pa.int64()),
+            "n_converted": pa.array([int(pc.sum(
+                batch.column("converted")).as_py() or 0)], pa.int64())})
+
+    agg = final_merge_sums(
+        partials.map_batches(total, batch_format="pyarrow"),
+        ["k"], ["n_users", "n_converted"], np_=np_)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_users": b["n_users"],
+            "n_converted": b["n_converted"],
+            "conv_rate": round_half_up(
+                b["n_converted"].astype(np.float64) / b["n_users"], 6)})
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+EVENTS_CONVERSION_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'click'),
+conv AS (
+  SELECT DISTINCT e.user_id FROM events e
+  WHERE e.event_type = 'purchase' AND EXISTS (
+    SELECT 1 FROM events c
+    WHERE c.user_id = e.user_id AND c.event_type = 'click'
+      AND c.ts < e.ts AND e.ts <= c.ts + INTERVAL 1 HOUR))
+SELECT (SELECT count(*) FROM u) AS n_users,
+       (SELECT count(*) FROM conv) AS n_converted,
+       round(CAST((SELECT count(*) FROM conv) AS DOUBLE)
+             / (SELECT count(*) FROM u), 6) AS conv_rate
+"""
+
+
 def analytics_extra_queries():
     return {
         "events_csv_roundtrip": events_csv_roundtrip,
         "events_jsonl_roundtrip": events_jsonl_roundtrip,
+        "events_conversion_window": events_conversion_window,
         "orders_pareto": orders_pareto,
         "events_value_gini": events_value_gini,
         "events_value_means": events_value_means,
@@ -1581,4 +1650,5 @@ def analytics_extra_oracle_sql():
         "events_value_winsorized": EVENTS_WINSORIZED_SQL,
         "events_csv_roundtrip": _FORMAT_ROLLUP_SQL,
         "events_jsonl_roundtrip": _FORMAT_ROLLUP_SQL,
+        "events_conversion_window": EVENTS_CONVERSION_SQL,
     }
