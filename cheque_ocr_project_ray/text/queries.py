@@ -1598,6 +1598,128 @@ FROM s
 """
 
 
+def doc_charset_profile(sf_dir: str):
+    """Character-class profile per doc (digit / space / letter counts
+    and ratios) — the cleaning signal that catches OCR garbage, code,
+    and tables masquerading as text.  Pure vectorized regex-strip
+    arithmetic, identical kernels in both engines; fully streaming."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cheque_ocr_project_ray.util import round_half_up
+
+    def profile(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        total = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        def count_of(pattern):
+            stripped = pc.utf8_length(pc.replace_substring_regex(
+                text, pattern=pattern, replacement="")).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return total - stripped
+        digits = count_of(r"[0-9]")
+        spaces = count_of(r"[ ]")
+        letters = count_of(r"[A-Za-z]")
+        safe = np.where(total == 0, 1, total)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pa.array(total, pa.int64()),
+            "n_digits": pa.array(digits, pa.int64()),
+            "n_letters": pa.array(letters, pa.int64()),
+            "digit_ratio": pa.array(round_half_up(digits / safe, 6)),
+            "space_ratio": pa.array(round_half_up(spaces / safe, 6))})
+
+    return _docs(sf_dir).map_batches(profile, batch_format="pyarrow")
+
+
+CHARSET_PROFILE_SQL = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+           AS n_digits,
+       length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+           AS n_letters,
+       round((length(text)
+              - length(regexp_replace(text, '[0-9]', '', 'g')))
+             / CAST(greatest(length(text), 1) AS DOUBLE), 6)
+           AS digit_ratio,
+       round((length(text)
+              - length(regexp_replace(text, '[ ]', '', 'g')))
+             / CAST(greatest(length(text), 1) AS DOUBLE), 6)
+           AS space_ratio
+FROM documents
+"""
+
+
+STOPWORD_K = 20
+
+
+def corpus_stopword_discovery(sf_dir: str):
+    """Automatic stopword discovery: the STOPWORD_K highest-document-
+    frequency terms with df, total tf, and idf — the data-driven
+    replacement for hand-curated stopword lists.  One vocabulary-
+    bounded merge; deterministic (df DESC, term ASC) ordering."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_sums,
+                                             round_half_up)
+
+    docs = _docs(sf_dir)
+    n_docs = None
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from cheque_ocr_project_ray.text.index import _pair_counts
+        g = _pair_counts(batch)   # (term, doc_id, tf) within batch
+        t = g.group_by("term").aggregate([("tf", "sum"),
+                                          ("doc_id", "count")])
+        return t.rename_columns(["term", "total_tf", "df"])
+
+    ct = collect_table(final_merge_sums(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["term"], ["total_tf", "df"]).materialize())
+    if ct is None or ct.num_rows == 0:
+        return pd.DataFrame({"term": pd.Series([], dtype="object"),
+                             "df": pd.Series([], dtype="int64"),
+                             "total_tf": pd.Series([], dtype="int64"),
+                             "idf": pd.Series([], dtype="float64")})
+    import pyarrow.parquet as pq_
+    from pathlib import Path
+    n_docs = pq_.ParquetFile(
+        str(Path(sf_dir) / "documents.parquet")).metadata.num_rows
+    df = ct.to_pandas().sort_values(
+        ["df", "term"], ascending=[False, True]).head(STOPWORD_K)
+    return pd.DataFrame({
+        "term": df["term"],
+        "df": df["df"],
+        "total_tf": df["total_tf"],
+        "idf": round_half_up(
+            np.log(float(n_docs) / df["df"].to_numpy(np.float64)), 6)})
+
+
+STOPWORD_DISCOVERY_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+c AS (
+  SELECT tok AS term, count(DISTINCT doc_id) AS df,
+         count(*) AS total_tf
+  FROM w GROUP BY tok),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents)
+SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(total_tf AS BIGINT) AS total_tf,
+       round(ln(n.nd / df), 6) AS idf
+FROM c, n
+ORDER BY df DESC, term
+LIMIT {STOPWORD_K}
+"""
+
+
 HASH_SIM_K = 20
 
 
@@ -1935,6 +2057,8 @@ def text_queries() -> dict[str, Callable]:
         "doc_feature_hashing": doc_feature_hashing,
         "doc_hash_similarity": doc_hash_similarity,
         "corpus_zipf_slope": corpus_zipf_slope,
+        "doc_charset_profile": doc_charset_profile,
+        "corpus_stopword_discovery": corpus_stopword_discovery,
     }
 
 
@@ -1979,6 +2103,8 @@ def text_oracle_sql() -> dict[str, str]:
         "doc_feature_hashing": FEATURE_HASHING_SQL,
         "doc_hash_similarity": HASH_SIMILARITY_SQL,
         "corpus_zipf_slope": ZIPF_SLOPE_SQL,
+        "doc_charset_profile": CHARSET_PROFILE_SQL,
+        "corpus_stopword_discovery": STOPWORD_DISCOVERY_SQL,
         "doc_quality_filter_p75": QUALITY_FILTER_P75_SQL.format(
             QUALITY=QUALITY_SQL, W0=analysis.QUALITY_W[0],
             W1=analysis.QUALITY_W[1], W2=analysis.QUALITY_W[2],
