@@ -123,6 +123,44 @@ def _cheque_queries() -> dict[str, Callable[[str], Any]]:
         return ds.map_batches(local_bottomk, batch_format="pyarrow") \
             .sort(["issuer_conf", "doc_id"]).limit(k)
 
+    def cheque_status_profile(sf_dir: str):
+        """Per-status operational profile: doc count, mean extraction
+        confidence, and total media bytes — the triage dashboard row
+        (how much scan volume sits in each outcome bucket)."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        from cheque_ocr_project_ray.util import (final_merge_sums,
+                                                 round_half_up)
+
+        ds = build_cheque_pipeline(ensure_fixture(sf_dir))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            t = pa.table({
+                "status": batch.column("status"),
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+                "conf_sum": batch.column("confidence"),
+                "media_bytes": batch.column("media_bytes")})
+            g = t.group_by("status").aggregate(
+                [("n", "sum"), ("conf_sum", "sum"),
+                 ("media_bytes", "sum")])
+            return g.rename_columns(["status", "n", "conf_sum",
+                                     "media_bytes"])
+
+        agg = final_merge_sums(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["status"], ["n", "conf_sum", "media_bytes"])
+
+        def finish(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "status": b["status"],
+                "n": b["n"],
+                "mean_confidence": round_half_up(
+                    b["conf_sum"] / b["n"], 4),
+                "total_media_bytes": b["media_bytes"]})
+
+        return agg.map_batches(finish, batch_format="pandas")
+
     def cheque_spelling_fix(sf_dir: str):
         """Post-extraction issuer spelling cleanup (M22,
         dbf_processor.py:117-128 applied to every extracted issuer)."""
@@ -206,6 +244,7 @@ def _cheque_queries() -> dict[str, Callable[[str], Any]]:
         "cheque_status_histogram": cheque_status_histogram,
         "cheque_status_histogram_v3": cheque_status_histogram_v3,
         "cheque_review_queue": cheque_review_queue,
+        "cheque_status_profile": cheque_status_profile,
         "cheque_spelling_fix": cheque_spelling_fix,
         "cheque_final_join": cheque_final_join,
         "cheque_checkpoint_rollup": cheque_checkpoint_rollup,
@@ -290,6 +329,13 @@ FROM read_parquet('{exp}') GROUP BY status_v3
         "cheque_spelling_fix": f"""
 SELECT doc_id, issuer, issuer_fixed, issuer_conf
 FROM read_parquet('{exp}')
+""",
+        "cheque_status_profile": f"""
+SELECT status, count(*) AS n,
+       round(sum(confidence) / count(*), 4) AS mean_confidence,
+       CAST(sum(media_bytes) AS BIGINT) AS total_media_bytes
+FROM read_parquet('{exp}')
+GROUP BY status
 """,
         "cheque_review_queue": f"""
 SELECT doc_id, issuer_v3 AS issuer,

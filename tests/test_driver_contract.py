@@ -30,8 +30,8 @@ def test_expected_families_present():
                   "media_decode_stats", "corpus_curation",
                   "corpus_pipeline", "events_sessions"):
         assert probe in qs
-    assert len(qs) >= 166
-    assert len(entry.oracle_sql()) >= 157
+    assert len(qs) >= 167
+    assert len(entry.oracle_sql()) >= 158
 
 
 def test_hash_shuffled_queries_forward_kwargs():
