@@ -30,7 +30,12 @@ def _derived(sf_dir: str, fmt: str) -> str:
     readers parse them back to timestamp[us]."""
     src = Path(sf_dir) / "events.parquet"
     st = src.stat()
-    key = f"{abs(hash((str(src), st.st_mtime_ns, st.st_size)))%10**12}"
+    # stable digest (NOT builtin hash(): PYTHONHASHSEED randomization
+    # would give a different key per process, so the cache would never
+    # hit across runs and derived copies would accumulate unboundedly)
+    import hashlib
+    key = hashlib.md5(
+        f"{src}|{st.st_mtime_ns}|{st.st_size}".encode()).hexdigest()[:16]
     out_dir = Path(_CACHE_ROOT) / f"{key}"
     out = out_dir / f"events.{fmt}"
     if out.exists():

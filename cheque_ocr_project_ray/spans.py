@@ -43,14 +43,20 @@ def span_stats_batch(batch: pa.Table) -> pa.Table:
 
     is_text = pc.equal(flat.field("kind"), "text").to_numpy(
         zero_copy_only=False)
-    text_len = pc.utf8_length(flat.field("text")).cast(pa.int64()) \
+    # mask by kind='text' and null-fill, like the SQL oracle: an image
+    # span with non-empty (or null) text must not count toward
+    # text_chars on an external corpus (the generated fixture happens
+    # to guarantee text=='' on image spans; don't rely on it)
+    text_len = pc.fill_null(
+        pc.utf8_length(flat.field("text")).cast(pa.int64()), 0) \
         .to_numpy(zero_copy_only=False)
 
     n_spans = np.bincount(parent, minlength=n).astype("int64")
     n_text = np.bincount(parent, weights=is_text.astype("float64"),
                          minlength=n).astype("int64")
-    text_chars = np.bincount(parent, weights=text_len.astype("float64"),
-                             minlength=n).astype("int64")
+    text_chars = np.bincount(
+        parent, weights=text_len.astype("float64") * is_text,
+        minlength=n).astype("int64")
     return pa.table({
         "doc_id": batch.column("doc_id"),
         "n_spans": pa.array(n_spans, pa.int64()),
@@ -69,26 +75,74 @@ def span_stats(cheques_ds):
     return cheques_ds.map_batches(span_stats_batch, batch_format="pyarrow")
 
 
-def assemble_spans(flat_ds):
+def _hash_part_batch(batch: pa.Table, num_groups: int) -> pa.Table:
+    """Append ``part = crc32(doc_id) % num_groups`` — the same stable
+    hash the checkpoint partitioner uses.  Hashing runs over the
+    batch's UNIQUE doc_ids (dictionary encode), not per row."""
+    import zlib
+    import numpy as np
+
+    batch = batch.combine_chunks()
+    col = batch.column("doc_id")
+    darr = col.chunk(0) if col.num_chunks else pa.array([], type=col.type)
+    enc = darr.dictionary_encode()
+    uniq_hash = np.array(
+        [zlib.crc32(u.encode("utf-8")) % num_groups
+         for u in enc.dictionary.to_pylist()], np.int64)
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    part = uniq_hash[codes] if len(codes) else np.array([], np.int64)
+    return batch.append_column("part", pa.array(part, pa.int64()))
+
+
+def _rebuild_group(group: pa.Table) -> pa.Table:
+    """Vectorized within-group span-list reassembly — the exact inverse
+    of :func:`explode_spans_batch`: sort by (doc_id, offset), find run
+    boundaries, rebuild the list column with ``ListArray.from_arrays``
+    over the sorted struct rows.  No per-document dispatch, no pandas."""
+    import numpy as np
+
+    group = group.drop_columns(["part"])
+    if group.num_rows == 0:
+        return group  # schemaless empty groups are dropped downstream
+    idx = pc.sort_indices(group, sort_keys=[("doc_id", "ascending"),
+                                            ("offset", "ascending")])
+    t = group.take(idx).combine_chunks()
+
+    def arr(name):
+        c = t.column(name)
+        return c.chunk(0) if c.num_chunks else pa.array([], type=c.type)
+
+    codes = arr("doc_id").dictionary_encode().indices.to_numpy(
+        zero_copy_only=False)
+    starts = np.flatnonzero(np.r_[True, np.diff(codes) != 0])
+    offsets = np.append(starts, len(codes)).astype(np.int32)
+    struct = pa.StructArray.from_arrays(
+        [arr("kind"), arr("text"), arr("media_ref"), arr("offset")],
+        names=["kind", "text", "media_ref", "offset"])
+    spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+    return pa.table({"doc_id": arr("doc_id").take(pa.array(starts)),
+                     "spans": spans})
+
+
+def assemble_spans(flat_ds, num_groups: int | None = None):
     """Inverse of :func:`explode_spans`: span rows → one document row
     per doc_id with the span list rebuilt in offset order.
 
-    Shape: groupby(doc_id).map_groups — the partitioning assumption is
-    one document's spans fit one group (they do by construction; a
-    10^12-doc corpus has bounded spans per doc, and doc_id hashing
-    spreads groups evenly)."""
-    import pandas as pd
+    Shape: hash-repartition by ``crc32(doc_id) % num_groups`` (ONE
+    bounded-cardinality groupby — group dispatch cost is num_groups ×
+    ~50 µs, not one dispatch per document) followed by a fully
+    vectorized within-group reassembly (Arrow sort + run-boundary
+    ``ListArray.from_arrays``).  Partitioning assumption (documented):
+    all spans of one doc hash to one group by construction, and
+    total_rows / num_groups must fit a worker's heap — size
+    ``num_groups`` to the corpus when calling at scale (default:
+    cluster shuffle parallelism)."""
+    from cheque_ocr_project_ray.util import shuffle_partitions
 
-    def rebuild(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("offset")
-        spans = [{"kind": k, "text": t, "media_ref": r, "offset": int(o)}
-                 for k, t, r, o in zip(g["kind"], g["text"],
-                                       g["media_ref"], g["offset"])]
-        return pd.DataFrame({"doc_id": [g["doc_id"].iloc[0]],
-                             "spans": [spans]})
-
-    return flat_ds.groupby("doc_id").map_groups(rebuild,
-                                                batch_format="pandas")
+    p = num_groups or max(shuffle_partitions(), 8)
+    return flat_ds.map_batches(
+        lambda b: _hash_part_batch(b, p), batch_format="pyarrow") \
+        .groupby("part").map_groups(_rebuild_group, batch_format="pyarrow")
 
 
 def spans_json_batch(batch: pa.Table) -> pa.Table:

@@ -1669,7 +1669,6 @@ def corpus_stopword_discovery(sf_dir: str):
                                              round_half_up)
 
     docs = _docs(sf_dir)
-    n_docs = None
 
     def partial(batch: pa.Table) -> pa.Table:
         from cheque_ocr_project_ray.text.index import _pair_counts

@@ -247,17 +247,18 @@ def ivf_topk(emb_ds, query_vec: np.ndarray, k: int = 10,
     norms = np.linalg.norm(sample, axis=1)
     sample = sample / np.where(norms == 0, 1, norms)[:, None]
     cents = kmeans_centroids(sample, n_centroids)
-    probe = set(np.argsort(cents @ q)[::-1][:n_probe].tolist())
+    probe = np.sort(np.argsort(cents @ q)[::-1][:n_probe])  # frozen
     cents_ref = ray.put(cents)
 
     class _Prober:
         def __init__(self):
             self.cents = ray.get(cents_ref)
+            self.probe = probe  # captured once, not rebuilt per batch
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             m = _table_matrix(batch)
             assign = (m @ self.cents.T).argmax(axis=1)
-            mask = np.isin(assign, list(probe))
+            mask = np.isin(assign, self.probe)
             return batch.filter(pa.array(mask))
 
     from cheque_ocr_project_ray.util import map_pool
