@@ -283,7 +283,45 @@ def exact_neardup_pairs(emb_ds, ids: np.ndarray, matrix: np.ndarray,
     thresholds) or split the corpus into C chunks and join the C(C+1)/2
     chunk pairs.
     """
-    from cheque_ocr_project_ray.util import map_pool, round_half_up
+    return _pairs_vs_broadcast(emb_ds, ids, matrix, threshold) \
+        .sort(["vec_a", "vec_b"])
+
+
+def _gemm_pairs_kernel(batch: pa.Table, mat: np.ndarray,
+                       ids: np.ndarray, threshold: float) -> pa.Table:
+    """batch × broadcastᵀ GEMM slice → qualifying (vec_a < vec_b, cos)
+    pairs whose *b* side is in the broadcast set."""
+    from cheque_ocr_project_ray.util import round_half_up
+
+    m = _table_matrix(batch)
+    bn = np.linalg.norm(m, axis=1)
+    mn = m / np.where(bn == 0, 1, bn)[:, None]
+    cos = mn @ mat.T
+    bids = batch.column("vec_id").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    ii, jj = np.where(cos >= threshold)
+    keep = bids[ii] < ids[jj]  # each pair emitted once
+    ii, jj = ii[keep], jj[keep]
+    return pa.table({
+        "vec_a": pa.array(bids[ii]),
+        "vec_b": pa.array(ids[jj]),
+        "cos": pa.array(round_half_up(cos[ii, jj], 5)),
+    })
+
+
+def _pairs_vs_broadcast(emb_ds, ids: np.ndarray, matrix: np.ndarray,
+                        threshold: float, use_tasks: bool = False):
+    """One GEMM slice ``batch × broadcastᵀ`` per block; emits the
+    qualifying (vec_a < vec_b, cos) pairs whose *b* side is in the
+    broadcast set.  Shared by the whole-corpus and chunked variants.
+
+    ``use_tasks=True`` runs the stage as stateless Ray tasks instead
+    of an actor pool: the chunked variant unions C of these stages, and
+    C actor pools each reserving a minimum actor would deadlock a small
+    cluster (min-actors sum past the CPU count).  Tasks reserve nothing
+    up front, and ``ray.get`` of the broadcast float64 matrix is a
+    zero-copy plasma read, so per-task state costs no heap copy."""
+    from cheque_ocr_project_ray.util import map_pool
 
     mat = np.asarray(matrix, dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
@@ -292,36 +330,113 @@ def exact_neardup_pairs(emb_ds, ids: np.ndarray, matrix: np.ndarray,
     mat_ref = ray.put(mat)
     ids_ref = ray.put(ids)
 
+    if use_tasks:
+        def _pairs_task(batch: pa.Table) -> pa.Table:
+            return _gemm_pairs_kernel(batch, ray.get(mat_ref),
+                                      ray.get(ids_ref), threshold)
+
+        return emb_ds.map_batches(_pairs_task, batch_format="pyarrow")
+
     class _Pairs:
         def __init__(self):
             self.mat = ray.get(mat_ref)
             self.ids = ray.get(ids_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _table_matrix(batch)
-            bn = np.linalg.norm(m, axis=1)
-            mn = m / np.where(bn == 0, 1, bn)[:, None]
-            cos = mn @ self.mat.T
-            bids = batch.column("vec_id").to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            ii, jj = np.where(cos >= threshold)
-            keep = bids[ii] < self.ids[jj]  # each pair emitted once
-            ii, jj = ii[keep], jj[keep]
-            return pa.table({
-                "vec_a": pa.array(bids[ii]),
-                "vec_b": pa.array(self.ids[jj]),
-                "cos": pa.array(round_half_up(cos[ii, jj], 5)),
-            })
+            return _gemm_pairs_kernel(batch, self.mat, self.ids,
+                                      threshold)
 
-    out = emb_ds.map_batches(_Pairs, batch_format="pyarrow",
-                             concurrency=(1, map_pool()))
+    return emb_ds.map_batches(_Pairs, batch_format="pyarrow",
+                              concurrency=(1, map_pool()))
+
+
+def exact_neardup_pairs_blocked(parquet_path: str,
+                                threshold: float = 0.4,
+                                chunk_rows: int = 1_000_000):
+    """Chunked C(C+1)/2 exact near-dup — bit-equal output to
+    :func:`exact_neardup_pairs` with NO full-corpus broadcast.
+
+    The corpus is range-chunked on ``vec_id`` using parquet row-group
+    statistics (never a full column scan).  For each chunk *j* only
+    that chunk's (ids, matrix) is read (row-group-pruned filtered
+    read, ≤ ``chunk_rows`` rows) and broadcast; one predicate-pushdown
+    scan of the rows with ``vec_id < hi_j`` computes the GEMM slice
+    against chunk *j*.  A pair (a < b) is emitted exactly once — in
+    the iteration owning *b*'s chunk — so the union over chunks is the
+    complete exact pair set.  Peak broadcast memory is one chunk
+    (``chunk_rows × dim`` floats) regardless of corpus size; total
+    GEMM work is the same O(N²/P).
+    """
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    pf = pq.ParquetFile(parquet_path)
+    n = pf.metadata.num_rows
+    lo, hi = None, None
+    idx = pf.schema_arrow.get_field_index("vec_id")
+    for rg in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            lo = hi = None
+            break
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:  # no stats: one bounded id-column read
+        t = pads.dataset(parquet_path).to_table(columns=["vec_id"])
+        if t.num_rows == 0:
+            return ray.data.from_arrow(pa.table({
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64())}))
+        ids = t.column("vec_id")
+        lo, hi = pc.min(ids).as_py(), pc.max(ids).as_py()
+
+    n_chunks = max(1, -(-n // chunk_rows))
+    edges = np.unique(np.linspace(lo, hi + 1, n_chunks + 1)
+                      .astype(np.int64))
+    branches = []
+    for j in range(len(edges) - 1):
+        lo_j, hi_j = int(edges[j]), int(edges[j + 1])
+        chunk = pq.read_table(
+            parquet_path, columns=["vec_id", "embedding"],
+            filters=[("vec_id", ">=", lo_j), ("vec_id", "<", hi_j)])
+        if chunk.num_rows == 0:
+            continue
+        cids = chunk.column("vec_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cmat = _table_matrix(chunk)
+        scan = ray.data.read_parquet(
+            parquet_path, columns=["vec_id", "embedding"],
+            filter=pads.field("vec_id") < hi_j)
+        branches.append(
+            _pairs_vs_broadcast(scan, cids, cmat, threshold,
+                                use_tasks=True))
+    if not branches:
+        return ray.data.from_arrow(pa.table({
+            "vec_a": pa.array([], pa.int64()),
+            "vec_b": pa.array([], pa.int64()),
+            "cos": pa.array([], pa.float64())}))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.union(b)
     return out.sort(["vec_a", "vec_b"])
 
 
 def cosine_neardup_pairs(emb_ds, n_planes: int = 8,
                          threshold: float = 0.95,
-                         dim: int | None = None) -> pd.DataFrame:
-    """Embedding-cosine near-dup pairs via LSH bucket blocking.
+                         dim: int | None = None):
+    """Embedding-cosine near-dup pairs via LSH bucket blocking — the
+    high-threshold scale path (recall < 1 by design: only same-bucket
+    pairs are scored).
+
+    Returns a DATASET of (vec_a, vec_b, cos): at corpus scale the pair
+    set is unbounded, so it must stream to the consumer (write/agg),
+    never materialize on the driver.  Pairs are unique by construction
+    (each vector lives in exactly one bucket), so no dedup pass is
+    needed.  Partitioning assumption: one bucket's rows fit one group —
+    buckets are 2^n_planes-way; raise ``n_planes`` as the corpus grows.
 
     Pass ``dim`` when known (the caller usually has it from the table
     schema/metadata) — otherwise one probe row is read to learn it.
@@ -329,27 +444,30 @@ def cosine_neardup_pairs(emb_ds, n_planes: int = 8,
 
     from cheque_ocr_project_ray.util import round_half_up
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        m = _batch_matrix(group)
+    def pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _EMPTY_PAIRS
+        m = _table_matrix(group)
         norms = np.linalg.norm(m, axis=1)
         mn = m / np.where(norms == 0, 1, norms)[:, None]
         cos = mn @ mn.T
-        ids = group["vec_id"].to_numpy()
+        ids = group.column("vec_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
         ii, jj = np.where(np.triu(cos, 1) >= threshold)
-        return pd.DataFrame({
-            "vec_a": np.minimum(ids[ii], ids[jj]).astype("int64"),
-            "vec_b": np.maximum(ids[ii], ids[jj]).astype("int64"),
-            "cos": round_half_up(cos[ii, jj], 5).astype("float64"),
+        return pa.table({
+            "vec_a": pa.array(np.minimum(ids[ii], ids[jj]), pa.int64()),
+            "vec_b": pa.array(np.maximum(ids[ii], ids[jj]), pa.int64()),
+            "cos": pa.array(round_half_up(cos[ii, jj], 5), pa.float64()),
         })
 
     if dim is None:
         dim = len(emb_ds.take(1)[0]["embedding"])
     planes = hyperplanes(dim, n_planes)
     bucketed = add_lsh_bucket(emb_ds, planes)
-    out = bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
-    pdf = out.to_pandas()
-    if pdf.empty or "vec_a" not in pdf.columns:
-        pdf = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
-                            "vec_b": pd.Series([], dtype="int64"),
-                            "cos": pd.Series([], dtype="float64")})
-    return pdf.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    return bucketed.groupby("bucket").map_groups(
+        pairs, batch_format="pyarrow")
+
+
+_EMPTY_PAIRS = pa.table({"vec_a": pa.array([], pa.int64()),
+                         "vec_b": pa.array([], pa.int64()),
+                         "cos": pa.array([], pa.float64())})

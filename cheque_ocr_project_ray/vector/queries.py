@@ -513,9 +513,10 @@ NEARDUP_THRESHOLD = 0.4  # non-vacuous on the random test embeddings
 
 
 def embedding_neardup(sf_dir: str):
-    """Exact cosine near-dup pairs (oracled).  The LSH-bucketed
-    :func:`ann.cosine_neardup_pairs` is the high-threshold scale path
-    (pytest-covered); this exact variant is the verifiable baseline."""
+    """Exact cosine near-dup pairs (oracled) — whole-corpus broadcast
+    baseline.  Past the broadcast boundary (~10M×64 ≈ 2.5 GB) use
+    :func:`embedding_neardup_blocked` (bit-equal, chunked broadcast)
+    or the LSH-bucketed :func:`ann.cosine_neardup_pairs` scale path."""
     t = pq.read_table(str(Path(sf_dir) / "embeddings.parquet"),
                       columns=["vec_id", "embedding"])
     ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False),
@@ -523,6 +524,21 @@ def embedding_neardup(sf_dir: str):
     matrix = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
     return ann.exact_neardup_pairs(_emb(sf_dir), ids, matrix,
                                    threshold=NEARDUP_THRESHOLD)
+
+
+NEARDUP_CHUNK_ROWS = 200  # 3 chunks at the driver's sf0.01 tier (500
+                          # vectors) — the chunked path is exercised
+                          # with REAL multi-chunk unions, not C=1
+
+
+def embedding_neardup_blocked(sf_dir: str):
+    """Chunked C(C+1)/2 exact near-dup (oracled, same SQL twin as
+    ``embedding_neardup``): per-chunk broadcast + predicate-pushdown
+    scans — the path that still starts when the corpus matrix can't
+    fit one worker heap.  See :func:`ann.exact_neardup_pairs_blocked`."""
+    return ann.exact_neardup_pairs_blocked(
+        str(Path(sf_dir) / "embeddings.parquet"),
+        threshold=NEARDUP_THRESHOLD, chunk_rows=NEARDUP_CHUNK_ROWS)
 
 
 NEARDUP_SQL = f"""
@@ -705,6 +721,7 @@ def vector_queries() -> dict[str, Callable]:
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "embedding_neardup": embedding_neardup,
+        "embedding_neardup_blocked": embedding_neardup_blocked,
         "embedding_kmeans": embedding_kmeans,
         "label_stats": label_stats,
         "label_centroids": label_centroids,
@@ -723,6 +740,7 @@ def vector_oracle_sql() -> dict[str, str]:
         "embedding_norm_stats": NORM_STATS_SQL,
         "embedding_quantize_error": QUANTIZE_ERROR_SQL,
         "embedding_neardup": NEARDUP_SQL,
+        "embedding_neardup_blocked": NEARDUP_SQL,
         "embedding_kmeans": KMEANS_SQL,
         "label_stats": LABEL_STATS_SQL,
         "label_centroids": LABEL_CENTROIDS_SQL,

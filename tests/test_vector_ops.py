@@ -83,7 +83,7 @@ def test_neardup_pairs_on_planted_dups():
             {"vec_id": 2, "embedding": (base + 0.01 * rng.standard_normal(16)).tolist()},
             {"vec_id": 3, "embedding": rng.standard_normal(16).tolist()}]
     ds = ray.data.from_items(rows)
-    pairs = ann.cosine_neardup_pairs(ds, threshold=0.95)
+    pairs = ann.cosine_neardup_pairs(ds, threshold=0.95).to_pandas()
     found = set(zip(pairs["vec_a"], pairs["vec_b"]))
     assert (0, 1) in found and (0, 2) in found
     assert not any(3 in p for p in found)
@@ -113,6 +113,27 @@ def test_exact_neardup_pairs_vs_numpy(emb_table, matrix):
 def test_neardup_empty_on_random(matrix):
     ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    pairs = ann.cosine_neardup_pairs(ds, threshold=0.999)
-    assert list(pairs.columns) == ["vec_a", "vec_b", "cos"]
-    assert len(pairs) == 0
+    out = ann.cosine_neardup_pairs(ds, threshold=0.999)
+    assert out.count() == 0
+    pairs = out.to_pandas()
+    # Ray drops schema from all-empty block streams; columns are only
+    # guaranteed when at least one pair exists
+    assert list(pairs.columns) in ([], ["vec_a", "vec_b", "cos"])
+
+
+def test_neardup_blocked_equals_broadcast(emb_table, matrix):
+    """Chunked C(C+1)/2 path must be bit-equal to the whole-corpus
+    broadcast path — with chunk_rows forcing >1 chunk (500 rows / 120
+    = 5 chunks), so the multi-chunk union is actually exercised."""
+    ids = np.asarray(emb_table["vec_id"].to_pylist(), dtype=np.int64)
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    thr = 0.4
+    base = ann.exact_neardup_pairs(ds, ids, matrix,
+                                   threshold=thr).to_pandas()
+    blocked = ann.exact_neardup_pairs_blocked(
+        f"{SF}/embeddings.parquet", threshold=thr,
+        chunk_rows=120).to_pandas()
+    assert len(base) > 0          # non-vacuous at this threshold
+    assert base.reset_index(drop=True).equals(
+        blocked.reset_index(drop=True))
