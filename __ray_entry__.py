@@ -161,6 +161,14 @@ def _cheque_queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(finish, batch_format="pandas")
 
+    def cheque_extract_ai(sf_dir: str):
+        """The EP3 deterministic AI-ensemble flow (A2/A3,
+        ai_processor.py:229-381): NER-stand-in candidates + spelling +
+        context legs, hardcoded .5/.2/.3 per-field ensemble, overall
+        .4/.4/.2.  Failed-OCR docs are dropped (AIWriter semantics)."""
+        from cheque_ocr_project_ray.pipelines.cheque import build_ai_pipeline
+        return build_ai_pipeline(ensure_fixture(sf_dir))
+
     def cheque_spelling_fix(sf_dir: str):
         """Post-extraction issuer spelling cleanup (M22,
         dbf_processor.py:117-128 applied to every extracted issuer)."""
@@ -245,6 +253,7 @@ def _cheque_queries() -> dict[str, Callable[[str], Any]]:
         "cheque_status_histogram_v3": cheque_status_histogram_v3,
         "cheque_review_queue": cheque_review_queue,
         "cheque_status_profile": cheque_status_profile,
+        "cheque_extract_ai": cheque_extract_ai,
         "cheque_spelling_fix": cheque_spelling_fix,
         "cheque_final_join": cheque_final_join,
         "cheque_checkpoint_rollup": cheque_checkpoint_rollup,
@@ -329,6 +338,16 @@ FROM read_parquet('{exp}') GROUP BY status_v3
         "cheque_spelling_fix": f"""
 SELECT doc_id, issuer, issuer_fixed, issuer_conf
 FROM read_parquet('{exp}')
+""",
+        # status='ERROR' ⟺ media decode failed (the v1 ladder has no
+        # other ERROR source), so the filter is exactly the AI flow's
+        # "only write successful ones" (ai_processor.py:471-477)
+        "cheque_extract_ai": f"""
+SELECT doc_id, payee_ai, payee_conf_ai, payee_method,
+       issuer_ai, issuer_conf_ai, issuer_method, overall_conf_ai,
+       confidence AS ocr_confidence
+FROM read_parquet('{exp}')
+WHERE status <> 'ERROR'
 """,
         "cheque_status_profile": f"""
 SELECT status, count(*) AS n,

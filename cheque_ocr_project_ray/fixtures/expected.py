@@ -38,6 +38,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from cheque_ocr_project_ray.fixtures.gen import FIXTURE_VERSION
+from cheque_ocr_project_ray.functions.ensemble import process_cheque_ai
 from cheque_ocr_project_ray.functions.spelling import correct_spelling
 from cheque_ocr_project_ray.media import decode_image
 from cheque_ocr_project_ray.oracle import (
@@ -48,7 +49,7 @@ from cheque_ocr_project_ray.oracle import (
 )
 from cheque_ocr_project_ray.state.drawer_dict import build_drawer_dict
 
-EXPECTED_VERSION = 2
+EXPECTED_VERSION = 3  # v3: + AI-ensemble columns (functions/ensemble.py)
 # Must mirror the driver-query configs: cheque_* queries run
 # DEFAULT_CONFIG (v1, threshold .90); the v3 variant runs .85
 # (IssuerBatchProcessorV3.py:519 default).
@@ -75,6 +76,15 @@ EXPECTED_SCHEMA = pa.schema([
     ("issuer_v3", pa.string()),
     ("issuer_conf_v3", pa.float64()),
     ("issuer_fixed", pa.string()),
+    # AI-ensemble columns (functions/ensemble.py; '' / 0.0 on ERROR
+    # rows — the AI query drops failed docs like AIWriter does)
+    ("payee_ai", pa.string()),
+    ("payee_conf_ai", pa.float64()),
+    ("payee_method", pa.string()),
+    ("issuer_ai", pa.string()),
+    ("issuer_conf_ai", pa.float64()),
+    ("issuer_method", pa.string()),
+    ("overall_conf_ai", pa.float64()),
 ])
 
 
@@ -161,6 +171,10 @@ def generate_expected(fixture_dir: str | Path) -> Path:
     for f in sorted((fixture_dir / "cheques").glob("*.parquet")):
         t = pq.read_table(f)
         for doc in t.to_pylist():
+            ai = {"payee_ai": "", "payee_conf_ai": 0.0,
+                  "payee_method": "", "issuer_ai": "",
+                  "issuer_conf_ai": 0.0, "issuer_method": "",
+                  "overall_conf_ai": 0.0}
             try:
                 full_text, ocr_lines = assemble_document(doc["spans"], lookup)
             except Exception:
@@ -177,6 +191,7 @@ def generate_expected(fixture_dir: str | Path) -> Path:
                                     threshold=V3_THRESHOLD,
                                     match_cache=cache_v3,
                                     status_ladder="v3")
+                ai = process_cheque_ai(full_text, f1["confidence"])
             rows.append({
                 "doc_id": doc["doc_id"],
                 "cheque_type": f1["cheque_type"],
@@ -197,6 +212,7 @@ def generate_expected(fixture_dir: str | Path) -> Path:
                 "issuer_v3": f3["issuer"],
                 "issuer_conf_v3": f3["issuer_conf"],
                 "issuer_fixed": correct_spelling(f1["issuer"]),
+                **ai,
             })
 
     out_dir.mkdir(parents=True, exist_ok=True)

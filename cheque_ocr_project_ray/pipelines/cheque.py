@@ -36,25 +36,19 @@ from cheque_ocr_project_ray.stages.ocr import OcrStage
 from cheque_ocr_project_ray.state.drawer_dict import build_drawer_dict
 
 
-def build_cheque_pipeline(
+def build_ocr_front(
     fixture_dir: str | Path,
     cfg: PipelineConfig = DEFAULT_CONFIG,
-    drawer_dict: list[str] | None = None,
     resume_from: str | Path | None = None,
-):
-    """Lazy Dataset of extraction results for one fixture tier.
-
-    ``resume_from``: a checkpoint dir — docs whose output partition
-    already committed are dropped AT THE READ, before any OCR compute
-    (filtering the pipeline output instead would redo all the work
-    just to throw the rows away).
+) -> tuple["ray.data.Dataset", int, float]:
+    """The read → skew-split → OCR-actor-pool front half, shared by
+    every pipeline that consumes assembled OCR text (field extraction,
+    the deterministic AI ensemble).  Returns ``(ocred, extract_max,
+    extract_cpus)`` — the leftover CPU budget for one downstream
+    actor-pool stage, so callers don't re-derive the split.
     """
     fixture_dir = Path(fixture_dir)
     media_dir = str(fixture_dir / "media")
-
-    if drawer_dict is None:
-        drawer_dict = build_drawer_dict(fixture_dir)
-    drawer_ref = ray.put(drawer_dict)
 
     # --- cost-model-driven pool sizing -------------------------------
     # OCR cost is proportional to media bytes, so the two OCR branches
@@ -141,6 +135,28 @@ def build_cheque_pipeline(
             maybe_resume(read_cheques(fixture_dir, limit=cfg.limit)),
             cfg.ocr_batch_size, small_n)
 
+    return ocred, extract_max, extract_cpus
+
+
+def build_cheque_pipeline(
+    fixture_dir: str | Path,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    drawer_dict: list[str] | None = None,
+    resume_from: str | Path | None = None,
+):
+    """Lazy Dataset of extraction results for one fixture tier.
+
+    ``resume_from``: a checkpoint dir — docs whose output partition
+    already committed are dropped AT THE READ, before any OCR compute
+    (filtering the pipeline output instead would redo all the work
+    just to throw the rows away).
+    """
+    if drawer_dict is None:
+        drawer_dict = build_drawer_dict(Path(fixture_dir))
+    drawer_ref = ray.put(drawer_dict)
+
+    ocred, extract_max, extract_cpus = build_ocr_front(
+        fixture_dir, cfg, resume_from)
     return ocred.map_batches(
         FieldExtractStage,
         fn_constructor_kwargs={
@@ -153,3 +169,18 @@ def build_cheque_pipeline(
         concurrency=extract_max,
         num_cpus=extract_cpus,
     )
+
+
+def build_ai_pipeline(
+    fixture_dir: str | Path,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+):
+    """The EP3 AI-ensemble flow (ai_processor.py:336-381): OCR front +
+    the deterministic ensemble scorer.  The scorer is a stateless batch
+    function (nothing to pin per actor), so it rides task parallelism
+    and adds no pool reservation on top of the OCR pools."""
+    from cheque_ocr_project_ray.stages.ai import ai_ensemble_batch
+
+    ocred, _extract_max, _extract_cpus = build_ocr_front(fixture_dir, cfg)
+    return ocred.map_batches(ai_ensemble_batch, batch_format="pyarrow",
+                             batch_size=cfg.extract_batch_size)
