@@ -212,6 +212,31 @@ def _cheque_queries() -> dict[str, Callable[[str], Any]]:
 
         return ds.map_batches(serialize, batch_format="pyarrow")
 
+    def cheque_bank_csv(sf_dir: str):
+        """The 7-column bank CSV export (K2, custom_csv.py:48-81) with
+        doc_id added for the driver's row identity."""
+        from cheque_ocr_project_ray.pipelines.sink import to_bank_csv
+        fixture = ensure_fixture(sf_dir)
+        return to_bank_csv(build_cheque_pipeline(fixture), fixture,
+                           include_doc_id=True)
+
+    def cheque_issuer_dbf(sf_dir: str):
+        """The second output-DBF projection (parallel_processor.py:
+        186-213): ISSUER/FNAME/CONFID/PROCDT with reference widths."""
+        from cheque_ocr_project_ray.pipelines.sink import to_issuer_dbf
+        fixture = ensure_fixture(sf_dir)
+        return to_issuer_dbf(build_cheque_pipeline(fixture), fixture)
+
+    def cheque_latency_stats(sf_dir: str):
+        """G3 latency roll-up over the deterministic per-doc cost
+        surface (mean/median/min/max/total, fast_ai_processor.py:
+        286-293 semantics; exact quantile_cont median)."""
+        from cheque_ocr_project_ray.config import DEFAULT_CONFIG
+        from cheque_ocr_project_ray.pipelines.metrics import latency_stats
+        return latency_stats(
+            build_cheque_pipeline(ensure_fixture(sf_dir)),
+            work_passes=DEFAULT_CONFIG.ocr_work_passes)
+
     def cheque_filename_fields(sf_dir: str):
         from cheque_ocr_project_ray.functions.filename_fields import (
             filename_fields_batch)
@@ -256,6 +281,9 @@ def _cheque_queries() -> dict[str, Callable[[str], Any]]:
         "cheque_extract_ai": cheque_extract_ai,
         "cheque_spelling_fix": cheque_spelling_fix,
         "cheque_final_join": cheque_final_join,
+        "cheque_bank_csv": cheque_bank_csv,
+        "cheque_issuer_dbf": cheque_issuer_dbf,
+        "cheque_latency_stats": cheque_latency_stats,
         "cheque_checkpoint_rollup": cheque_checkpoint_rollup,
         "cheque_filename_fields": cheque_filename_fields,
         "cheque_span_explode": cheque_span_explode,
@@ -263,6 +291,13 @@ def _cheque_queries() -> dict[str, Callable[[str], Any]]:
         "cheque_span_roundtrip": cheque_span_roundtrip,
         "cheque_run_summary": cheque_run_summary,
     }
+
+
+# the cost-model constant baked into cheque_extract / latency SQL —
+# must equal DEFAULT_CONFIG.ocr_work_passes (imported lazily below)
+def _work_passes() -> int:
+    from cheque_ocr_project_ray.config import DEFAULT_CONFIG
+    return DEFAULT_CONFIG.ocr_work_passes
 
 
 _FILENAME_FIELDS_SQL = r"""
@@ -309,6 +344,7 @@ def _cheque_oracle_sql() -> dict[str, str]:
     from cheque_ocr_project_ray.spans import (
         span_explode_sql, span_roundtrip_sql, span_stats_sql)
 
+    _WORK_PASSES = _work_passes()
     fixture = ensure_fixture("sf0.01")
     meta = f"{fixture}/meta/meta.parquet"
     cheques = f"{fixture}/cheques/*.parquet"
@@ -321,7 +357,8 @@ def _cheque_oracle_sql() -> dict[str, str]:
         "cheque_extract": f"""
 SELECT doc_id, cheque_type, is_government, govt_category, payee_raw,
        payee, issuer, issuer_conf, confidence, status, micr, amount,
-       "date", media_bytes
+       "date", media_bytes,
+       CAST(media_bytes * {_WORK_PASSES} AS DOUBLE) / 1000.0 AS cost_ms
 FROM read_parquet('{exp}')
 """,
         "cheque_spans_json": f"""
@@ -399,6 +436,68 @@ SELECT e.doc_id,
        e.cheque_type AS cheque_type
 FROM read_parquet('{exp}') e
 LEFT JOIN read_parquet('{meta}') m USING (doc_id)
+""",
+        # filename-derived columns re-derived independently by regex
+        # (custom_csv.py:24-46); reference/sort_code are the reference's
+        # literal "0" constants (custom_csv.py:61-62)
+        "cheque_bank_csv": f"""
+SELECT e.doc_id,
+       e.payee AS payee,
+       regexp_extract(coalesce(m.image_file, e.doc_id || '.tiff'),
+                      '\\d{{8}}') AS "date",
+       CASE WHEN regexp_extract(coalesce(m.image_file,
+                                         e.doc_id || '.tiff'),
+                                '\\d+') = ''
+            THEN '0'
+            ELSE regexp_extract(coalesce(m.image_file,
+                                         e.doc_id || '.tiff'), '\\d+')
+       END AS account,
+       '0' AS reference,
+       '0' AS sort_code,
+       CASE WHEN regexp_extract(coalesce(m.image_file,
+                                         e.doc_id || '.tiff'),
+                                '\\d+\\.\\d{{2}}') = ''
+            THEN '0.00'
+            ELSE regexp_extract(coalesce(m.image_file,
+                                         e.doc_id || '.tiff'),
+                                '\\d+\\.\\d{{2}}')
+       END AS amount,
+       coalesce(m.image_file, e.doc_id || '.tiff') AS filename
+FROM read_parquet('{exp}') e
+LEFT JOIN read_parquet('{meta}') m USING (doc_id)
+WHERE e.status <> 'ERROR'
+""",
+        # widths/fallbacks per parallel_processor.py:186-213; PROCDT is
+        # '' (deterministic stand-in for datetime.now())
+        "cheque_issuer_dbf": f"""
+SELECT e.doc_id,
+       substr(CASE WHEN e.issuer = 'XXX' THEN 'UNKNOWN'
+                   ELSE e.issuer END, 1, 100) AS issuer_out,
+       substr(coalesce(m.image_file, e.doc_id || '.tiff'), 1, 50)
+           AS fname,
+       round(e.confidence, 2) AS confid,
+       '' AS procdt
+FROM read_parquet('{exp}') e
+LEFT JOIN read_parquet('{meta}') m USING (doc_id)
+WHERE e.status <> 'ERROR'
+""",
+        # exact-int byte sums; median over the same per-row double the
+        # engine computes (CAST(bytes*wp AS DOUBLE)/1000.0)
+        "cheque_latency_stats": f"""
+WITH ok AS (
+  SELECT media_bytes,
+         CAST(media_bytes * {_WORK_PASSES} AS DOUBLE) / 1000.0 AS cost_ms
+  FROM read_parquet('{exp}') WHERE status <> 'ERROR'
+)
+SELECT count(*) AS n_docs,
+       round(CAST(sum(media_bytes) * {_WORK_PASSES} AS DOUBLE)
+             / 1000.0 / count(*), 4) AS mean_ms,
+       round(median(cost_ms), 4) AS median_ms,
+       round(min(cost_ms), 4) AS min_ms,
+       round(max(cost_ms), 4) AS max_ms,
+       round(CAST(sum(media_bytes) * {_WORK_PASSES} AS DOUBLE)
+             / 1000.0 / 1000.0, 4) AS total_s
+FROM ok
 """,
         # partitions=16 / duplicates_dropped=0 are part of the checked
         # contract: the query writes 16 partitions and the corpus has

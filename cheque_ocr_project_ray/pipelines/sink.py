@@ -165,3 +165,90 @@ def write_csv_export(results_ds, out_dir: str | Path,
                      fixture_dir: str | Path | None = None) -> None:
     """Human-inspection CSV export (K1) — parquet remains the real sink."""
     to_canonical_csv(results_ds, fixture_dir).write_csv(str(out_dir))
+
+
+def to_bank_csv(results_ds, fixture_dir: str | Path,
+                include_doc_id: bool = False):
+    """The 7-column bank CSV format (K2, ``custom_csv.py:48-81``):
+    ``payee, date, account, reference, sort_code, amount, filename``.
+
+    Per the reference: payee = the cleaned payee ('XXX' fallback is the
+    engine's own sentinel, already in the column); date/account/amount
+    are the M23 filename regexes (the missing-date fallback is '' — the
+    deterministic deviation documented in functions/filename_fields);
+    reference and sort_code are the literal "0" constants the reference
+    writes (custom_csv.py:61-62 — NOT the metadata columns); only
+    successful docs are written (write_batch keeps ``success`` rows).
+
+    ``include_doc_id`` adds the id for driver comparison; the exported
+    file format is the exact 7 reference columns.
+    """
+    import pyarrow.parquet as pq
+
+    from cheque_ocr_project_ray.functions.filename_fields import (
+        filename_fields_batch)
+
+    names = pq.read_table(str(Path(fixture_dir) / "meta"),
+                          columns=["doc_id", "image_file"])
+    ok = results_ds.filter(expr="status != 'ERROR'") \
+        .select_columns(["doc_id", "payee"])
+    joined = broadcast_join(ok, names, on="doc_id", how="left outer")
+
+    def project(batch: pa.Table) -> pa.Table:
+        fallback = pc.binary_join_element_wise(
+            batch["doc_id"], pa.array(["tiff"] * batch.num_rows), ".")
+        filename = pc.fill_null(batch["image_file"], fallback)
+        derived = filename_fields_batch(pa.table({
+            "doc_id": batch["doc_id"], "image_file": filename}))
+        zeros = pa.array(["0"] * batch.num_rows, pa.string())
+        cols = {
+            "payee": batch["payee"],
+            "date": derived["date"],
+            "account": derived["account"],
+            "reference": zeros,
+            "sort_code": zeros,
+            "amount": derived["amount"],
+            "filename": filename,
+        }
+        if include_doc_id:
+            cols = {"doc_id": batch["doc_id"], **cols}
+        return pa.table(cols)
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
+def to_issuer_dbf(results_ds, fixture_dir: str | Path):
+    """The second output-DBF schema (``parallel_processor.py:186-213``):
+    ``ISSUER C(100); FNAME C(50); CONFID N(5,2); PROCDT C(19)``.
+
+    Reference semantics preserved: successful docs only (:279), issuer
+    fallback "UNKNOWN" (:293-294 — the engine's XXX sentinel maps to
+    it), ISSUER[:100] / FNAME C(50) truncation, CONFID = OCR mean
+    confidence rounded to 2 (N(5,2)).  PROCDT is ``datetime.now()`` in
+    the reference — deterministically '' here (same deviation as the
+    canonical CSV's PROCESS_DATE).  The reference's per-filename dedup
+    guard (:198-201) is subsumed by unique doc_ids.
+    """
+    import pyarrow.parquet as pq
+
+    names = pq.read_table(str(Path(fixture_dir) / "meta"),
+                          columns=["doc_id", "image_file"])
+    ok = results_ds.filter(expr="status != 'ERROR'") \
+        .select_columns(["doc_id", "issuer", "confidence"])
+    joined = broadcast_join(ok, names, on="doc_id", how="left outer")
+
+    def project(batch: pa.Table) -> pa.Table:
+        fallback = pc.binary_join_element_wise(
+            batch["doc_id"], pa.array(["tiff"] * batch.num_rows), ".")
+        filename = pc.fill_null(batch["image_file"], fallback)
+        issuer = pc.if_else(pc.equal(batch["issuer"], "XXX"),
+                            "UNKNOWN", batch["issuer"])
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "issuer_out": pc.utf8_slice_codeunits(issuer, 0, 100),
+            "fname": pc.utf8_slice_codeunits(filename, 0, 50),
+            "confid": round_half_up_arrow(batch["confidence"], 2),
+            "procdt": pa.array([""] * batch.num_rows, pa.string()),
+        })
+
+    return joined.map_batches(project, batch_format="pyarrow")

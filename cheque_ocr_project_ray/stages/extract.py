@@ -97,4 +97,5 @@ class FieldExtractStage:
             "amount": col("amount", pa.string()),
             "date": col("date", pa.string()),
             "media_bytes": batch.column("media_bytes"),
+            "cost_ms": batch.column("cost_ms"),
         })

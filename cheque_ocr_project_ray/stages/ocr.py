@@ -104,6 +104,13 @@ class OcrStage:
             media_bytes.append(nbytes)
             ocr_errors.append(doc_failed)
 
+        # deterministic per-doc processing-cost surface (G3): the exact
+        # quantity simulate_inference burns, in ms — the engine's
+        # stand-in for the reference's per-cheque wall-clock time_ms
+        # (fast_ai_processor.py:286-293), SQL-re-derivable from
+        # media_bytes × work_passes
+        cost_ms = [b * self.work_passes / 1000.0 for b in media_bytes]
+
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "full_text": pa.array(full_texts, pa.string()),
@@ -111,5 +118,6 @@ class OcrStage:
             "ocr_confs": pa.array(ocr_confs, pa.list_(pa.float64())),
             "ocr_srcs": pa.array(ocr_srcs, pa.list_(pa.string())),
             "media_bytes": pa.array(media_bytes, pa.int64()),
+            "cost_ms": pa.array(cost_ms, pa.float64()),
             "ocr_error": pa.array(ocr_errors, pa.bool_()),
         })

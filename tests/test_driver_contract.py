@@ -30,8 +30,34 @@ def test_expected_families_present():
                   "media_decode_stats", "corpus_curation",
                   "corpus_pipeline", "events_sessions"):
         assert probe in qs
-    assert len(qs) >= 167
-    assert len(entry.oracle_sql()) >= 158
+    assert len(qs) >= 172
+    assert len(entry.oracle_sql()) >= 163
+
+
+def _family(name: str) -> str:
+    if name.startswith("cheque"):
+        return "cheque"
+    if name.startswith(("doc", "corpus", "dedup", "source", "text")):
+        return "text"
+    if name.startswith(("ann", "embedding", "label", "knn", "vector")):
+        return "vector"
+    if name.startswith("media"):
+        return "multimodal"
+    return "relational"
+
+
+def test_per_family_floors():
+    """A regression in a family the driver's sample didn't draw (the
+    r2 sample was cheque+relational only) must fail HERE, not wait for
+    the driver to happen to draw it.  Floors = round-3 counts."""
+    import collections
+    q = collections.Counter(_family(n) for n in entry.queries())
+    o = collections.Counter(_family(n) for n in entry.oracle_sql())
+    for fam, (qf, of) in {"cheque": (19, 18), "relational": (84, 82),
+                          "text": (42, 42), "vector": (17, 14),
+                          "multimodal": (10, 7)}.items():
+        assert q[fam] >= qf, f"{fam} queries shrank: {q[fam]} < {qf}"
+        assert o[fam] >= of, f"{fam} oracles shrank: {o[fam]} < {of}"
 
 
 def test_hash_shuffled_queries_forward_kwargs():

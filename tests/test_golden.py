@@ -28,7 +28,8 @@ from cheque_ocr_project_ray.config import DEFAULT_CONFIG
 from cheque_ocr_project_ray.fixtures.gen import generate_fixture
 from cheque_ocr_project_ray.pipelines.cheque import build_cheque_pipeline
 
-GOLDEN_MD5 = "eef3ddbc9ff208f140b1356832f1ce69"
+# regenerated for the cost_ms column (G3 latency surface, round 3)
+GOLDEN_MD5 = "cbd745c346387eb5a07e33f6e26d2309"
 
 
 def test_golden_digest(tmp_path):
