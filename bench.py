@@ -74,7 +74,34 @@ def _consume(result) -> int:
     return 0
 
 
-def run_once(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
+def _warm_page_cache(fixture_dir) -> None:
+    """Read every fixture byte once so the timed region always starts
+    from a WARM page cache: round-over-round bench comparisons were
+    weather reports (observed 32.6-36.9 s for the same code depending
+    on cache state).  `--cold` inverts this by dropping caches."""
+    import pathlib
+    for f in sorted(pathlib.Path(fixture_dir).rglob("*")):
+        if f.is_file():
+            with open(f, "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+
+
+def _drop_page_cache() -> bool:
+    """Best-effort page-cache drop (root-only sysctl); False if the
+    sandbox forbids it — callers then report cache state honestly."""
+    try:
+        import subprocess as sp
+        sp.run(["sync"], check=True)
+        with open("/proc/sys/vm/drop_caches", "w") as fh:
+            fh.write("3\n")
+        return True
+    except OSError:
+        return False
+
+
+def run_once(sf_dir: str, num_cpus: int, headline_only: bool,
+             cold: bool = False) -> dict:
     import ray
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              logging_level="ERROR", log_to_driver=False)
@@ -84,7 +111,12 @@ def run_once(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
     # Corpus generation is one-time setup, not pipeline work — keep it
     # outside the timed region (cached across runs under /tmp).
     from cheque_ocr_project_ray.fixtures.gen import ensure_fixture
-    ensure_fixture(sf_dir)
+    fixture = ensure_fixture(sf_dir)
+    if cold:
+        cache_state = "cold" if _drop_page_cache() else "unknown"
+    else:
+        _warm_page_cache(fixture)
+        cache_state = "warm"
 
     import __ray_entry__ as entrymod
     qs = entrymod.queries()
@@ -113,6 +145,7 @@ def run_once(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
         "num_cpus": num_cpus,
         "cheques": n_cheques,
         "cheques_per_sec": round(n_cheques / headline_sec, 2),
+        "cache": cache_state,
     }
 
 
@@ -160,12 +193,16 @@ def main() -> None:
                     help="run headline at two parallelism levels")
     ap.add_argument("--scale-lo", type=int, default=8)
     ap.add_argument("--scale-hi", type=int, default=32)
+    ap.add_argument("--cold", action="store_true",
+                    help="drop the page cache before timing instead of "
+                         "warming it (needs root; default runs warm)")
     args = ap.parse_args()
 
     if args.scaling:
         out = run_scaling(args.sf_dir, args.scale_lo, args.scale_hi)
     else:
-        out = run_once(args.sf_dir, args.cpus, args.headline_only)
+        out = run_once(args.sf_dir, args.cpus, args.headline_only,
+                       cold=args.cold)
     print(json.dumps(out))
 
 
