@@ -31,6 +31,8 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data
+from ray.data.aggregate import Count as RayCount
+from ray.data.aggregate import Sum as RaySum
 
 from cheque_ocr_project_ray.relational.joins import hash_join
 from cheque_ocr_project_ray.relational.queries import _hash_shuffled, _pq
@@ -1120,6 +1122,236 @@ FROM per JOIN supplier ON s_suppkey = l_suppkey
 """
 
 
+# --- Q2 shape: per-group minimum-cost supplier (correlated min) --------
+@_hash_shuffled
+def min_cost_supplier(sf_dir: str, np_: int = 0):
+    """TPC-H Q2 adapted to this corpus (no partsupp): for each part
+    type, the cheapest line-item offer from an ASIA supplier, ties to
+    the smallest suppkey.
+
+    Shape: part/supplier/nation/region are broadcast lookups; ONE scan
+    of the fact computes per-type lexicographic-min partials by packing
+    (price_cents, suppkey) into one int64 (cents < 2^31 — prices are
+    bounded by the money domain — and suppkey < 2^32; at a corpus
+    whose supplier keys exceed 32 bits, widen the pack to two-column
+    min-then-semijoin, the Q2 correlated-subquery shape).  The min of
+    the packed value IS argmin-with-tiebreak, so partials merge
+    associatively through ``final_merge_min``.
+    """
+    part = pq.read_table(str(Path(sf_dir) / "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    types = pc.unique(part.column("p_type")).sort()
+    type_ids = pc.index_in(part.column("p_type"), value_set=types)
+    nation = pq.read_table(str(Path(sf_dir) / "nation.parquet"))
+    region = pq.read_table(str(Path(sf_dir) / "region.parquet"))
+    rkey = region.filter(pc.equal(region.column("r_name"), "ASIA")) \
+        .column("r_regionkey")
+    nat = nation.filter(pc.is_in(nation.column("n_regionkey"),
+                                 value_set=rkey)).column("n_nationkey")
+    supplier = pq.read_table(str(Path(sf_dir) / "supplier.parquet"),
+                             columns=["s_suppkey", "s_nationkey", "s_name"])
+    asia_sup = supplier.filter(pc.is_in(supplier.column("s_nationkey"),
+                                        value_set=nat))
+    dims_ref = ray.put((part.column("p_partkey").combine_chunks(),
+                        pc.cast(type_ids, pa.int64()).combine_chunks(),
+                        asia_sup.column("s_suppkey").combine_chunks()))
+
+    class Offers:
+        def __init__(self):
+            self.pkeys, self.ptype, self.skeys = ray.get(dims_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keep = pc.fill_null(pc.is_in(batch.column("l_suppkey"),
+                                         value_set=self.skeys), False)
+            b = batch.filter(keep)
+            pi = pc.index_in(b.column("l_partkey"), value_set=self.pkeys)
+            tid = pc.cast(self.ptype.take(pi), pa.int64())
+            cents = money_units(b.column("l_extendedprice"))
+            packed = pc.add(
+                pc.multiply(cents, pa.scalar(1 << 32, pa.int64())),
+                pc.cast(b.column("l_suppkey"), pa.int64()))
+            t = pa.table({"tid": tid, "packed": packed})
+            g = t.group_by("tid").aggregate([("packed", "min")])
+            return g.rename_columns(["tid", "packed"])
+
+    agg = final_merge_min(
+        _pq(sf_dir, "lineitem",
+            ["l_partkey", "l_suppkey", "l_extendedprice"])
+        .map_batches(Offers, batch_format="pyarrow",
+                     concurrency=(1, map_pool())),
+        ["tid"], ["packed"], np_=np_)
+
+    snames = dict(zip(supplier.column("s_suppkey").to_pylist(),
+                      supplier.column("s_name").to_pylist()))
+    tnames = types.to_pylist()
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        packed = b["packed"].to_numpy().astype(np.int64)
+        cents = packed >> 32
+        supp = packed & ((1 << 32) - 1)
+        out = pd.DataFrame({
+            "p_type": [tnames[int(t)] for t in b["tid"]],
+            "min_price": cents / 100.0,
+            "s_suppkey": supp.astype("int64"),
+            "s_name": [snames[int(s)] for s in supp]})
+        return out.sort_values("p_type").reset_index(drop=True)
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+MIN_COST_SUPPLIER_SQL = """
+WITH offers AS (
+  SELECT p_type, CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+         l_suppkey
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'ASIA'),
+best AS (SELECT p_type, min(price) AS min_price
+         FROM offers GROUP BY p_type),
+pick AS (SELECT o.p_type, b.min_price, min(o.l_suppkey) AS s_suppkey
+         FROM offers o
+         JOIN best b ON o.p_type = b.p_type AND o.price = b.min_price
+         GROUP BY o.p_type, b.min_price)
+SELECT p.p_type, CAST(p.min_price AS DOUBLE) AS min_price,
+       p.s_suppkey, s.s_name
+FROM pick p JOIN supplier s USING (s_suppkey)
+ORDER BY p.p_type
+"""
+
+
+# --- Q11 shape: group share vs a global aggregate -----------------------
+@_hash_shuffled
+def supplier_value_share(sf_dir: str, np_: int = 0):
+    """TPC-H Q11 adapted (no partsupp): suppliers whose total shipped
+    value exceeds the AVERAGE per-supplier value — a per-key aggregate
+    filtered against a global aggregate of itself.
+
+    Shape: combiner partials → bounded-adaptive merge → the global
+    total and group count come from a SECOND pass over the merged agg
+    (never the raw fact stream), and the comparison is exact-int:
+    ``value_cents · n_suppliers > total_cents`` ⟺ value > avg, no
+    float threshold to drift.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"s_suppkey": batch.column("l_suppkey"),
+                      "cents": money_units(
+                          batch.column("l_extendedprice"))})
+        g = t.group_by("s_suppkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["s_suppkey", "cents"])
+
+    agg = final_merge_sums(
+        _pq(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["s_suppkey"], ["cents"], np_=np_).materialize()
+
+    roll = agg.aggregate(RaySum("cents", alias_name="total"),
+                         RayCount(alias_name="n"))
+    total, n = int(roll["total"]), int(roll["n"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(
+            pc.multiply(batch.column("cents"), pa.scalar(n, pa.int64())),
+            pa.scalar(total, pa.int64()))
+        b = batch.filter(keep)
+        return pa.table({
+            "s_suppkey": b.column("s_suppkey"),
+            "total_value": pc.divide(
+                pc.cast(b.column("cents"), pa.float64()),
+                pa.scalar(100.0))})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort(["total_value", "s_suppkey"], descending=[True, False])
+
+
+SUPPLIER_VALUE_SHARE_SQL = """
+WITH v AS (
+  SELECT l_suppkey AS s_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+  FROM lineitem GROUP BY l_suppkey)
+SELECT s_suppkey, CAST(val AS DOUBLE) AS total_value
+FROM v
+WHERE val * (SELECT count(*) FROM v) > (SELECT sum(val) FROM v)
+ORDER BY total_value DESC, s_suppkey
+"""
+
+
+# --- Q20 shape: semi-join chain + threshold vs global average ----------
+@_hash_shuffled
+def promo_part_suppliers(sf_dir: str, np_: int = 0):
+    """TPC-H Q20 adapted (no partsupp): suppliers whose shipped
+    quantity of PROMO-type parts exceeds 1.05× the average per-supplier
+    PROMO quantity (selective at every tier — "half the average", Q20's
+    literal multiplier, passes everyone on this corpus).  Semi-join
+    chain: the qualifying partkey set comes from a pruned part scan
+    broadcast once; the threshold is exact-int
+    (``qty_units · 20 · n > 21 · total_units``; quantities carried in
+    1e-2 units so fractional quantities stay exact).
+    """
+    part = pq.read_table(str(Path(sf_dir) / "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    promo = part.filter(pc.equal(part.column("p_type"), "PROMO")) \
+        .column("p_partkey").combine_chunks()
+    promo_ref = ray.put(promo)
+
+    class PromoQty:
+        def __init__(self):
+            self.promo = ray.get(promo_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keep = pc.fill_null(pc.is_in(batch.column("l_partkey"),
+                                         value_set=self.promo), False)
+            b = batch.filter(keep)
+            t = pa.table({"s_suppkey": b.column("l_suppkey"),
+                          "units": money_units(b.column("l_quantity"))})
+            g = t.group_by("s_suppkey").aggregate([("units", "sum")])
+            return g.rename_columns(["s_suppkey", "units"])
+
+    agg = final_merge_sums(
+        _pq(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
+        .map_batches(PromoQty, batch_format="pyarrow",
+                     concurrency=(1, map_pool())),
+        ["s_suppkey"], ["units"], np_=np_).materialize()
+
+    roll = agg.aggregate(RaySum("units", alias_name="total"),
+                         RayCount(alias_name="n"))
+    total, n = int(roll["total"]), int(roll["n"])
+
+    supplier = pq.read_table(str(Path(sf_dir) / "supplier.parquet"),
+                             columns=["s_suppkey", "s_name"])
+    snames = dict(zip(supplier.column("s_suppkey").to_pylist(),
+                      supplier.column("s_name").to_pylist()))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b["units"].astype(np.int64) * 20 * n > 21 * total
+        b = b[keep]
+        out = pd.DataFrame({
+            "s_suppkey": b["s_suppkey"].astype("int64"),
+            "s_name": [snames[int(s)] for s in b["s_suppkey"]],
+            "promo_qty": b["units"].astype(np.int64) / 100.0})
+        return out.sort_values("s_suppkey").reset_index(drop=True)
+
+    return agg.map_batches(finish, batch_format="pandas") \
+        .sort("s_suppkey")
+
+
+PROMO_PART_SUPPLIERS_SQL = """
+WITH q AS (
+  SELECT l_suppkey AS s_suppkey,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_type = 'PROMO'
+  GROUP BY l_suppkey)
+SELECT q.s_suppkey, s.s_name, CAST(q.qty AS DOUBLE) AS promo_qty
+FROM q JOIN supplier s USING (s_suppkey)
+WHERE q.qty * 20 * (SELECT count(*) FROM q)
+      > 21 * (SELECT sum(qty) FROM q)
+ORDER BY q.s_suppkey
+"""
+
+
 def tpch_extra_queries():
     return {
         "q4_late_orders": q4_late_orders,
@@ -1135,6 +1367,9 @@ def tpch_extra_queries():
         "part_type_basket": part_type_basket,
         "order_size_histogram": order_size_histogram,
         "supplier_scorecard": supplier_scorecard,
+        "min_cost_supplier": min_cost_supplier,
+        "supplier_value_share": supplier_value_share,
+        "promo_part_suppliers": promo_part_suppliers,
     }
 
 
@@ -1153,4 +1388,7 @@ def tpch_extra_oracle_sql():
         "part_type_basket": PART_TYPE_BASKET_SQL,
         "order_size_histogram": ORDER_SIZE_HISTOGRAM_SQL,
         "supplier_scorecard": SUPPLIER_SCORECARD_SQL,
+        "min_cost_supplier": MIN_COST_SUPPLIER_SQL,
+        "supplier_value_share": SUPPLIER_VALUE_SHARE_SQL,
+        "promo_part_suppliers": PROMO_PART_SUPPLIERS_SQL,
     }

@@ -116,3 +116,64 @@ def test_suppliers_per_parttype_distinct(tmp_path):
     assert (out["n_suppliers"].to_numpy()
             == ref["n_suppliers"].to_numpy()).all()
     assert (out["n_parts"].to_numpy() == ref["n_parts"].to_numpy()).all()
+
+
+def test_min_cost_supplier_argmin_tiebreak(tmp_path):
+    """Cheapest ASIA offer per part type; exact price ties break to
+    the smallest suppkey (the packed lexicographic min)."""
+    from cheque_ocr_project_ray.relational.tpch_extra import (
+        min_cost_supplier)
+    region = pd.DataFrame({"r_regionkey": [0, 1],
+                           "r_name": ["ASIA", "EUROPE"]})
+    nation = pd.DataFrame({"n_nationkey": [0, 1],
+                           "n_name": ["N0", "N1"],
+                           "n_regionkey": [0, 1]})
+    supplier = pd.DataFrame({
+        "s_suppkey": [1, 2, 3],
+        "s_name": ["SA", "SB", "SEU"],
+        "s_nationkey": [0, 0, 1]})          # 3 is outside ASIA
+    part = pd.DataFrame({"p_partkey": [10, 20],
+                         "p_type": ["PROMO", "SMALL"]})
+    li = pd.DataFrame({
+        "l_partkey": [10, 10, 10, 20],
+        "l_suppkey": [2, 1, 3, 1],          # 3's cheaper offer excluded
+        "l_extendedprice": [5.00, 5.00, 1.00, 7.50]})
+    _write(tmp_path, region=region, nation=nation,
+           supplier=supplier, part=part, lineitem=li)
+    out = min_cost_supplier(str(tmp_path)).to_pandas() \
+        .sort_values("p_type").reset_index(drop=True)
+    assert out["p_type"].tolist() == ["PROMO", "SMALL"]
+    assert out["min_price"].tolist() == [5.00, 7.50]
+    assert out["s_suppkey"].tolist() == [1, 1]  # tie -> smallest key
+
+
+def test_supplier_value_share_above_average(tmp_path):
+    from cheque_ocr_project_ray.relational.tpch_extra import (
+        supplier_value_share)
+    li = pd.DataFrame({
+        "l_suppkey": [1, 2, 3],
+        "l_extendedprice": [10.0, 20.0, 60.0]})  # avg = 30
+    _write(tmp_path, lineitem=li)
+    out = supplier_value_share(str(tmp_path)).to_pandas()
+    assert out["s_suppkey"].tolist() == [3]
+    assert out["total_value"].tolist() == [60.0]
+
+
+def test_promo_part_suppliers_threshold(tmp_path):
+    from cheque_ocr_project_ray.relational.tpch_extra import (
+        promo_part_suppliers)
+    part = pd.DataFrame({"p_partkey": [10, 20],
+                         "p_type": ["PROMO", "SMALL"]})
+    supplier = pd.DataFrame({"s_suppkey": [1, 2],
+                             "s_name": ["SA", "SB"],
+                             "s_nationkey": [0, 0]})
+    li = pd.DataFrame({
+        "l_partkey": [10, 10, 20],
+        "l_suppkey": [1, 2, 2],
+        # supplier 1 ships 30 promo, 2 ships 10 (avg 20; 1.05*avg=21);
+        # the SMALL row must not count toward supplier 2
+        "l_quantity": [30.0, 10.0, 500.0]})
+    _write(tmp_path, part=part, supplier=supplier, lineitem=li)
+    out = promo_part_suppliers(str(tmp_path)).to_pandas()
+    assert out["s_suppkey"].tolist() == [1]
+    assert out["promo_qty"].tolist() == [30.0]
