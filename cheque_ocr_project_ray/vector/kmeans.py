@@ -35,10 +35,13 @@ def _assign(m: np.ndarray, cent: np.ndarray) -> np.ndarray:
     return np.argmin(score, axis=1).astype(np.int64)
 
 
-def kmeans_rounds(emb_ds, init_centroids: np.ndarray, rounds: int = 2,
-                  np_: int = 0):
-    """``rounds`` assignment passes with a centroid update between
-    each; returns the final (vec_id, cluster) Dataset."""
+def centroid_rounds(emb_ds, init_centroids: np.ndarray, rounds: int = 2,
+                    np_: int = 0, dim_lo: int = 0,
+                    dim_hi: int | None = None) -> np.ndarray:
+    """``rounds - 1`` centroid-update passes; returns the FINAL
+    centroid matrix (the caller does the last assignment).  ``dim_lo``
+    / ``dim_hi`` restrict to a dimension slice — the product-quantizer
+    trains one codebook per subspace through this same loop."""
     cent = np.asarray(init_centroids, dtype=np.float64)
     k, d = cent.shape
     sum_cols = [f"s{j}" for j in range(d)]
@@ -48,7 +51,7 @@ def kmeans_rounds(emb_ds, init_centroids: np.ndarray, rounds: int = 2,
 
         def partial(batch: pa.Table, _ref=cent_ref) -> pa.Table:
             c = ray.get(_ref)
-            m = _table_matrix(batch)
+            m = _table_matrix(batch)[:, dim_lo:dim_hi]
             a = _assign(m, c)
             n = np.bincount(a, minlength=k)
             s = np.zeros((k, d))
@@ -73,6 +76,14 @@ def kmeans_rounds(emb_ds, init_centroids: np.ndarray, rounds: int = 2,
         new_cent[nz] = sums[nz] / n[nz, None]
         cent = new_cent
 
+    return cent
+
+
+def kmeans_rounds(emb_ds, init_centroids: np.ndarray, rounds: int = 2,
+                  np_: int = 0):
+    """``rounds`` assignment passes with a centroid update between
+    each; returns the final (vec_id, cluster) Dataset."""
+    cent = centroid_rounds(emb_ds, init_centroids, rounds, np_)
     cent_ref = ray.put(cent)
 
     class Assign:
@@ -85,4 +96,52 @@ def kmeans_rounds(emb_ds, init_centroids: np.ndarray, rounds: int = 2,
                              "cluster": pa.array(a)})
 
     return emb_ds.map_batches(Assign, batch_format="pyarrow",
+                              concurrency=(1, map_pool()))
+
+
+def pq_encode(emb_ds, inits: list[np.ndarray],
+              bounds: list[tuple[int, int]], rounds: int = 2,
+              np_: int = 0):
+    """Product quantization: one fixed-round Lloyd codebook per
+    dimension subspace (trained through :func:`centroid_rounds`, so
+    each codebook costs the same streaming passes as k-means), then
+    ONE encode pass emitting the per-subspace code and the exact
+    reconstruction MSE.
+
+    Float-parity contract (mirrors the SQL twin): per-subspace squared
+    errors accumulate SEQUENTIALLY over dimensions (DuckDB ``list_sum``
+    order), subspace partials add left-to-right, and only the final
+    MSE is rounded (10 dp).  Codes are exact ints.  Assignment ties
+    break to the lowest code id, same rule as k-means.
+    """
+    cents = [centroid_rounds(emb_ds, init, rounds, np_, lo, hi)
+             for init, (lo, hi) in zip(inits, bounds)]
+    cents_ref = ray.put(cents)
+    d_total = sum(hi - lo for lo, hi in bounds)
+
+    class Encode:
+        def __init__(self):
+            self.cents = ray.get(cents_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from cheque_ocr_project_ray.util import round_half_up
+            m = _table_matrix(batch)
+            total = np.zeros(len(m), np.float64)
+            cols = {"vec_id": batch.column("vec_id")}
+            for s, ((lo, hi), cent) in enumerate(zip(bounds,
+                                                     self.cents)):
+                sub = m[:, lo:hi]
+                a = _assign(sub, cent)
+                diff = sub - cent[a]
+                sq = diff * diff
+                acc = np.zeros(len(m), np.float64)
+                for j in range(hi - lo):  # sequential, like list_sum
+                    acc += sq[:, j]
+                total = total + acc       # left-to-right over subspaces
+                cols[f"code{s}"] = pa.array(a)
+            cols["mse"] = pa.array(
+                round_half_up(total / d_total, 10), pa.float64())
+            return pa.table(cols)
+
+    return emb_ds.map_batches(Encode, batch_format="pyarrow",
                               concurrency=(1, map_pool()))

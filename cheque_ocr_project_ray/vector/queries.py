@@ -570,6 +570,81 @@ def embedding_kmeans(sf_dir: str):
     return kmeans_rounds(_emb(sf_dir), init, rounds=KMEANS_ROUNDS)
 
 
+PQ_K = 8                      # codes per subspace codebook
+PQ_BOUNDS = [(0, 32), (32, 64)]  # two subspaces over the 64-dim column
+
+
+def embedding_pq(sf_dir: str):
+    """Product quantization (m=2 subspaces × k=8 codes, 2 fixed Lloyd
+    rounds per codebook, init = the k smallest vec_ids' sub-vectors):
+    per-vector (code0, code1) and exact reconstruction MSE.  Completes
+    the ANN compression family (scalar int8 → PQ); the SQL twin
+    unrolls both per-subspace k-means fits over ``list_slice``."""
+    from cheque_ocr_project_ray.vector.kmeans import pq_encode
+    t = pq.read_table(str(Path(sf_dir) / "embeddings.parquet"),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", PQ_K)])
+    full = np.asarray(
+        t.sort_by("vec_id")["embedding"].to_pylist(), dtype=np.float64)
+    inits = [full[:, lo:hi] for lo, hi in PQ_BOUNDS]
+    return pq_encode(_emb(sf_dir), inits, PQ_BOUNDS, rounds=2)
+
+
+def _pq_subspace_sql(tag: str, lo1: int, hi1: int, vcol: str) -> str:
+    """One subspace's fixed-round codebook fit (mirrors KMEANS_SQL's
+    unroll over a dimension slice; 1-based inclusive list_slice)."""
+    return f"""
+c{tag}0 AS (
+  SELECT vec_id AS cid,
+         list_slice(embedding::DOUBLE[], {lo1}, {hi1}) AS c
+  FROM embeddings WHERE vec_id < {PQ_K}),
+a{tag} AS (
+  SELECT vec_id, {vcol},
+         (SELECT cid FROM c{tag}0
+          ORDER BY list_distance(s.{vcol}, c{tag}0.c), cid LIMIT 1)
+             AS cl
+  FROM s),
+du{tag} AS (
+  SELECT cl,
+         unnest(list_transform({vcol},
+                (x, i) -> struct_pack(i := i, x := x))) AS u
+  FROM a{tag}),
+cm{tag} AS (
+  SELECT cl AS cid, u.i AS i, avg(u.x) AS x
+  FROM du{tag} GROUP BY cl, u.i),
+c{tag}1 AS (SELECT cid, list(x ORDER BY i) AS c
+            FROM cm{tag} GROUP BY cid),
+cc{tag} AS (
+  SELECT c{tag}0.cid, coalesce(c{tag}1.c, c{tag}0.c) AS c
+  FROM c{tag}0 LEFT JOIN c{tag}1 USING (cid))"""
+
+
+PQ_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, list_slice(v, 1, 32) AS v0,
+             list_slice(v, 33, 64) AS v1
+      FROM e),
+{_pq_subspace_sql("x", 1, 32, "v0")},
+{_pq_subspace_sql("y", 33, 64, "v1")},
+f AS (
+  SELECT s.vec_id, s.v0, s.v1,
+         (SELECT cid FROM ccx
+          ORDER BY list_distance(s.v0, ccx.c), cid LIMIT 1) AS code0,
+         (SELECT cid FROM ccy
+          ORDER BY list_distance(s.v1, ccy.c), cid LIMIT 1) AS code1
+  FROM s)
+SELECT f.vec_id, f.code0, f.code1,
+       round((list_sum(list_transform(f.v0,
+                 (x, i) -> (x - g0.c[i]) * (x - g0.c[i])))
+              + list_sum(list_transform(f.v1,
+                 (x, i) -> (x - g1.c[i]) * (x - g1.c[i]))))
+             / 64, 10) AS mse
+FROM f
+JOIN ccx g0 ON f.code0 = g0.cid
+JOIN ccy g1 ON f.code1 = g1.cid
+"""
+
+
 KMEANS_SQL = f"""
 WITH c0 AS (
   SELECT vec_id AS cid, embedding::DOUBLE[] AS c
@@ -723,6 +798,7 @@ def vector_queries() -> dict[str, Callable]:
         "embedding_neardup": embedding_neardup,
         "embedding_neardup_blocked": embedding_neardup_blocked,
         "embedding_kmeans": embedding_kmeans,
+        "embedding_pq": embedding_pq,
         "label_stats": label_stats,
         "label_centroids": label_centroids,
     }
@@ -742,6 +818,7 @@ def vector_oracle_sql() -> dict[str, str]:
         "embedding_neardup": NEARDUP_SQL,
         "embedding_neardup_blocked": NEARDUP_SQL,
         "embedding_kmeans": KMEANS_SQL,
+        "embedding_pq": PQ_SQL,
         "label_stats": LABEL_STATS_SQL,
         "label_centroids": LABEL_CENTROIDS_SQL,
     }

@@ -90,3 +90,45 @@ def test_kmeans_empty_cluster_keeps_centroid():
     out = kmeans_rounds(ds, init, rounds=3).to_pandas()
     assert out["cluster"].notna().all()
     assert set(out["cluster"].unique()) <= {0, 1, 2}
+
+
+def test_pq_encode_reconstruction():
+    """PQ codes hit the planted per-subspace clusters, and the MSE is
+    the true reconstruction error against the trained codebooks."""
+    import numpy as np
+    import ray.data
+    from cheque_ocr_project_ray.vector.kmeans import (centroid_rounds,
+                                                      pq_encode)
+    rng = np.random.default_rng(3)
+    # two tight blobs per subspace; first 2 rows are the init seeds
+    base0 = np.array([0.0] * 4), np.array([10.0] * 4)
+    base1 = np.array([5.0] * 4), np.array([-5.0] * 4)
+    rows = []
+    for i in range(40):
+        s0 = base0[i % 2] + 0.01 * rng.standard_normal(4)
+        s1 = base1[i % 2] + 0.01 * rng.standard_normal(4)
+        rows.append({"vec_id": i,
+                     "embedding": np.concatenate([s0, s1]).tolist()})
+    ds = ray.data.from_items(rows)
+    m = np.array([r["embedding"] for r in rows])
+    bounds = [(0, 4), (4, 8)]
+    inits = [m[:2, lo:hi] for lo, hi in bounds]
+    out = pq_encode(ds, inits, bounds, rounds=2).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    # same-parity rows share a code in each subspace
+    assert (out["code0"][::2].nunique() == 1
+            and out["code0"][1::2].nunique() == 1)
+    assert out["code0"][0] != out["code0"][1]
+    assert (out["code1"][::2].nunique() == 1
+            and out["code1"][1::2].nunique() == 1)
+    # MSE equals the numpy reconstruction error per row
+    cents = [centroid_rounds(ds, init, 2, 0, lo, hi)
+             for init, (lo, hi) in zip(inits, bounds)]
+    for i in (0, 1, 7):
+        err = 0.0
+        for (lo, hi), cent in zip(bounds, cents):
+            code = out[f"code{[(0,4),(4,8)].index((lo,hi))}"][i]
+            err += ((m[i, lo:hi] - cent[code]) ** 2).sum()
+        assert abs(out["mse"][i] - err / 8) < 1e-9
+    # tight blobs → tiny reconstruction error
+    assert out["mse"].max() < 0.01
