@@ -2448,9 +2448,11 @@ def relational_queries() -> dict[str, Callable]:
         analytics_extra_queries
     from cheque_ocr_project_ray.relational.tpch_extra import \
         tpch_extra_queries
+    from cheque_ocr_project_ray.relational.pagerank import trade_pagerank
     out = tpch_extra_queries()
     out.update(analytics_extra_queries())
     out.update({
+        "trade_pagerank": trade_pagerank,
         "q1_pricing_summary": q1_pricing_summary,
         "revenue_by_nation": revenue_by_nation,
         "top_orders": top_orders,
@@ -2505,9 +2507,12 @@ def relational_oracle_sql() -> dict[str, str]:
         analytics_extra_oracle_sql
     from cheque_ocr_project_ray.relational.tpch_extra import \
         tpch_extra_oracle_sql
+    from cheque_ocr_project_ray.relational.pagerank import \
+        TRADE_PAGERANK_SQL
     out = tpch_extra_oracle_sql()
     out.update(analytics_extra_oracle_sql())
     out.update({
+        "trade_pagerank": TRADE_PAGERANK_SQL,
         "q1_pricing_summary": Q1_SQL,
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
         "top_orders": TOP_ORDERS_SQL,
