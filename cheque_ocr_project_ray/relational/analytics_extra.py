@@ -1525,6 +1525,62 @@ def events_jsonl_roundtrip(sf_dir: str, np_: int = 0):
     return _type_value_rollup(read_events_jsonl(sf_dir), np_)
 
 
+@_hash_shuffled
+def events_schema_evolution(sf_dir: str, np_: int = 0):
+    """Union-by-name read across two schema-DRIFTED derived shards
+    (one missing ``ts``, one carrying an extra ``channel`` column,
+    orders permuted — see ``sources/formats._evolved_shards``), rolled
+    up per event type.  The oracle re-derives the expected counts from
+    the ORIGINAL parquet via the shard-parity rule, so a green row
+    proves every row survived the union exactly once with correct
+    typed null-fill."""
+    from cheque_ocr_project_ray.sources.formats import read_events_evolved
+    ds = read_events_evolved(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "n_events": pa.array(np.ones(batch.num_rows, np.int64)),
+            "n_with_ts": pc.cast(pc.is_valid(batch.column("ts")),
+                                 pa.int64()),
+            "n_web": pc.cast(pc.fill_null(pc.equal(
+                batch.column("channel"), "web"), False), pa.int64()),
+            "cents": money_units(batch.column("value"))})
+        g = t.group_by("event_type").aggregate(
+            [("n_events", "sum"), ("n_with_ts", "sum"),
+             ("n_web", "sum"), ("cents", "sum")])
+        return g.rename_columns(["event_type", "n_events", "n_with_ts",
+                                 "n_web", "cents"])
+
+    agg = final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], ["n_events", "n_with_ts", "n_web", "cents"],
+        np_=np_)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "n_events": b["n_events"],
+            "n_with_ts": b["n_with_ts"],
+            "n_web": b["n_web"],
+            "sum_value": b["cents"].astype(np.int64) / 100.0})
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+_SCHEMA_EVOLUTION_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_with_ts,
+       CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_web,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
 CONV_WINDOW_US = 3600 * 1_000_000
 
 
@@ -1597,6 +1653,7 @@ def analytics_extra_queries():
     return {
         "events_csv_roundtrip": events_csv_roundtrip,
         "events_jsonl_roundtrip": events_jsonl_roundtrip,
+        "events_schema_evolution": events_schema_evolution,
         "events_conversion_window": events_conversion_window,
         "orders_pareto": orders_pareto,
         "events_value_gini": events_value_gini,
@@ -1649,6 +1706,7 @@ def analytics_extra_oracle_sql():
         "events_session_stats": EVENTS_SESSION_STATS_SQL,
         "events_value_winsorized": EVENTS_WINSORIZED_SQL,
         "events_csv_roundtrip": _FORMAT_ROLLUP_SQL,
+        "events_schema_evolution": _SCHEMA_EVOLUTION_SQL,
         "events_jsonl_roundtrip": _FORMAT_ROLLUP_SQL,
         "events_conversion_window": EVENTS_CONVERSION_SQL,
     }

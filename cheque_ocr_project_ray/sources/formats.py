@@ -68,6 +68,71 @@ def _normalize(batch: pa.Table) -> pa.Table:
     })
 
 
+def _evolved_shards(sf_dir: str) -> tuple[str, str]:
+    """Two derived parquet shards with DRIFTED schemas (cached like
+    ``_derived``): shard A = even event_ids, the original schema;
+    shard B = odd event_ids with the ``ts`` column DROPPED, a new
+    ``channel`` column added, and the remaining columns reordered —
+    the schema drift a year of lake ingestion produces."""
+    import hashlib
+
+    src = Path(sf_dir) / "events.parquet"
+    st = src.stat()
+    key = hashlib.md5(
+        f"evo|{src}|{st.st_mtime_ns}|{st.st_size}".encode()) \
+        .hexdigest()[:16]
+    out_dir = Path(_CACHE_ROOT) / key
+    a, b = out_dir / "shard_a.parquet", out_dir / "shard_b.parquet"
+    if a.exists() and b.exists():
+        return str(a), str(b)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    df = pd.read_parquet(src,
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type", "value"])
+    even = df[df["event_id"] % 2 == 0]
+    odd = df[df["event_id"] % 2 == 1].drop(columns=["ts"]).copy()
+    odd["channel"] = "web"
+    odd = odd[["channel", "value", "event_type", "user_id", "event_id"]]
+    tmp_a, tmp_b = f"{a}.tmp{os.getpid()}", f"{b}.tmp{os.getpid()}"
+    even.to_parquet(tmp_a, index=False)
+    odd.to_parquet(tmp_b, index=False)
+    os.replace(tmp_a, a)
+    os.replace(tmp_b, b)
+    return str(a), str(b)
+
+
+_EVOLVED_SCHEMA = (("event_id", pa.int64()),
+                   ("ts", pa.timestamp("us")),
+                   ("user_id", pa.int64()),
+                   ("event_type", pa.string()),
+                   ("value", pa.float64()),
+                   ("channel", pa.string()))
+
+
+def read_events_evolved(sf_dir: str):
+    """Union-by-name read across schema-drifted shards: each shard's
+    batches are aligned to the union schema (missing columns null-
+    filled with their TARGET type, order canonicalized) in one
+    map_batches, then the shards union — the reader a 100 TB lake
+    whose shards predate a column needs.  No shuffle; alignment is
+    per-batch metadata work."""
+
+    def align(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name, typ in _EVOLVED_SCHEMA:
+            if name in batch.column_names:
+                cols[name] = pc.cast(batch.column(name), typ)
+            else:
+                cols[name] = pa.nulls(batch.num_rows, typ)
+        return pa.table(cols)
+
+    a, b = _evolved_shards(sf_dir)
+    return ray.data.read_parquet(a) \
+        .map_batches(align, batch_format="pyarrow") \
+        .union(ray.data.read_parquet(b)
+               .map_batches(align, batch_format="pyarrow"))
+
+
 def read_events_csv(sf_dir: str):
     return ray.data.read_csv(_derived(sf_dir, "csv")) \
         .map_batches(_normalize, batch_format="pyarrow")

@@ -119,3 +119,23 @@ def test_ingest_meta_covers_all_files_and_stem_collisions(tmp_path):
     assert sorted(final["doc_id"]) == ids
     assert set(final["image_file"]) == {"scan1.tif", "scan1.png",
                                         "scan2.jpg"}
+
+
+def test_schema_evolution_union_null_fill():
+    """Union-by-name read: shard B's missing ts is null-filled with
+    the TARGET type, shard A's missing channel likewise, and no row is
+    lost or duplicated across the drifted shards."""
+    import pyarrow.parquet as pq
+    from cheque_ocr_project_ray.sources.formats import read_events_evolved
+    sf = "/root/testdata/sf0.001"
+    ds = read_events_evolved(sf)
+    df = ds.to_pandas()
+    src = pq.read_table(f"{sf}/events.parquet",
+                        columns=["event_id"]).to_pandas()
+    assert sorted(df["event_id"]) == sorted(src["event_id"])
+    even = df["event_id"] % 2 == 0
+    assert df.loc[even, "ts"].notna().all()
+    assert df.loc[~even, "ts"].isna().all()
+    assert (df.loc[~even, "channel"] == "web").all()
+    assert df.loc[even, "channel"].isna().all()
+    assert str(df["ts"].dtype).startswith("datetime64")
