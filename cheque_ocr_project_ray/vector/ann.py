@@ -205,6 +205,77 @@ def lsh_topk(emb_ds, query_vec: np.ndarray, k: int = 10,
     return brute_force_topk(candidates, query_vec, k)
 
 
+def normalized_view(emb_ds):
+    """L2-normalized copy of the embedding column (squared L2 on unit
+    vectors = 2 − 2·cos, so PQ-ADC distance ranks like cosine)."""
+
+    def norm(batch: pa.Table) -> pa.Table:
+        m = _table_matrix(batch)
+        n = np.linalg.norm(m, axis=1)
+        mn = m / np.where(n == 0, 1, n)[:, None]
+        flat = pa.array(mn.ravel(), pa.float64())
+        offsets = pa.array(
+            np.arange(0, (len(mn) + 1) * mn.shape[1], mn.shape[1],
+                      dtype=np.int32))
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "embedding": pa.ListArray.from_arrays(offsets, flat)})
+
+    return emb_ds.map_batches(norm, batch_format="pyarrow")
+
+
+def pq_topk(emb_ds, query_vec: np.ndarray, k: int = 10,
+            n_codes: int = 8, bounds: tuple = ((0, 32), (32, 64)),
+            rounds: int = 2):
+    """Approximate top-k via product-quantization ADC: per-subspace
+    codebooks trained on the L2-normalized corpus (fixed-round Lloyd,
+    the same streaming loop as k-means), the query expanded into one
+    tiny distance LUT per subspace, and each batch scored as
+    ``Σ_s lut_s[code_s(v)]`` — O(n_codes·d) GEMM per batch instead of
+    the exact path's O(d) per corpus vector against the full query, and
+    at a REAL deployment the codes are precomputed once so search is
+    pure LUT adds.  Candidates take a per-batch local top-k before the
+    tiny global sort."""
+    from cheque_ocr_project_ray.util import map_pool
+    from cheque_ocr_project_ray.vector.kmeans import (_assign,
+                                                      centroid_rounds)
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    nview = normalized_view(emb_ds)
+    # deterministic init: the n_codes smallest vec_ids (same rule as
+    # k-means / PQ), not "whatever rows the scan yields first"
+    probes = nview.filter(expr=f"vec_id < {n_codes}").to_pandas()
+    init_full = np.asarray(probes.sort_values("vec_id")["embedding"]
+                           .to_list(), dtype=np.float64)
+    cents = [centroid_rounds(nview, init_full[:, lo:hi], rounds,
+                             dim_lo=lo, dim_hi=hi)
+             for lo, hi in bounds]
+    luts = [((cent - q[lo:hi]) ** 2).sum(axis=1)
+            for cent, (lo, hi) in zip(cents, bounds)]
+    state_ref = ray.put((cents, luts))
+
+    class _Adc:
+        def __init__(self):
+            self.cents, self.luts = ray.get(state_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _table_matrix(batch)
+            adist = np.zeros(len(m), np.float64)
+            for (lo, hi), cent, lut in zip(bounds, self.cents,
+                                           self.luts):
+                codes = _assign(m[:, lo:hi], cent)
+                adist += lut[codes]
+            top = np.argsort(adist, kind="stable")[:k]
+            return pa.table({
+                "vec_id": batch.column("vec_id").take(pa.array(top)),
+                "adist": pa.array(adist[top])})
+
+    return nview.map_batches(_Adc, batch_format="pyarrow",
+                             concurrency=(1, map_pool())) \
+        .sort(["adist", "vec_id"]).limit(k)
+
+
 def kmeans_centroids(sample: np.ndarray, n_centroids: int = 16,
                      iters: int = 5, seed: int = 23) -> np.ndarray:
     """Deterministic Lloyd's k-means on a driver-side sample.

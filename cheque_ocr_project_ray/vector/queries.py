@@ -408,19 +408,21 @@ def ann_recall_eval(sf_dir: str):
     def topk_ids(ds_result):
         return set(ds_result.to_pandas()["vec_id"].tolist())
 
-    recalls = {"lsh": [], "ivf": []}
+    recalls = {"lsh": [], "ivf": [], "pq": []}
     for qid, qv in zip(qids, qvecs):
         exact = topk_ids(ann.brute_force_topk(_emb(sf_dir), qv, k=10))
-        for name, fn in (("lsh", ann.lsh_topk), ("ivf", ann.ivf_topk)):
+        for name, fn in (("lsh", ann.lsh_topk), ("ivf", ann.ivf_topk),
+                         ("pq", ann.pq_topk)):
             approx = topk_ids(fn(_emb(sf_dir), qv, k=10))
             recalls[name].append(len(approx & exact) / 10.0)
 
     from cheque_ocr_project_ray.util import round_half_up
+    methods = ["lsh", "ivf", "pq"]
     return pd.DataFrame({
-        "method": ["lsh", "ivf"],
-        "recall_at_10": [float(round_half_up(np.mean(recalls["lsh"]), 4)),
-                         float(round_half_up(np.mean(recalls["ivf"]), 4))],
-        "n_queries": [len(qids)] * 2})
+        "method": methods,
+        "recall_at_10": [float(round_half_up(np.mean(recalls[m]), 4))
+                         for m in methods],
+        "n_queries": [len(qids)] * len(methods)})
 
 
 FILTER_LABEL = 3
@@ -505,6 +507,12 @@ def ann_lsh_topk(sf_dir: str):
 
 def ann_ivf_topk(sf_dir: str):
     return ann.ivf_topk(_emb(sf_dir), _query_vec(sf_dir), k=10)
+
+
+def ann_pq_topk(sf_dir: str):
+    """PQ-ADC approximate top-k (rows-only like the other approximate
+    indexes; ``ann_recall_eval`` measures its recall@10 vs exact)."""
+    return ann.pq_topk(_emb(sf_dir), _query_vec(sf_dir), k=10)
 
 
 NEARDUP_THRESHOLD = 0.4  # non-vacuous on the random test embeddings
@@ -795,6 +803,7 @@ def vector_queries() -> dict[str, Callable]:
         "embedding_quantize_error": embedding_quantize_error,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_pq_topk": ann_pq_topk,
         "embedding_neardup": embedding_neardup,
         "embedding_neardup_blocked": embedding_neardup_blocked,
         "embedding_kmeans": embedding_kmeans,

@@ -199,7 +199,7 @@ def test_orders_cube_levels(tmp_path):
 def test_ann_recall_eval_bounds():
     from cheque_ocr_project_ray.vector.queries import ann_recall_eval
     out = ann_recall_eval("/root/testdata/sf0.001")
-    assert set(out["method"]) == {"lsh", "ivf"}
+    assert set(out["method"]) == {"lsh", "ivf", "pq"}
     assert ((out["recall_at_10"] >= 0) & (out["recall_at_10"] <= 1)).all()
     # both approximate paths must find at least part of the true top-10
     assert (out["recall_at_10"] > 0).any()

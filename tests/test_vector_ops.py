@@ -137,3 +137,21 @@ def test_neardup_blocked_equals_broadcast(emb_table, matrix):
     assert len(base) > 0          # non-vacuous at this threshold
     assert base.reset_index(drop=True).equals(
         blocked.reset_index(drop=True))
+
+
+def test_pq_topk_finds_planted_duplicate():
+    """A vector identical to the query attains the minimum achievable
+    ADC distance, so it is in the returned top-k (ties permitted —
+    PQ codes are coarse by design)."""
+    rng = np.random.default_rng(11)
+    q = rng.standard_normal(64)
+    rows = [{"vec_id": i, "embedding": rng.standard_normal(64).tolist()}
+            for i in range(40)]
+    rows.append({"vec_id": 99, "embedding": q.tolist()})
+    ds = ray.data.from_items(rows)
+    out = ann.pq_topk(ds, q, k=10, bounds=((0, 32), (32, 64))).to_pandas()
+    assert len(out) == 10
+    assert out["adist"].is_monotonic_increasing
+    dup = out[out["vec_id"] == 99]
+    assert len(dup) == 1
+    assert dup["adist"].iloc[0] == out["adist"].min()
