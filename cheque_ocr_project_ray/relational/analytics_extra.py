@@ -1568,6 +1568,77 @@ def events_schema_evolution(sf_dir: str, np_: int = 0):
     return agg.map_batches(finish, batch_format="pandas")
 
 
+@_hash_shuffled
+def user_customer_coverage(sf_dir: str, np_: int = 0):
+    """FULL OUTER join of two fact-derived aggregates whose key spaces
+    genuinely differ on both sides (users who ERRORED vs customers
+    with FAILED orders — verified non-empty on all three sides at
+    every tier): per-key activity from both worlds plus a side
+    classifier.  This is the distributed full-outer shape — both sides
+    shuffle, unmatched rows surface from EITHER side (a broadcast join
+    cannot express it: per-batch emission would duplicate unmatched
+    small-side rows)."""
+    from cheque_ocr_project_ray.relational.joins import hash_join
+
+    def e_partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("event_type"), "error"))
+        t = pa.table({"key": b.column("user_id"),
+                      "n_events": pa.array(
+                          np.ones(b.num_rows, np.int64))})
+        g = t.group_by("key").aggregate([("n_events", "sum")])
+        return g.rename_columns(["key", "n_events"])
+
+    def o_partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("o_orderstatus"), "F"))
+        t = pa.table({"key": b.column("o_custkey"),
+                      "n_orders": pa.array(
+                          np.ones(b.num_rows, np.int64))})
+        g = t.group_by("key").aggregate([("n_orders", "sum")])
+        return g.rename_columns(["key", "n_orders"])
+
+    evts = final_merge_sums(
+        _pq(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(e_partial, batch_format="pyarrow"),
+        ["key"], ["n_events"], np_=np_)
+    orders = final_merge_sums(
+        _pq(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+        .map_batches(o_partial, batch_format="pyarrow"),
+        ["key"], ["n_orders"], np_=np_)
+
+    joined = hash_join(evts, orders, on="key", how="outer",
+                       num_partitions=np_ or None)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ne = pc.fill_null(batch.column("n_events"),
+                          pa.scalar(0, pa.int64()))
+        no = pc.fill_null(batch.column("n_orders"),
+                          pa.scalar(0, pa.int64()))
+        side = pc.if_else(
+            pc.equal(ne, pa.scalar(0, pa.int64())),
+            pa.scalar("orders_only"),
+            pc.if_else(pc.equal(no, pa.scalar(0, pa.int64())),
+                       pa.scalar("events_only"), pa.scalar("both")))
+        return pa.table({"key": batch.column("key"), "n_events": ne,
+                         "n_orders": no, "side": side})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+_USER_CUSTOMER_COVERAGE_SQL = """
+WITH e AS (SELECT user_id AS key, count(*) AS n_events
+           FROM events WHERE event_type = 'error' GROUP BY user_id),
+o AS (SELECT o_custkey AS key, count(*) AS n_orders
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey)
+SELECT coalesce(e.key, o.key) AS key,
+       coalesce(e.n_events, 0) AS n_events,
+       coalesce(o.n_orders, 0) AS n_orders,
+       CASE WHEN e.key IS NULL THEN 'orders_only'
+            WHEN o.key IS NULL THEN 'events_only'
+            ELSE 'both' END AS side
+FROM e FULL OUTER JOIN o ON e.key = o.key
+"""
+
+
 _SCHEMA_EVOLUTION_SQL = """
 SELECT event_type,
        count(*) AS n_events,
@@ -1654,6 +1725,7 @@ def analytics_extra_queries():
         "events_csv_roundtrip": events_csv_roundtrip,
         "events_jsonl_roundtrip": events_jsonl_roundtrip,
         "events_schema_evolution": events_schema_evolution,
+        "user_customer_coverage": user_customer_coverage,
         "events_conversion_window": events_conversion_window,
         "orders_pareto": orders_pareto,
         "events_value_gini": events_value_gini,
@@ -1707,6 +1779,7 @@ def analytics_extra_oracle_sql():
         "events_value_winsorized": EVENTS_WINSORIZED_SQL,
         "events_csv_roundtrip": _FORMAT_ROLLUP_SQL,
         "events_schema_evolution": _SCHEMA_EVOLUTION_SQL,
+        "user_customer_coverage": _USER_CUSTOMER_COVERAGE_SQL,
         "events_jsonl_roundtrip": _FORMAT_ROLLUP_SQL,
         "events_conversion_window": EVENTS_CONVERSION_SQL,
     }

@@ -98,3 +98,17 @@ def test_idle_rich_excludes_urgent_customers():
     manual = cust[(cust["c_acctbal"] > thr)
                   & (~cust["c_custkey"].isin(urgent))]
     assert int(df["numcust"].sum()) == len(manual)
+
+
+def test_full_outer_coverage_sides():
+    """All three full-outer sides surface: matched, left-only,
+    right-only — on the real sf0.001 tables."""
+    from cheque_ocr_project_ray.relational.analytics_extra import (
+        user_customer_coverage)
+    df = user_customer_coverage("/root/testdata/sf0.001").to_pandas()
+    sides = set(df["side"])
+    assert "both" in sides and "orders_only" in sides
+    # unmatched rows carry zero-filled counters, never nulls
+    assert df["n_events"].notna().all() and df["n_orders"].notna().all()
+    assert (df.loc[df["side"] == "orders_only", "n_events"] == 0).all()
+    assert df["key"].is_unique
