@@ -24,6 +24,15 @@ def _docs(sf_dir: str):
                                  columns=["doc_id", "text"])
 
 
+def corpus_bpe_merges(sf_dir: str):
+    """First 5 BPE merge rules trained on the corpus word-frequency
+    table (`text/bpe.py`) — the tokenizer-training operator.
+    Rows-only: the fixed-point merge loop is not reasonably
+    SQL-expressible; a classic hand-computed example pytests it."""
+    from cheque_ocr_project_ray.text.bpe import bpe_merges
+    return bpe_merges(_docs(sf_dir), n_merges=5)
+
+
 def doc_token_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(analysis.token_stats,
                                      batch_format="pyarrow")
@@ -2017,6 +2026,7 @@ GROUP BY source
 def text_queries() -> dict[str, Callable]:
     return {
         "doc_token_stats": doc_token_stats,
+        "corpus_bpe_merges": corpus_bpe_merges,
         "doc_quality": doc_quality,
         "doc_repetition": doc_repetition,
         "corpus_top_bigrams": corpus_top_bigrams,
