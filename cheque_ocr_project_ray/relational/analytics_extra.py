@@ -1624,6 +1624,106 @@ def user_customer_coverage(sf_dir: str, np_: int = 0):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+@_hash_shuffled
+def orders_quartile_bands(sf_dir: str, np_: int = 0):
+    """Global quantile bucketing (the NTILE/bucketize shape): exact
+    q25/q50/q75 from the (cents, count) grid — the bit-equal
+    quantile_cont replica, never Ray's drifting Quantile — broadcast
+    into a labeling pass, then per-band count / exact-int sum /
+    min / max.  Two streaming passes; the grid is bounded-adaptive
+    (distinct price cardinality) with the distributed fallback."""
+    import ray as _ray
+    from cheque_ocr_project_ray.util import (collect_table, map_pool,
+                                             quantile_cont_from_grid)
+
+    ds = _pq(sf_dir, "orders", ["o_totalprice"])
+
+    def grid_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"cents": money_units(batch.column("o_totalprice")),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by("cents").aggregate([("n", "sum")])
+        return g.rename_columns(["cents", "n"])
+
+    grid = collect_table(final_merge_sums(
+        ds.map_batches(grid_partial, batch_format="pyarrow"),
+        ["cents"], ["n"], np_=np_).materialize())
+    empty = pd.DataFrame({
+        "quartile": pd.Series([], dtype="int64"),
+        "n": pd.Series([], dtype="int64"),
+        "sum_value": pd.Series([], dtype="float64"),
+        "min_value": pd.Series([], dtype="float64"),
+        "max_value": pd.Series([], dtype="float64")})
+    if grid is None or grid.num_rows == 0:
+        return empty
+    gdf = grid.to_pandas().sort_values("cents")
+    vals = gdf["cents"].to_numpy() / 100.0
+    cnts = gdf["n"].to_numpy()
+    qs = [quantile_cont_from_grid(vals, cnts, q)
+          for q in (0.25, 0.5, 0.75)]
+    q_ref = _ray.put(qs)
+
+    class Label:
+        def __init__(self):
+            self.qs = _ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = batch.column("o_totalprice") \
+                .to_numpy(zero_copy_only=False)
+            band = (1 + (v > self.qs[0]).astype(np.int64)
+                    + (v > self.qs[1]).astype(np.int64)
+                    + (v > self.qs[2]).astype(np.int64))
+            cents = money_units(batch.column("o_totalprice")) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            t = pa.table({"quartile": pa.array(band),
+                          "n": pa.array(np.ones(len(v), np.int64)),
+                          "cents": pa.array(cents),
+                          "min_c": pa.array(cents),
+                          "neg_max_c": pa.array(-cents)})
+            g = t.group_by("quartile").aggregate(
+                [("n", "sum"), ("cents", "sum"),
+                 ("min_c", "min"), ("neg_max_c", "min")])
+            return g.rename_columns(["quartile", "n", "cents",
+                                     "min_c", "neg_max_c"])
+
+    partials = ds.map_batches(Label, batch_format="pyarrow",
+                              concurrency=(1, map_pool())) \
+        .materialize()
+    sums = final_merge_sums(partials.select_columns(
+        ["quartile", "n", "cents"]), ["quartile"], ["n", "cents"],
+        np_=np_).to_pandas()
+    from cheque_ocr_project_ray.util import final_merge_min
+    mins = final_merge_min(partials.select_columns(
+        ["quartile", "min_c", "neg_max_c"]), ["quartile"],
+        ["min_c", "neg_max_c"], np_=np_).to_pandas()
+    out = sums.merge(mins, on="quartile").sort_values("quartile")
+    return pd.DataFrame({
+        "quartile": out["quartile"].astype("int64"),
+        "n": out["n"].astype("int64"),
+        "sum_value": out["cents"].astype(np.int64) / 100.0,
+        "min_value": out["min_c"].astype(np.int64) / 100.0,
+        "max_value": (-out["neg_max_c"].astype(np.int64)) / 100.0,
+    }).reset_index(drop=True)
+
+
+_ORDERS_QUARTILE_SQL = """
+WITH t AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+                  quantile_cont(o_totalprice, 0.5)  AS q2,
+                  quantile_cont(o_totalprice, 0.75) AS q3
+           FROM orders)
+SELECT 1 + CAST(o_totalprice > t.q1 AS INT)
+         + CAST(o_totalprice > t.q2 AS INT)
+         + CAST(o_totalprice > t.q3 AS INT) AS quartile,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_value,
+       min(o_totalprice) AS min_value,
+       max(o_totalprice) AS max_value
+FROM orders, t
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 _USER_CUSTOMER_COVERAGE_SQL = """
 WITH e AS (SELECT user_id AS key, count(*) AS n_events
            FROM events WHERE event_type = 'error' GROUP BY user_id),
@@ -1726,6 +1826,7 @@ def analytics_extra_queries():
         "events_jsonl_roundtrip": events_jsonl_roundtrip,
         "events_schema_evolution": events_schema_evolution,
         "user_customer_coverage": user_customer_coverage,
+        "orders_quartile_bands": orders_quartile_bands,
         "events_conversion_window": events_conversion_window,
         "orders_pareto": orders_pareto,
         "events_value_gini": events_value_gini,
@@ -1780,6 +1881,7 @@ def analytics_extra_oracle_sql():
         "events_csv_roundtrip": _FORMAT_ROLLUP_SQL,
         "events_schema_evolution": _SCHEMA_EVOLUTION_SQL,
         "user_customer_coverage": _USER_CUSTOMER_COVERAGE_SQL,
+        "orders_quartile_bands": _ORDERS_QUARTILE_SQL,
         "events_jsonl_roundtrip": _FORMAT_ROLLUP_SQL,
         "events_conversion_window": EVENTS_CONVERSION_SQL,
     }

@@ -112,3 +112,17 @@ def test_full_outer_coverage_sides():
     assert df["n_events"].notna().all() and df["n_orders"].notna().all()
     assert (df.loc[df["side"] == "orders_only", "n_events"] == 0).all()
     assert df["key"].is_unique
+
+
+def test_quartile_bands_balanced():
+    """Quantile bucketing yields 4 near-equal bands whose min/max
+    respect the thresholds' ordering."""
+    from cheque_ocr_project_ray.relational.analytics_extra import (
+        orders_quartile_bands)
+    df = orders_quartile_bands("/root/testdata/sf0.001")
+    assert df["quartile"].tolist() == [1, 2, 3, 4]
+    n = df["n"].sum()
+    assert (df["n"] >= n // 4 - 2).all() and (df["n"] <= n // 4 + 3).all()
+    # bands are ordered and non-overlapping
+    assert (df["max_value"].to_numpy()[:-1]
+            <= df["min_value"].to_numpy()[1:]).all()
