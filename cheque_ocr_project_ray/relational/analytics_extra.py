@@ -1705,6 +1705,123 @@ def orders_quartile_bands(sf_dir: str, np_: int = 0):
     }).reset_index(drop=True)
 
 
+@_hash_shuffled
+def events_table_profile(sf_dir: str, np_: int = 0):
+    """Per-column table profile (the lake data-quality audit): row
+    count, null count, EXACT distinct count, numeric min/max — one row
+    per column.  Distinct counts run per column through the
+    two-merge shape (per-batch distinct partials → bounded-adaptive
+    merge → distributed count), so no column's value stream ever
+    lands on the driver; n/null/min/max share one combined pass."""
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    numeric = {"event_id", "user_id", "value"}
+    ds = _pq(sf_dir, "events", cols)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        rows = []
+        if batch.num_rows == 0:  # never poison the min-merge with NaN
+            return pa.table({
+                "column": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "n_null": pa.array([], pa.int64()),
+                "min_num": pa.array([], pa.float64()),
+                "neg_max_num": pa.array([], pa.float64())})
+        for c in cols:
+            col = batch.column(c)
+            row = {"column": c, "n": batch.num_rows,
+                   "n_null": col.null_count,
+                   "min_num": np.nan, "neg_max_num": np.nan}
+            if c in numeric and batch.num_rows:
+                v = col.to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
+                row["min_num"] = float(np.min(v))
+                row["neg_max_num"] = float(-np.max(v))
+            rows.append(row)
+        return pa.table({
+            "column": pa.array([r["column"] for r in rows]),
+            "n": pa.array([r["n"] for r in rows], pa.int64()),
+            "n_null": pa.array([r["n_null"] for r in rows], pa.int64()),
+            "min_num": pa.array([r["min_num"] for r in rows],
+                                pa.float64()),
+            "neg_max_num": pa.array([r["neg_max_num"] for r in rows],
+                                    pa.float64())})
+
+    part = ds.map_batches(stats_partial,
+                          batch_format="pyarrow").materialize()
+    sums = final_merge_sums(part.select_columns(
+        ["column", "n", "n_null"]), ["column"], ["n", "n_null"],
+        np_=np_).to_pandas()
+    from cheque_ocr_project_ray.util import final_merge_min
+    mins = final_merge_min(part.select_columns(
+        ["column", "min_num", "neg_max_num"]), ["column"],
+        ["min_num", "neg_max_num"], np_=np_).to_pandas()
+
+    n_distinct = {}
+    for c in cols:
+        def d_partial(batch: pa.Table, _c=c) -> pa.Table:
+            t = pa.table({_c: batch.column(_c),
+                          "one": pa.array(
+                              np.ones(batch.num_rows, np.int64))})
+            g = t.group_by(_c).aggregate([("one", "min")])
+            return g.rename_columns([_c, "one"])
+
+        merged = final_merge_min(
+            ds.map_batches(d_partial, batch_format="pyarrow"),
+            [c], ["one"], np_=np_)
+        n_distinct[c] = merged.count()
+
+    out = sums.merge(mins, on="column")
+    out["n_distinct"] = out["column"].map(n_distinct).astype("int64")
+    is_num = out["column"].isin(sorted(numeric))
+    out["min_num"] = np.where(is_num, out["min_num"], np.nan)
+    out["max_num"] = np.where(is_num, -out["neg_max_num"], np.nan)
+    return pd.DataFrame({
+        "column": out["column"],
+        "n": out["n"].astype("int64"),
+        "n_null": out["n_null"].astype("int64"),
+        "n_distinct": out["n_distinct"],
+        "min_num": out["min_num"].astype("float64"),
+        "max_num": out["max_num"].astype("float64"),
+    }).sort_values("column").reset_index(drop=True)
+
+
+_EVENTS_TABLE_PROFILE_SQL = """
+SELECT 'event_id' AS "column", count(*) AS n,
+       CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null,
+       count(DISTINCT event_id) AS n_distinct,
+       CAST(min(event_id) AS DOUBLE) AS min_num,
+       CAST(max(event_id) AS DOUBLE) AS max_num
+FROM events
+UNION ALL
+SELECT 'ts', count(*),
+       CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT ts), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM events
+UNION ALL
+SELECT 'user_id', count(*),
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       count(DISTINCT user_id),
+       CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE)
+FROM events
+UNION ALL
+SELECT 'event_type', count(*),
+       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       count(DISTINCT event_type),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM events
+UNION ALL
+SELECT 'value', count(*),
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT value),
+       min(value), max(value)
+FROM events
+ORDER BY "column"
+"""
+
+
 _ORDERS_QUARTILE_SQL = """
 WITH t AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1,
                   quantile_cont(o_totalprice, 0.5)  AS q2,
@@ -1827,6 +1944,7 @@ def analytics_extra_queries():
         "events_schema_evolution": events_schema_evolution,
         "user_customer_coverage": user_customer_coverage,
         "orders_quartile_bands": orders_quartile_bands,
+        "events_table_profile": events_table_profile,
         "events_conversion_window": events_conversion_window,
         "orders_pareto": orders_pareto,
         "events_value_gini": events_value_gini,
@@ -1882,6 +2000,7 @@ def analytics_extra_oracle_sql():
         "events_schema_evolution": _SCHEMA_EVOLUTION_SQL,
         "user_customer_coverage": _USER_CUSTOMER_COVERAGE_SQL,
         "orders_quartile_bands": _ORDERS_QUARTILE_SQL,
+        "events_table_profile": _EVENTS_TABLE_PROFILE_SQL,
         "events_jsonl_roundtrip": _FORMAT_ROLLUP_SQL,
         "events_conversion_window": EVENTS_CONVERSION_SQL,
     }

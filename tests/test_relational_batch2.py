@@ -126,3 +126,25 @@ def test_quartile_bands_balanced():
     # bands are ordered and non-overlapping
     assert (df["max_value"].to_numpy()[:-1]
             <= df["min_value"].to_numpy()[1:]).all()
+
+
+def test_table_profile_values():
+    """Profile invariants on the real table: exact distinct counts,
+    zero nulls, numeric bounds only for numeric columns."""
+    import pyarrow.parquet as pq
+    from cheque_ocr_project_ray.relational.analytics_extra import (
+        events_table_profile)
+    df = events_table_profile("/root/testdata/sf0.001") \
+        .set_index("column")
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    assert (df["n"] == t.num_rows).all()
+    assert (df["n_null"] == 0).all()
+    import pyarrow.compute as pc
+    for c in ("event_id", "user_id", "event_type", "ts", "value"):
+        assert df.loc[c, "n_distinct"] == pc.count_distinct(
+            t.column(c)).as_py(), c
+    assert df.loc["event_id", "min_num"] == float(
+        pc.min(t.column("event_id")).as_py())
+    import numpy as np
+    assert np.isnan(df.loc["event_type", "min_num"])
+    assert np.isnan(df.loc["ts", "max_num"])
