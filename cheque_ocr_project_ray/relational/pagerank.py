@@ -34,7 +34,7 @@ DAMPING = 0.85
 ROUNDS = 2
 
 
-def _distinct_edges(sf_dir: str, np_: int):
+def _distinct_edges(sf_dir: str, np_: int, bound: int = 2_000_000):
     """Distinct (custkey, suppkey) trade pairs: one fact-fact hash join
     on the order key, then per-batch pair dedup partials merged through
     the bounded-adaptive pipeline (distributed groupby past the bound)."""
@@ -53,17 +53,18 @@ def _distinct_edges(sf_dir: str, np_: int):
 
     return final_merge_sums(
         j.map_batches(pairs, batch_format="pyarrow"),
-        ["c", "s"], ["n"], np_=np_).drop_columns(["n"])
+        ["c", "s"], ["n"], np_=np_, bound=bound).drop_columns(["n"])
 
 
 @_hash_shuffled
-def trade_pagerank(sf_dir: str, np_: int = 0, rounds: int = ROUNDS):
+def trade_pagerank(sf_dir: str, np_: int = 0, rounds: int = ROUNDS,
+                   bound: int = 2_000_000):
     """PageRank after ``rounds`` synchronous updates from uniform init.
 
     Output: (node_type, key, rank@6dp) — one row per customer or
     supplier that traded at all.
     """
-    edges = _distinct_edges(sf_dir, np_).materialize()
+    edges = _distinct_edges(sf_dir, np_, bound).materialize()
 
     def symmetric(batch: pa.Table) -> pa.Table:
         c = pc_cast_i64(batch.column("c"))
@@ -85,7 +86,7 @@ def trade_pagerank(sf_dir: str, np_: int = 0, rounds: int = ROUNDS):
 
     deg = final_merge_sums(
         sym.map_batches(deg_partial, batch_format="pyarrow"),
-        ["node"], ["deg"], np_=np_).materialize()
+        ["node"], ["deg"], np_=np_, bound=bound).materialize()
     n_nodes = deg.count()
     if n_nodes == 0:
         return pd.DataFrame({"node_type": pd.Series([], dtype="object"),
@@ -121,7 +122,7 @@ def trade_pagerank(sf_dir: str, np_: int = 0, rounds: int = ROUNDS):
 
         agg = final_merge_sums(
             prop.map_batches(sum_in, batch_format="pyarrow"),
-            ["node"], ["w"], np_=np_)
+            ["node"], ["w"], np_=np_, bound=bound)
 
         def update(batch: pa.Table) -> pa.Table:
             r = pa.compute.add(

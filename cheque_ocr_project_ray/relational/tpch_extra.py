@@ -1124,7 +1124,8 @@ FROM per JOIN supplier ON s_suppkey = l_suppkey
 
 # --- Q2 shape: per-group minimum-cost supplier (correlated min) --------
 @_hash_shuffled
-def min_cost_supplier(sf_dir: str, np_: int = 0):
+def min_cost_supplier(sf_dir: str, np_: int = 0,
+                      bound: int = 2_000_000):
     """TPC-H Q2 adapted to this corpus (no partsupp): for each part
     type, the cheapest line-item offer from an ASIA supplier, ties to
     the smallest suppkey.
@@ -1179,7 +1180,7 @@ def min_cost_supplier(sf_dir: str, np_: int = 0):
             ["l_partkey", "l_suppkey", "l_extendedprice"])
         .map_batches(Offers, batch_format="pyarrow",
                      concurrency=(1, map_pool())),
-        ["tid"], ["packed"], np_=np_)
+        ["tid"], ["packed"], np_=np_, bound=bound)
 
     snames = dict(zip(supplier.column("s_suppkey").to_pylist(),
                       supplier.column("s_name").to_pylist()))

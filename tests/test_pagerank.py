@@ -62,3 +62,13 @@ def test_pagerank_deterministic(tmp_path):
     a = trade_pagerank(str(tmp_path)).to_pandas()
     b = trade_pagerank(str(tmp_path)).to_pandas()
     assert a.equals(b)
+
+
+def test_pagerank_distributed_path_matches(tmp_path):
+    """bound=0 forces every bounded-adaptive merge onto the
+    distributed-groupby branch — results must be identical."""
+    from cheque_ocr_project_ray.relational.pagerank import trade_pagerank
+    _tiny_graph(tmp_path)
+    a = trade_pagerank(str(tmp_path)).to_pandas()
+    b = trade_pagerank(str(tmp_path), bound=0).to_pandas()
+    pd.testing.assert_frame_equal(a, b)

@@ -177,3 +177,26 @@ def test_promo_part_suppliers_threshold(tmp_path):
     out = promo_part_suppliers(str(tmp_path)).to_pandas()
     assert out["s_suppkey"].tolist() == [1]
     assert out["promo_qty"].tolist() == [30.0]
+
+
+def test_min_cost_supplier_distributed_path(tmp_path):
+    """bound=0 forces the packed-min merge onto the distributed
+    branch — identical argmin/tie-break results."""
+    from cheque_ocr_project_ray.relational.tpch_extra import (
+        min_cost_supplier)
+    region = pd.DataFrame({"r_regionkey": [0], "r_name": ["ASIA"]})
+    nation = pd.DataFrame({"n_nationkey": [0], "n_name": ["N0"],
+                           "n_regionkey": [0]})
+    supplier = pd.DataFrame({"s_suppkey": [1, 2],
+                             "s_name": ["SA", "SB"],
+                             "s_nationkey": [0, 0]})
+    part = pd.DataFrame({"p_partkey": [10], "p_type": ["PROMO"]})
+    li = pd.DataFrame({"l_partkey": [10, 10],
+                       "l_suppkey": [2, 1],
+                       "l_extendedprice": [5.0, 5.0]})
+    _write(tmp_path, region=region, nation=nation,
+           supplier=supplier, part=part, lineitem=li)
+    a = min_cost_supplier(str(tmp_path)).to_pandas()
+    b = min_cost_supplier(str(tmp_path), bound=0).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert a["s_suppkey"].tolist() == [1]
