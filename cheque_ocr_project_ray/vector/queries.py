@@ -515,6 +515,45 @@ def ann_pq_topk(sf_dir: str):
     return ann.pq_topk(_emb(sf_dir), _query_vec(sf_dir), k=10)
 
 
+def ann_knn_classify(sf_dir: str):
+    """Exact kNN classification vote: the query's 10 nearest corpus
+    vectors (the already-oracled distributed top-k) vote by label.
+    The neighbor set is k rows, so label fetch is a pruned
+    ``vec_id IN (...)`` parquet read and the vote is driver-side —
+    the distributed work IS the top-k scan.  ``top_cos`` uses max
+    (order-free), never a float mean."""
+    import pandas as pd
+    top = ann.brute_force_topk(_emb(sf_dir), _query_vec(sf_dir),
+                               k=10).to_pandas()
+    ids = [int(i) for i in top["vec_id"]]
+    lab = pq.read_table(str(Path(sf_dir) / "embeddings.parquet"),
+                        columns=["vec_id", "label"],
+                        filters=[("vec_id", "in", ids)]).to_pandas()
+    m = top.merge(lab, on="vec_id")
+    g = m.groupby("label").agg(votes=("vec_id", "size"),
+                               top_cos=("cos", "max")).reset_index()
+    g["votes"] = g["votes"].astype("int64")
+    return g.sort_values(["votes", "label"],
+                         ascending=[False, True]).reset_index(drop=True)
+
+
+ANN_KNN_CLASSIFY_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id = 0),
+topk AS (
+  SELECT e.vec_id, e.label,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 5)
+             AS cos
+  FROM embeddings e, q
+  ORDER BY cos DESC, vec_id
+  LIMIT 10)
+SELECT label, count(*) AS votes, max(cos) AS top_cos
+FROM topk
+GROUP BY label
+ORDER BY votes DESC, label
+"""
+
+
 NEARDUP_THRESHOLD = 0.4  # non-vacuous on the random test embeddings
                          # (59 pairs at sf0.01) — a 0.95 cut returned 0
                          # rows and verified nothing (round-1 verdict)
@@ -804,6 +843,7 @@ def vector_queries() -> dict[str, Callable]:
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_pq_topk": ann_pq_topk,
+        "ann_knn_classify": ann_knn_classify,
         "embedding_neardup": embedding_neardup,
         "embedding_neardup_blocked": embedding_neardup_blocked,
         "embedding_kmeans": embedding_kmeans,
@@ -828,6 +868,7 @@ def vector_oracle_sql() -> dict[str, str]:
         "embedding_neardup_blocked": NEARDUP_SQL,
         "embedding_kmeans": KMEANS_SQL,
         "embedding_pq": PQ_SQL,
+        "ann_knn_classify": ANN_KNN_CLASSIFY_SQL,
         "label_stats": LABEL_STATS_SQL,
         "label_centroids": LABEL_CENTROIDS_SQL,
     }

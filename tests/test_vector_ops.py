@@ -155,3 +155,28 @@ def test_pq_topk_finds_planted_duplicate():
     dup = out[out["vec_id"] == 99]
     assert len(dup) == 1
     assert dup["adist"].iloc[0] == out["adist"].min()
+
+
+def test_knn_classify_planted_majority(tmp_path):
+    """A cluster of 7 near-identical vectors sharing one label must
+    win the 10-NN vote over 3 scattered other-label vectors."""
+    import pyarrow.parquet as pq_
+    import pyarrow as pa_
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(64)
+    rows = [{"vec_id": 0, "embedding": base.tolist(), "label": 1}]
+    for i in range(1, 7):
+        rows.append({"vec_id": i,
+                     "embedding": (base + 0.01 * rng.standard_normal(64)
+                                   ).tolist(), "label": 1})
+    for i in range(7, 30):
+        rows.append({"vec_id": i,
+                     "embedding": rng.standard_normal(64).tolist(),
+                     "label": 2})
+    pq_.write_table(pa_.Table.from_pylist(rows),
+                    str(tmp_path / "embeddings.parquet"))
+    from cheque_ocr_project_ray.vector.queries import ann_knn_classify
+    out = ann_knn_classify(str(tmp_path))
+    assert out["label"].iloc[0] == 1 and out["votes"].iloc[0] == 7
+    assert out["votes"].sum() == 10
+    assert out["top_cos"].iloc[0] == 1.0  # the query itself is vec 0
