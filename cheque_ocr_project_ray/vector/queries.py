@@ -12,6 +12,7 @@ from pathlib import Path
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 import ray.data
@@ -692,6 +693,77 @@ JOIN ccy g1 ON f.code1 = g1.cid
 """
 
 
+def embedding_silhouette(sf_dir: str):
+    """Per-cluster simplified silhouette over the fixed-round k-means
+    fit — the clustering-quality evaluation op (s = (b−a)/max(a,b)
+    with a = distance to own centroid, b = nearest other centroid).
+
+    Float parity with the SQL twin: distances are computed like
+    DuckDB's ``list_distance`` (sequential per-dimension accumulation
+    of squared diffs, then sqrt) — NOT the GEMM-reduced form, whose
+    op-order drift could flip near-tie assignments.  One streaming
+    pass after the centroid fit; per-cluster means round to 4 dp
+    (sum-merge order drift ~1e-15, same precedent as
+    cheque_status_profile)."""
+    import ray as _ray
+    from cheque_ocr_project_ray.util import (final_merge_sums, map_pool,
+                                             round_half_up)
+    from cheque_ocr_project_ray.vector.ann import _table_matrix
+    from cheque_ocr_project_ray.vector.kmeans import centroid_rounds
+
+    t = pq.read_table(str(Path(sf_dir) / "embeddings.parquet"),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", KMEANS_K)])
+    init = np.asarray(
+        t.sort_by("vec_id")["embedding"].to_pylist(), dtype=np.float64)
+    cent = centroid_rounds(_emb(sf_dir), init, rounds=KMEANS_ROUNDS)
+    cent_ref = _ray.put(cent)
+
+    class Partial:
+        def __init__(self):
+            self.cent = _ray.get(cent_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _table_matrix(batch)
+            k, d = self.cent.shape
+            dist = np.empty((len(m), k), np.float64)
+            for c in range(k):  # per-centroid seq-dim accumulation ==
+                diff = m - self.cent[c]     # DuckDB list_distance
+                sq = diff * diff
+                acc = np.zeros(len(m), np.float64)
+                for j in range(d):
+                    acc += sq[:, j]
+                dist[:, c] = np.sqrt(acc)
+            assign = np.argmin(dist, axis=1)  # ties → lowest cid
+            a = dist[np.arange(len(m)), assign]
+            masked = dist.copy()
+            masked[np.arange(len(m)), assign] = np.inf
+            b = masked.min(axis=1)
+            mx = np.maximum(a, b)
+            s = np.where(mx == 0, 0.0, (b - a) / np.where(mx == 0, 1, mx))
+            t_ = pa.table({"cluster": pa.array(assign.astype(np.int64)),
+                           "n": pa.array(np.ones(len(m), np.int64)),
+                           "s_sum": pa.array(s, pa.float64())})
+            g = t_.group_by("cluster").aggregate(
+                [("n", "sum"), ("s_sum", "sum")])
+            return g.rename_columns(["cluster", "n", "s_sum"])
+
+    agg = final_merge_sums(
+        _emb(sf_dir).map_batches(Partial, batch_format="pyarrow",
+                                 concurrency=(1, map_pool())),
+        ["cluster"], ["n", "s_sum"])
+
+    def finish(b):
+        import pandas as pd
+        return pd.DataFrame({
+            "cluster": b["cluster"].astype("int64"),
+            "n": b["n"].astype("int64"),
+            "mean_silhouette": round_half_up(
+                b["s_sum"] / b["n"], 4)}).sort_values("cluster")
+
+    return agg.map_batches(finish, batch_format="pandas").sort("cluster")
+
+
 KMEANS_SQL = f"""
 WITH c0 AS (
   SELECT vec_id AS cid, embedding::DOUBLE[] AS c
@@ -721,6 +793,35 @@ SELECT vec_id,
        (SELECT cid FROM cc
         ORDER BY list_distance(e.v, cc.c), cid LIMIT 1) AS cluster
 FROM e
+"""
+
+# silhouette shares the k-means unroll up to the final centroids (cc),
+# then evaluates a/b distances against ALL centroids per vector
+_KMEANS_CTE = KMEANS_SQL[KMEANS_SQL.index("WITH"):
+                         KMEANS_SQL.index(")\nSELECT") + 1]
+
+SILHOUETTE_SQL = f"""
+{_KMEANS_CTE},
+dist AS (
+  SELECT e.vec_id, cc.cid, list_distance(e.v, cc.c) AS dist
+  FROM e CROSS JOIN cc),
+assign AS (
+  SELECT vec_id, cid AS cluster, dist AS a FROM (
+    SELECT dist.*, row_number() OVER (
+        PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM dist) WHERE rn = 1),
+bb AS (
+  SELECT d.vec_id, min(d.dist) AS b
+  FROM dist d JOIN assign s
+    ON d.vec_id = s.vec_id AND d.cid <> s.cluster
+  GROUP BY d.vec_id)
+SELECT s.cluster, count(*) AS n,
+       round(avg(CASE WHEN greatest(s.a, bb.b) = 0 THEN 0.0
+                      ELSE (bb.b - s.a) / greatest(s.a, bb.b) END), 4)
+           AS mean_silhouette
+FROM assign s JOIN bb USING (vec_id)
+GROUP BY s.cluster
+ORDER BY s.cluster
 """
 
 
@@ -847,6 +948,7 @@ def vector_queries() -> dict[str, Callable]:
         "embedding_neardup": embedding_neardup,
         "embedding_neardup_blocked": embedding_neardup_blocked,
         "embedding_kmeans": embedding_kmeans,
+        "embedding_silhouette": embedding_silhouette,
         "embedding_pq": embedding_pq,
         "label_stats": label_stats,
         "label_centroids": label_centroids,
@@ -867,6 +969,7 @@ def vector_oracle_sql() -> dict[str, str]:
         "embedding_neardup": NEARDUP_SQL,
         "embedding_neardup_blocked": NEARDUP_SQL,
         "embedding_kmeans": KMEANS_SQL,
+        "embedding_silhouette": SILHOUETTE_SQL,
         "embedding_pq": PQ_SQL,
         "ann_knn_classify": ANN_KNN_CLASSIFY_SQL,
         "label_stats": LABEL_STATS_SQL,

@@ -132,3 +132,31 @@ def test_pq_encode_reconstruction():
         assert abs(out["mse"][i] - err / 8) < 1e-9
     # tight blobs → tiny reconstruction error
     assert out["mse"].max() < 0.01
+
+
+def test_silhouette_separated_blobs(tmp_path):
+    """Eight well-separated blobs (one per fixed centroid, k=8) →
+    mean silhouette near 1 for every cluster; bounds hold.  (With
+    fewer true blobs than k, sibling centroids share a blob and the
+    silhouette is correctly LOW — that case is the k-diagnosis the
+    metric exists for.)"""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(64):
+        center = np.zeros(64)
+        center[i % 8] = 100.0      # 8 orthogonal, far-apart blobs
+        rows.append({"vec_id": i,
+                     "embedding": (center + 0.1 * rng.standard_normal(64)
+                                   ).tolist(),
+                     "label": i % 8})
+    pq_.write_table(pa.Table.from_pylist(rows),
+                    str(tmp_path / "embeddings.parquet"))
+    from cheque_ocr_project_ray.vector.queries import embedding_silhouette
+    df = embedding_silhouette(str(tmp_path)).to_pandas()
+    assert df["n"].sum() == 64
+    assert len(df) == 8 and (df["n"] == 8).all()
+    assert df["mean_silhouette"].between(-1, 1).all()
+    assert (df["mean_silhouette"] > 0.9).all()
