@@ -24,6 +24,63 @@ def _docs(sf_dir: str):
                                  columns=["doc_id", "text"])
 
 
+def corpus_vocab_coverage(sf_dir: str):
+    """Vocabulary coverage curve summary: total token mass, vocab
+    size, the smallest k whose top-k words cover ≥90% of tokens
+    (exact-int test cum·10 ≥ total·9), and the coverage of the top
+    100 — the tokenizer-budget sizing numbers.  Word counts reduce
+    distributedly (combiner + bounded-adaptive merge); the cumsum runs
+    over the bounded vocab (the same driver-fold bound as the Zipf
+    fit — vocabulary, not corpus, cardinality)."""
+    import numpy as np
+    import pandas as pd
+    from cheque_ocr_project_ray.text.bpe import word_counts
+    from cheque_ocr_project_ray.util import collect_table, round_half_up
+
+    t = collect_table(word_counts(_docs(sf_dir)).materialize())
+    if t is None or t.num_rows == 0:
+        return pd.DataFrame({"n_tokens": pd.Series([], dtype="int64"),
+                             "vocab_size": pd.Series([], dtype="int64"),
+                             "k90": pd.Series([], dtype="int64"),
+                             "coverage_100": pd.Series([],
+                                                       dtype="float64")})
+    df = t.to_pandas().sort_values(["n", "word"],
+                                   ascending=[False, True])
+    n = df["n"].to_numpy()
+    cum = n.cumsum()
+    total = int(cum[-1])
+    k90 = int(np.argmax(cum * 10 >= total * 9)) + 1
+    cov100 = 1.0 if len(cum) < 100 else float(cum[99]) / float(total)
+    return pd.DataFrame([{
+        "n_tokens": total,
+        "vocab_size": int(len(df)),
+        "k90": k90,
+        "coverage_100": float(round_half_up(cov100, 6))}])
+
+
+CORPUS_VOCAB_COVERAGE_SQL = """
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents),
+c AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+tot AS (SELECT sum(n) AS t, count(*) AS v FROM c),
+r AS (SELECT n,
+             row_number() OVER (ORDER BY n DESC, word) AS rk,
+             sum(n) OVER (ORDER BY n DESC, word
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM c)
+SELECT CAST((SELECT t FROM tot) AS BIGINT) AS n_tokens,
+       CAST((SELECT v FROM tot) AS BIGINT) AS vocab_size,
+       CAST((SELECT min(rk) FROM r
+             WHERE cum * 10 >= (SELECT t FROM tot) * 9) AS BIGINT)
+           AS k90,
+       round(coalesce(
+           (SELECT CAST(cum AS DOUBLE) FROM r WHERE rk = 100)
+           / (SELECT CAST(t AS DOUBLE) FROM tot), 1.0), 6)
+           AS coverage_100
+"""
+
+
 def corpus_bpe_merges(sf_dir: str):
     """First 5 BPE merge rules trained on the corpus word-frequency
     table (`text/bpe.py`) — the tokenizer-training operator.
@@ -2027,6 +2084,7 @@ def text_queries() -> dict[str, Callable]:
     return {
         "doc_token_stats": doc_token_stats,
         "corpus_bpe_merges": corpus_bpe_merges,
+        "corpus_vocab_coverage": corpus_vocab_coverage,
         "doc_quality": doc_quality,
         "doc_repetition": doc_repetition,
         "corpus_top_bigrams": corpus_top_bigrams,
@@ -2074,6 +2132,7 @@ def text_queries() -> dict[str, Callable]:
 def text_oracle_sql() -> dict[str, str]:
     return {
         "doc_token_stats": TOKEN_STATS_SQL,
+        "corpus_vocab_coverage": CORPUS_VOCAB_COVERAGE_SQL,
         "doc_quality": QUALITY_SQL,
         "doc_repetition": REPETITION_SQL,
         "corpus_top_bigrams": TOP_BIGRAMS_SQL,

@@ -51,3 +51,23 @@ def test_bpe_corpus_smoke():
     # deterministic across runs
     again = corpus_bpe_merges("/root/testdata/sf0.001")
     assert out.equals(again)
+
+
+def test_vocab_coverage_tiny():
+    """Hand-computable curve: counts a=5 b=3 c=2 → total 10; top-1
+    covers 50%, top-2 covers 80%, top-3 covers 100% → k90 = 3;
+    vocab < 100 → coverage_100 = 1.0."""
+    from cheque_ocr_project_ray.text.bpe import word_counts  # noqa: F401
+    import ray.data
+    from cheque_ocr_project_ray.text import queries as tq
+    import pyarrow.parquet as pq_
+    import pyarrow as pa_
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    pq_.write_table(pa_.Table.from_pylist(
+        [{"doc_id": "0", "text": "a a a a a b b b c c"}]),
+        os.path.join(d, "documents.parquet"))
+    out = tq.corpus_vocab_coverage(d)
+    row = out.iloc[0]
+    assert (row["n_tokens"], row["vocab_size"], row["k90"],
+            row["coverage_100"]) == (10, 3, 3, 1.0)
