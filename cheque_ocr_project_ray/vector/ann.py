@@ -421,6 +421,41 @@ def _pairs_vs_broadcast(emb_ds, ids: np.ndarray, matrix: np.ndarray,
                               concurrency=(1, map_pool()))
 
 
+@ray.remote
+def _load_norm_chunk(parquet_path: str, lo_j: int, hi_j: int):
+    """Worker-side chunk ingest for the blocked near-dup path: one
+    row-group-pruned filtered read of a ``vec_id`` range, L2-normalized
+    float64.  Runs as a Ray TASK so the C chunk reads parallelize
+    across workers and the embedding column never transits the driver
+    NIC (driver-serial ingest was the 100-TB bottleneck here)."""
+    import pyarrow.parquet as pq
+
+    chunk = pq.read_table(
+        parquet_path, columns=["vec_id", "embedding"],
+        filters=[("vec_id", ">=", lo_j), ("vec_id", "<", hi_j)])
+    cids = chunk.column("vec_id").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    if chunk.num_rows == 0:
+        return cids, None
+    mat = np.asarray(_table_matrix(chunk), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    return cids, mat / np.where(norms == 0, 1, norms)[:, None]
+
+
+def _pairs_vs_chunk_ref(emb_ds, chunk_ref, threshold: float):
+    """GEMM-pairs stage against a worker-loaded (ids, normalized
+    matrix) ObjectRef — stateless tasks (see ``_pairs_vs_broadcast``
+    for why the chunked union cannot use actor pools); ``ray.get`` of
+    the float64 matrix is a zero-copy plasma read per task."""
+    def _pairs_task(batch: pa.Table) -> pa.Table:
+        cids, cmat = ray.get(chunk_ref)
+        if cmat is None:
+            return _EMPTY_PAIRS
+        return _gemm_pairs_kernel(batch, cmat, cids, threshold)
+
+    return emb_ds.map_batches(_pairs_task, batch_format="pyarrow")
+
+
 def exact_neardup_pairs_blocked(parquet_path: str,
                                 threshold: float = 0.4,
                                 chunk_rows: int = 1_000_000):
@@ -428,23 +463,31 @@ def exact_neardup_pairs_blocked(parquet_path: str,
     :func:`exact_neardup_pairs` with NO full-corpus broadcast.
 
     The corpus is range-chunked on ``vec_id`` using parquet row-group
-    statistics (never a full column scan).  For each chunk *j* only
-    that chunk's (ids, matrix) is read (row-group-pruned filtered
-    read, ≤ ``chunk_rows`` rows) and broadcast; one predicate-pushdown
-    scan of the rows with ``vec_id < hi_j`` computes the GEMM slice
-    against chunk *j*.  A pair (a < b) is emitted exactly once — in
-    the iteration owning *b*'s chunk — so the union over chunks is the
-    complete exact pair set.  Peak broadcast memory is one chunk
-    (``chunk_rows × dim`` floats) regardless of corpus size; total
-    GEMM work is the same O(N²/P).
+    statistics (never a full column scan).  For each chunk *j* a Ray
+    TASK reads and normalizes only that chunk's (ids, matrix)
+    (row-group-pruned filtered read, ≤ ``chunk_rows`` rows) — the
+    driver only launches the task and holds the ObjectRef, so chunk
+    ingest parallelizes across workers and never streams through the
+    driver.  One predicate-pushdown scan of the rows with
+    ``vec_id < hi_j`` computes the GEMM slice against chunk *j*.  A
+    pair (a < b) is emitted exactly once — in the iteration owning
+    *b*'s chunk — so the union over chunks is the complete exact pair
+    set.  Peak per-task memory is one chunk (``chunk_rows × dim``
+    floats) regardless of corpus size; total GEMM work is the same
+    O(N²/P).
     """
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
     import ray.data
 
+    empty = pa.table({"vec_a": pa.array([], pa.int64()),
+                      "vec_b": pa.array([], pa.int64()),
+                      "cos": pa.array([], pa.float64())})
     pf = pq.ParquetFile(parquet_path)
     n = pf.metadata.num_rows
+    if n == 0:
+        return ray.data.from_arrow(empty)
     lo, hi = None, None
     idx = pf.schema_arrow.get_field_index("vec_id")
     for rg in range(pf.metadata.num_row_groups):
@@ -457,10 +500,7 @@ def exact_neardup_pairs_blocked(parquet_path: str,
     if lo is None:  # no stats: one bounded id-column read
         t = pads.dataset(parquet_path).to_table(columns=["vec_id"])
         if t.num_rows == 0:
-            return ray.data.from_arrow(pa.table({
-                "vec_a": pa.array([], pa.int64()),
-                "vec_b": pa.array([], pa.int64()),
-                "cos": pa.array([], pa.float64())}))
+            return ray.data.from_arrow(empty)
         ids = t.column("vec_id")
         lo, hi = pc.min(ids).as_py(), pc.max(ids).as_py()
 
@@ -470,25 +510,11 @@ def exact_neardup_pairs_blocked(parquet_path: str,
     branches = []
     for j in range(len(edges) - 1):
         lo_j, hi_j = int(edges[j]), int(edges[j + 1])
-        chunk = pq.read_table(
-            parquet_path, columns=["vec_id", "embedding"],
-            filters=[("vec_id", ">=", lo_j), ("vec_id", "<", hi_j)])
-        if chunk.num_rows == 0:
-            continue
-        cids = chunk.column("vec_id").to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        cmat = _table_matrix(chunk)
+        chunk_ref = _load_norm_chunk.remote(parquet_path, lo_j, hi_j)
         scan = ray.data.read_parquet(
             parquet_path, columns=["vec_id", "embedding"],
             filter=pads.field("vec_id") < hi_j)
-        branches.append(
-            _pairs_vs_broadcast(scan, cids, cmat, threshold,
-                                use_tasks=True))
-    if not branches:
-        return ray.data.from_arrow(pa.table({
-            "vec_a": pa.array([], pa.int64()),
-            "vec_b": pa.array([], pa.int64()),
-            "cos": pa.array([], pa.float64())}))
+        branches.append(_pairs_vs_chunk_ref(scan, chunk_ref, threshold))
     out = branches[0]
     for b in branches[1:]:
         out = out.union(b)
@@ -497,7 +523,8 @@ def exact_neardup_pairs_blocked(parquet_path: str,
 
 def cosine_neardup_pairs(emb_ds, n_planes: int = 8,
                          threshold: float = 0.95,
-                         dim: int | None = None):
+                         dim: int | None = None,
+                         bucket_cap: int = 4096):
     """Embedding-cosine near-dup pairs via LSH bucket blocking — the
     high-threshold scale path (recall < 1 by design: only same-bucket
     pairs are scored).
@@ -506,8 +533,15 @@ def cosine_neardup_pairs(emb_ds, n_planes: int = 8,
     set is unbounded, so it must stream to the consumer (write/agg),
     never materialize on the driver.  Pairs are unique by construction
     (each vector lives in exactly one bucket), so no dedup pass is
-    needed.  Partitioning assumption: one bucket's rows fit one group —
-    buckets are 2^n_planes-way; raise ``n_planes`` as the corpus grows.
+    needed.  Partitioning assumption: buckets are 2^n_planes-way, so
+    raise ``n_planes`` as the corpus grows — and a bucket that still
+    exceeds ``bucket_cap`` rows (hot/degenerate: near-identical
+    embeddings, exactly the dedup case) falls back to STAR comparison
+    (min-id row vs rest) instead of the dense within-bucket GEMM —
+    linear work/memory instead of O(bucket²), same cap strategy as the
+    MinHash/SimHash paths (``text/dedup.bucket_pairs``).  Duplicate
+    clusters stay connected through the hub; sparse near-misses in a
+    capped bucket may be missed (recall is already < 1 here).
 
     Pass ``dim`` when known (the caller usually has it from the table
     schema/metadata) — otherwise one probe row is read to learn it.
@@ -521,9 +555,21 @@ def cosine_neardup_pairs(emb_ds, n_planes: int = 8,
         m = _table_matrix(group)
         norms = np.linalg.norm(m, axis=1)
         mn = m / np.where(norms == 0, 1, norms)[:, None]
-        cos = mn @ mn.T
         ids = group.column("vec_id").to_numpy(
             zero_copy_only=False).astype(np.int64)
+        if len(ids) > bucket_cap:
+            hub = int(np.argmin(ids))  # deterministic center
+            cos_row = mn @ mn[hub]
+            jj = np.where(cos_row >= threshold)[0]
+            jj = jj[jj != hub]
+            return pa.table({
+                "vec_a": pa.array(np.full(len(jj), ids[hub], np.int64),
+                                  pa.int64()),
+                "vec_b": pa.array(ids[jj], pa.int64()),
+                "cos": pa.array(round_half_up(cos_row[jj], 5),
+                                pa.float64()),
+            })
+        cos = mn @ mn.T
         ii, jj = np.where(np.triu(cos, 1) >= threshold)
         return pa.table({
             "vec_a": pa.array(np.minimum(ids[ii], ids[jj]), pa.int64()),

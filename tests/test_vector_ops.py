@@ -180,3 +180,51 @@ def test_knn_classify_planted_majority(tmp_path):
     assert out["label"].iloc[0] == 1 and out["votes"].iloc[0] == 7
     assert out["votes"].sum() == 10
     assert out["top_cos"].iloc[0] == 1.0  # the query itself is vec 0
+
+
+def test_neardup_degenerate_bucket_star_cap():
+    """A degenerate LSH bucket (all-identical embeddings — the exact
+    dedup worst case) past ``bucket_cap`` must fall back to the STAR
+    comparison: linear pairs from the min-id hub, every emitted pair
+    genuinely above the threshold, cluster stays connected."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    rows = [{"vec_id": i, "embedding": (base * (1.0 + 0.001 * (i % 3))).tolist()}
+            for i in range(50)]
+    ds = ray.data.from_items(rows)
+    pairs = ann.cosine_neardup_pairs(
+        ds, threshold=0.95, bucket_cap=10).to_pandas()
+    # star shape: every pair is (hub=min id, other); 49 spokes
+    assert len(pairs) == 49
+    assert set(pairs["vec_a"]) == {0}
+    assert set(pairs["vec_b"]) == set(range(1, 50))
+    # consistent with the exact path: each emitted cosine is real
+    assert (pairs["cos"] >= 0.95).all()
+    assert (pairs["cos"] == 1.0).all()   # scaled copies: cos exactly 1
+
+
+def test_neardup_blocked_no_driver_read(monkeypatch):
+    """The blocked path must never read chunk bytes on the DRIVER:
+    chunk ingest happens inside Ray tasks (separate worker processes),
+    so poisoning ``pq.read_table`` in the driver process must not
+    affect the result — while >1 chunk is exercised."""
+    import pyarrow.parquet as pyarrow_pq
+
+    ids_mat = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(ids_mat["vec_id"].to_pylist(), dtype=np.int64)
+    matrix = np.asarray(ids_mat["embedding"].to_pylist(), dtype=np.float64)
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    base = ann.exact_neardup_pairs(ds, ids, matrix,
+                                   threshold=0.4).to_pandas()
+
+    def _boom(*a, **k):
+        raise AssertionError("driver-side pq.read_table in blocked path")
+
+    monkeypatch.setattr(pyarrow_pq, "read_table", _boom)
+    blocked = ann.exact_neardup_pairs_blocked(
+        f"{SF}/embeddings.parquet", threshold=0.4,
+        chunk_rows=120).to_pandas()          # 500 rows → 5 chunks
+    assert len(base) > 0
+    assert base.reset_index(drop=True).equals(
+        blocked.reset_index(drop=True))
