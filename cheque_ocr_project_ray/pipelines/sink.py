@@ -217,7 +217,8 @@ def to_bank_csv(results_ds, fixture_dir: str | Path,
     return joined.map_batches(project, batch_format="pyarrow")
 
 
-def to_issuer_dbf(results_ds, fixture_dir: str | Path):
+def to_issuer_dbf(results_ds, fixture_dir: str | Path,
+                  real_procdt: bool = False):
     """The second output-DBF schema (``parallel_processor.py:186-213``):
     ``ISSUER C(100); FNAME C(50); CONFID N(5,2); PROCDT C(19)``.
 
@@ -225,12 +226,23 @@ def to_issuer_dbf(results_ds, fixture_dir: str | Path):
     fallback "UNKNOWN" (:293-294 — the engine's XXX sentinel maps to
     it), ISSUER[:100] / FNAME C(50) truncation, CONFID = OCR mean
     confidence rounded to 2 (N(5,2)).  PROCDT is ``datetime.now()`` in
-    the reference — deterministically '' here (same deviation as the
-    canonical CSV's PROCESS_DATE).  The reference's per-filename dedup
-    guard (:198-201) is subsumed by unique doc_ids.
+    the reference (``parallel_processor.py:191``) — deterministically
+    '' here by default (same deviation as the canonical CSV's
+    PROCESS_DATE) so the oracle hash stays stable; pass
+    ``real_procdt=True`` to stamp the reference's
+    ``strftime('%Y-%m-%d %H:%M:%S')`` wall-clock format (captured ONCE
+    on the driver at build time so every row of a run carries one
+    consistent stamp — the distributed analogue of the reference's
+    per-row ``now()``).  The reference's per-filename dedup guard
+    (:198-201) is subsumed by unique doc_ids.
     """
     import pyarrow.parquet as pq
 
+    if real_procdt:
+        from datetime import datetime
+        procdt_stamp = datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+    else:
+        procdt_stamp = ""
     names = pq.read_table(str(Path(fixture_dir) / "meta"),
                           columns=["doc_id", "image_file"])
     ok = results_ds.filter(expr="status != 'ERROR'") \
@@ -248,7 +260,8 @@ def to_issuer_dbf(results_ds, fixture_dir: str | Path):
             "issuer_out": pc.utf8_slice_codeunits(issuer, 0, 100),
             "fname": pc.utf8_slice_codeunits(filename, 0, 50),
             "confid": round_half_up_arrow(batch["confidence"], 2),
-            "procdt": pa.array([""] * batch.num_rows, pa.string()),
+            "procdt": pa.array([procdt_stamp] * batch.num_rows,
+                               pa.string()),
         })
 
     return joined.map_batches(project, batch_format="pyarrow")

@@ -89,3 +89,17 @@ def test_latency_stats_empty():
     assert len(out) == 0
     assert list(out.columns) == ["n_docs", "mean_ms", "median_ms",
                                  "min_ms", "max_ms", "total_s"]
+
+
+def test_issuer_dbf_real_procdt_flag(fixture_and_results):
+    """Opt-in escape hatch for export consumers: real_procdt=True
+    emits the reference's strftime('%Y-%m-%d %H:%M:%S') wall-clock
+    stamp (parallel_processor.py:191), one consistent value per run;
+    default stays '' so oracles remain deterministic."""
+    import re
+    from cheque_ocr_project_ray.pipelines.sink import to_issuer_dbf
+    fixture, results = fixture_and_results
+    df = to_issuer_dbf(results, fixture, real_procdt=True).to_pandas()
+    stamps = df["procdt"].unique()
+    assert len(stamps) == 1
+    assert re.fullmatch(r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}", stamps[0])

@@ -139,3 +139,26 @@ def test_schema_evolution_union_null_fill():
     assert (df.loc[~even, "channel"] == "web").all()
     assert df.loc[even, "channel"].isna().all()
     assert str(df["ts"].dtype).startswith("datetime64")
+
+
+def test_derived_format_cache_stable_across_processes():
+    """The /tmp derived-CSV cache key must be a stable digest: two
+    FRESH python processes (different PYTHONHASHSEED) must resolve the
+    same source file to the SAME cached path, so derived copies are
+    reused instead of accumulating one per process."""
+    import subprocess
+    import sys
+
+    prog = ("from cheque_ocr_project_ray.sources.formats import _derived;"
+            "print(_derived('/root/testdata/sf0.001', 'csv'))")
+    paths = set()
+    for seed in ("0", "12345"):
+        out = subprocess.run(
+            [sys.executable, "-c", prog], capture_output=True, text=True,
+            env={"PYTHONHASHSEED": seed, "PATH": "/usr/bin:/bin",
+                 "PYTHONPATH": "/root/repo", "HOME": "/root"},
+            check=True)
+        paths.add(out.stdout.strip())
+    assert len(paths) == 1
+    import os
+    assert os.path.exists(paths.pop())

@@ -148,3 +148,19 @@ def test_table_profile_values():
     import numpy as np
     assert np.isnan(df.loc["event_type", "min_num"])
     assert np.isnan(df.loc["ts", "max_num"])
+
+
+def test_broadcast_join_rejects_right_and_full_outer():
+    """Per-batch broadcast semantics would duplicate unmatched
+    small-side rows once per large-side batch — the helper must refuse
+    instead of silently emitting wrong results."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+    from cheque_ocr_project_ray.relational.joins import broadcast_join
+
+    small = pa.table({"k": [1, 2], "v": ["a", "b"]})
+    large = ray.data.from_items([{"k": 1}, {"k": 3}])
+    for how in ("right outer", "full outer", "right", "outer"):
+        with pytest.raises(ValueError, match="use hash_join"):
+            broadcast_join(large, small, on="k", how=how)
