@@ -1353,6 +1353,77 @@ ORDER BY q.s_suppkey
 """
 
 
+# --- Q12: shipping-band vs order priority -----------------------------
+@_hash_shuffled
+def q12_ship_delay_priority(sf_dir: str, np_: int = 0):
+    """TPC-H Q12 adapted to this corpus's columns (no
+    l_shipmode/receiptdate): lineitems shipped in 1996 classify into a
+    FAST (≤30 days after order date) vs SLOW delay band — the stand-in
+    for ship mode — counting critical- (1-URGENT/2-HIGH) vs
+    lower-priority lines per band.
+
+    Shape: read-time year filter on the fact side, one partitioned
+    hash join on the order key, then the per-band conditional counts
+    reduce entirely through combiner partials (2-row final merge)."""
+    lo, hi = _ts_us(1996, 1, 1), _ts_us(1997, 1, 1)
+
+    def lfilter(batch: pa.Table) -> pa.Table:
+        us = _ts_col_us(batch.column("l_shipdate"))
+        keep = pc.and_(pc.greater_equal(us, pa.scalar(lo)),
+                       pc.less(us, pa.scalar(hi)))
+        b = batch.filter(keep)
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "l_ship_us": _ts_col_us(b.column("l_shipdate"))})
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]) \
+        .map_batches(lfilter, batch_format="pyarrow")
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                    "o_orderpriority"]) \
+        .map_batches(lambda b: pa.table({
+            "l_orderkey": b.column("o_orderkey"),
+            "o_date_us": _ts_col_us(b.column("o_orderdate")),
+            "o_orderpriority": b.column("o_orderpriority")}),
+            batch_format="pyarrow")
+    joined = hash_join(li, orders, on="l_orderkey",
+                       num_partitions=np_ or None)
+
+    def band_partial(batch: pa.Table) -> pa.Table:
+        fast = pc.less_equal(
+            batch.column("l_ship_us"),
+            pc.add(batch.column("o_date_us"), pa.scalar(30 * _DAY_US)))
+        band = pc.if_else(fast, "FAST", "SLOW")
+        high = pc.is_in(batch.column("o_orderpriority"),
+                        value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        hi_i = pc.cast(high, pa.int64())
+        t = pa.table({"delay_band": band, "high_line_count": hi_i,
+                      "low_line_count": pc.subtract(
+                          pa.scalar(1, pa.int64()), hi_i)})
+        g = t.group_by("delay_band").aggregate(
+            [("high_line_count", "sum"), ("low_line_count", "sum")])
+        return g.rename_columns(["delay_band", "high_line_count",
+                                 "low_line_count"])
+
+    out = final_merge_sums(
+        joined.map_batches(band_partial, batch_format="pyarrow"),
+        ["delay_band"], ["high_line_count", "low_line_count"], np_=np_)
+    return out.sort("delay_band")
+
+
+Q12_SHIP_DELAY_SQL = """
+SELECT CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY
+            THEN 'FAST' ELSE 'SLOW' END AS delay_band,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def tpch_extra_queries():
     return {
         "q4_late_orders": q4_late_orders,
@@ -1371,6 +1442,7 @@ def tpch_extra_queries():
         "min_cost_supplier": min_cost_supplier,
         "supplier_value_share": supplier_value_share,
         "promo_part_suppliers": promo_part_suppliers,
+        "q12_ship_delay_priority": q12_ship_delay_priority,
     }
 
 
@@ -1392,4 +1464,5 @@ def tpch_extra_oracle_sql():
         "min_cost_supplier": MIN_COST_SUPPLIER_SQL,
         "supplier_value_share": SUPPLIER_VALUE_SHARE_SQL,
         "promo_part_suppliers": PROMO_PART_SUPPLIERS_SQL,
+        "q12_ship_delay_priority": Q12_SHIP_DELAY_SQL,
     }

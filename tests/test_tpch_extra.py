@@ -200,3 +200,47 @@ def test_min_cost_supplier_distributed_path(tmp_path):
     b = min_cost_supplier(str(tmp_path), bound=0).to_pandas()
     pd.testing.assert_frame_equal(a, b)
     assert a["s_suppkey"].tolist() == [1]
+
+
+def test_q12_band_and_priority_counts(tmp_path):
+    """FAST/SLOW banding at the 30-day boundary (<= is FAST) and the
+    high/low priority partition must match a pandas reference."""
+    from cheque_ocr_project_ray.relational.tpch_extra import (
+        q12_ship_delay_priority)
+    rng = np.random.default_rng(12)
+    n_orders = 200
+    odates = pd.to_datetime("1996-01-01") + pd.to_timedelta(
+        rng.integers(0, 300, n_orders), unit="D")
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(n_orders),
+        "o_custkey": 0, "o_orderstatus": "O", "o_totalprice": 1.0,
+        "o_orderdate": odates,
+        "o_orderpriority": rng.choice(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"], n_orders)})
+    n_li = 900
+    ok = rng.integers(0, n_orders, n_li)
+    delays = rng.integers(0, 61, n_li)   # 30 lands exactly on the edge
+    li = pd.DataFrame({
+        "l_orderkey": ok,
+        "l_shipdate": odates.values[ok] + pd.to_timedelta(delays, "D")})
+    _write(tmp_path, orders=orders, lineitem=li)
+
+    out = q12_ship_delay_priority(str(tmp_path)).to_pandas() \
+        .reset_index(drop=True)
+
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    j = j[(j["l_shipdate"] >= "1996-01-01")
+          & (j["l_shipdate"] < "1997-01-01")]
+    j["delay_band"] = np.where(
+        j["l_shipdate"] <= j["o_orderdate"] + pd.Timedelta(days=30),
+        "FAST", "SLOW")
+    j["high"] = j["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+    ref = j.groupby("delay_band").agg(
+        high_line_count=("high", "sum"),
+        low_line_count=("high", lambda s: (~s).sum())).reset_index()
+    ref = ref.sort_values("delay_band").reset_index(drop=True)
+    assert (out["delay_band"] == ref["delay_band"]).all()
+    assert (out["high_line_count"].to_numpy()
+            == ref["high_line_count"].to_numpy()).all()
+    assert (out["low_line_count"].to_numpy()
+            == ref["low_line_count"].to_numpy()).all()
