@@ -466,6 +466,87 @@ def dedup_components(sf_dir: str):
     return components_from_pairs(pairs)
 
 
+def dedup_canonical(sf_dir: str, bound: int = 2_000_000):
+    """Near-dup cluster canonicalization — the keep/drop decision a
+    curation run makes AFTER pair-finding and clustering: within each
+    connected component of the n-gram-Jaccard near-dup graph, keep the
+    member with the HIGHEST quality score (tie → smallest doc_id).
+
+    Output per multi-doc cluster: (rep, keep_doc_id, n_members,
+    best_score).  Scale shape: components and quality scores are both
+    corpus-streamed; they meet in one partitioned hash join (the
+    component table is corpus-sized in the worst case — never
+    broadcast), and the per-cluster argmax reduces associatively as a
+    packed-int min (``(1e6 - score·1e6) << 32 | doc_id`` — same
+    pack-argmin convention as ``min_cost_supplier``; assumes doc_id <
+    2^32, this corpus's id convention) through combiner partials and
+    the bounded-adaptive final merge."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ray.data.aggregate import Min as RayMin
+    from ray.data.aggregate import Sum as RaySum
+
+    from cheque_ocr_project_ray.relational.joins import hash_join
+    from cheque_ocr_project_ray.text.cluster import components_from_pairs
+    from cheque_ocr_project_ray.util import collect_table
+
+    pairs = dedup.ngram_jaccard_pairs(_docs(sf_dir), shingle_k=2,
+                                      threshold=0.5)
+    comps = components_from_pairs(pairs)                  # (doc_id, rep)
+    scored = _docs(sf_dir).map_batches(
+        analysis.quality_score, batch_format="pyarrow") \
+        .select_columns(["doc_id", "score"])
+    joined = hash_join(comps, scored, on="doc_id")
+
+    def packed_partial(batch: pa.Table) -> pa.Table:
+        # score is 6dp-rounded, so score·1e6 is within float ulps of an
+        # integer — np.rint and SQL round(x, 0) agree (no .5 fractions)
+        qi = np.rint(batch.column("score").to_numpy(zero_copy_only=False)
+                     * 1_000_000).astype(np.int64)
+        doc = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        packed = ((1_000_000 - qi) << 32) | doc
+        t = pa.table({"rep": batch.column("rep"),
+                      "packed": pa.array(packed, pa.int64()),
+                      "n_members": pa.array(np.ones(len(doc), np.int64))})
+        g = t.group_by("rep").aggregate([("packed", "min"),
+                                         ("n_members", "sum")])
+        return g.rename_columns(["rep", "packed", "n_members"])
+
+    def unpack(t: pa.Table) -> pa.Table:
+        packed = t.column("packed").to_numpy(zero_copy_only=False)
+        qi = 1_000_000 - (packed >> np.int64(32))
+        return pa.table({
+            "rep": t.column("rep"),
+            "keep_doc_id": pa.array(packed & np.int64(0xFFFFFFFF),
+                                    pa.int64()),
+            "n_members": t.column("n_members"),
+            "best_score": pa.array(qi.astype(np.float64) / 1_000_000.0,
+                                   pa.float64())})
+
+    partials = joined.map_batches(packed_partial,
+                                  batch_format="pyarrow").materialize()
+    if partials.count() <= bound:
+        t = collect_table(partials)
+        if t is None or t.num_rows == 0:
+            return ray.data.from_arrow(pa.table({
+                "rep": pa.array([], pa.int64()),
+                "keep_doc_id": pa.array([], pa.int64()),
+                "n_members": pa.array([], pa.int64()),
+                "best_score": pa.array([], pa.float64())}))
+        g = t.group_by("rep").aggregate([("packed", "min"),
+                                         ("n_members", "sum")]) \
+            .rename_columns(["rep", "packed", "n_members"])
+        merged = ray.data.from_arrow(unpack(g))
+    else:
+        merged = partials.groupby("rep").aggregate(
+            RayMin("packed", alias_name="packed"),
+            RaySum("n_members", alias_name="n_members")) \
+            .map_batches(unpack, batch_format="pyarrow")
+    return merged.sort("rep")
+
+
 def _components_sql(k: int, threshold: float) -> str:
     """Transitive closure of the exact all-pairs Jaccard edge list via
     a recursive CTE; min reachable label == component representative.
@@ -880,6 +961,52 @@ z AS (
 SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,
        CAST(round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS BIGINT) AS keep
 FROM z
+"""
+
+
+def _dedup_canonical_sql() -> str:
+    """Independent SQL re-derivation of :func:`dedup_canonical`: the
+    recursive-CTE closure (as ``dedup_components``) joined to the
+    quality-score subquery, with the SAME packed-int argmin so the
+    tie-break and 6dp score survive the round trip bit-for-bit."""
+    return f"""
+WITH RECURSIVE {_shingle_ctes(2)}, sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), prs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b
+  WHERE i * 1.0 / (na.n + nb.n - i) >= 0.5
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM prs
+  UNION ALL
+  SELECT doc_b, doc_a FROM prs
+), reach AS (
+  SELECT DISTINCT a AS doc, a AS lab FROM edges
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.doc
+), comp AS (
+  SELECT doc AS doc_id, min(lab) AS rep FROM reach GROUP BY doc
+), qs AS ({QUALITY_SCORE_SQL}
+), j AS (
+  SELECT c.rep,
+         (1000000 - CAST(round(q.score * 1000000, 0) AS BIGINT))
+             * 4294967296 + c.doc_id AS packed
+  FROM comp c JOIN qs q ON q.doc_id = c.doc_id
+), m AS (
+  SELECT rep, min(packed) AS packed, count(*) AS n_members
+  FROM j GROUP BY rep
+)
+SELECT rep, packed % 4294967296 AS keep_doc_id, n_members,
+       CAST(1000000 - packed // 4294967296 AS DOUBLE) / 1000000.0
+           AS best_score
+FROM m
+ORDER BY rep
 """
 
 
@@ -2105,6 +2232,7 @@ def text_queries() -> dict[str, Callable]:
         "dedup_minhash": dedup_minhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_components": dedup_components,
+        "dedup_canonical": dedup_canonical,
         "doc_simhash": doc_simhash,
         "dedup_simhash": dedup_simhash,
         "corpus_curation": corpus_curation,
@@ -2155,6 +2283,7 @@ def text_oracle_sql() -> dict[str, str]:
         "dedup_minhash": _jaccard_pairs_sql(k=3, threshold=0.6),
         "dedup_ngram_jaccard": _jaccard_pairs_sql(k=2, threshold=0.5),
         "dedup_components": _components_sql(k=2, threshold=0.5),
+        "dedup_canonical": _dedup_canonical_sql(),
         "doc_simhash": doc_simhash_sql(),
         "dedup_simhash": dedup_simhash_sql(max_hamming=3),
         "doc_chunk": CHUNK_SQL,

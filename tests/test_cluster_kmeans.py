@@ -160,3 +160,43 @@ def test_silhouette_separated_blobs(tmp_path):
     assert len(df) == 8 and (df["n"] == 8).all()
     assert df["mean_silhouette"].between(-1, 1).all()
     assert (df["mean_silhouette"] > 0.9).all()
+
+
+def test_dedup_canonical_picks_best_quality(tmp_path):
+    """Within one near-dup cluster the survivor is the max-quality
+    member (tie -> min doc_id); singletons don't appear."""
+    import pandas as pd
+    from cheque_ocr_project_ray.text.queries import dedup_canonical
+    from cheque_ocr_project_ray.text import analysis
+    import pyarrow as pa
+    import ray.data
+
+    # docs 0/1/2 share almost all bigrams (one cluster); 1 carries the
+    # richest vocabulary => highest TTR/stopword quality score; doc 9
+    # is unrelated (singleton -> excluded from the output)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 9],
+        "text": [base,
+                 base + " with fresh shiny extra words",
+                 base,
+                 "completely different unrelated content here"],
+        "lang": "en", "source": "s0", "n_chars": 1})
+    docs.to_parquet(tmp_path / "documents.parquet")
+
+    out = dedup_canonical(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    assert out["rep"].iloc[0] == 0
+    assert out["n_members"].iloc[0] == 3
+    # verify the argmax against directly-computed scores
+    scores = analysis.quality_score(
+        pa.Table.from_pandas(docs[["doc_id", "text"]])).to_pandas()
+    in_cluster = scores[scores["doc_id"].isin([0, 1, 2])]
+    best = in_cluster.sort_values(["score", "doc_id"],
+                                  ascending=[False, True]).iloc[0]
+    assert out["keep_doc_id"].iloc[0] == best["doc_id"]
+    assert out["best_score"].iloc[0] == best["score"]
+    # identical texts 0 and 2 tie exactly -> if best is one of them the
+    # tie must break to the smaller id (exercise explicitly)
+    tied = scores[scores["doc_id"].isin([0, 2])]
+    assert tied["score"].nunique() == 1
