@@ -1937,8 +1937,74 @@ SELECT (SELECT count(*) FROM u) AS n_users,
 """
 
 
+# --- exponentially-decayed per-user engagement score ------------------
+_DECAY_HALFLIFE_US = 7 * _DAY_US     # 7-day half-life
+
+
+@_hash_shuffled
+def events_decay_score(sf_dir: str, np_: int = 0):
+    """Per-user exponentially time-decayed value sum — the recency-
+    weighted engagement score (feature-store staple): each event
+    contributes ``value · 0.5^((T_max − ts) / 7d)`` where ``T_max`` is
+    the corpus's newest timestamp, so the score is a pure function of
+    the data (re-runs reproduce it bit-for-bit; no wall clock).
+
+    Scale shape: pass 1 reduces the global max timestamp through
+    per-batch combiner maxima (a scalar); pass 2 streams the decayed
+    products into per-user float partials (fixed T makes the weighted
+    sum associative) merged bounded-adaptively.  4dp output rounding
+    absorbs summation-order drift, the same tolerance every float
+    aggregate here uses."""
+    tmax = _pq(sf_dir, "events", ["ts"]).map_batches(
+        lambda b: pa.table({"t": [pc.max(_ts_col_us(b.column("ts"))).as_py()]}),
+        batch_format="pyarrow").max("t")
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = _ts_col_us(batch.column("ts")).to_numpy(
+            zero_copy_only=False)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        w = np.power(0.5, (tmax - ts_us) / float(_DECAY_HALFLIFE_US))
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "decayed_value": pa.array(w * v, pa.float64()),
+                      "n_events": pa.array(
+                          np.ones(batch.num_rows, np.int64))})
+        g = t.group_by("user_id").aggregate(
+            [("decayed_value", "sum"), ("n_events", "sum")])
+        return g.rename_columns(["user_id", "decayed_value", "n_events"])
+
+    agg = final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"], ["decayed_value", "n_events"], np_=np_)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "decayed_value": pa.array(round_half_up(
+                batch.column("decayed_value").to_numpy(
+                    zero_copy_only=False), 4), pa.float64()),
+            "n_events": batch.column("n_events")})
+
+    return agg.map_batches(shape, batch_format="pyarrow").sort("user_id")
+
+
+EVENTS_DECAY_SCORE_SQL = f"""
+WITH t AS (SELECT max(epoch_us(ts)) AS tmax FROM events)
+SELECT user_id,
+       round(sum(power(0.5, (t.tmax - epoch_us(ts))
+                            / {float(_DECAY_HALFLIFE_US)}) * value), 4)
+           AS decayed_value,
+       count(*) AS n_events
+FROM events, t
+GROUP BY user_id, t.tmax
+ORDER BY user_id
+"""
+
+
 def analytics_extra_queries():
     return {
+        "events_decay_score": events_decay_score,
         "events_csv_roundtrip": events_csv_roundtrip,
         "events_jsonl_roundtrip": events_jsonl_roundtrip,
         "events_schema_evolution": events_schema_evolution,
@@ -1974,6 +2040,7 @@ def analytics_extra_queries():
 
 def analytics_extra_oracle_sql():
     return {
+        "events_decay_score": EVENTS_DECAY_SCORE_SQL,
         "events_value_histogram": EVENTS_HISTOGRAM_SQL,
         "events_lag_delta": EVENTS_LAG_DELTA_SQL,
         "events_quantiles_by_type": EVENTS_QUANTILES_SQL,

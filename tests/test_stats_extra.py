@@ -4,6 +4,7 @@ against hand-computable cases."""
 
 import numpy as np
 import pandas as pd
+import pytest
 
 
 def _events(tmp_path, values, users=None, types=None, ts=None):
@@ -163,3 +164,36 @@ def test_q15_distributed_max_path(tmp_path):
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
     assert sorted(a["s_suppkey"]) == [1, 2]   # tie at 100.0
+
+
+def test_events_decay_score_matches_pandas(tmp_path):
+    """Decay weights against a direct pandas computation: the newest
+    event weighs 1.0, a 7-day-old event weighs 0.5."""
+    import numpy as np
+    import pandas as pd
+    from cheque_ocr_project_ray.relational.analytics_extra import (
+        events_decay_score)
+
+    ts = pd.to_datetime("2024-03-01") + pd.to_timedelta(
+        [0, 7, 14, 3, 7], unit="D")
+    ev = pd.DataFrame({
+        "event_id": range(5), "ts": ts,
+        "user_id": [1, 1, 1, 2, 2],
+        "event_type": "click",
+        "value": [10.0, 10.0, 10.0, 4.0, 8.0],
+        "props": "{}"})
+    ev.to_parquet(tmp_path / "events.parquet")
+
+    out = events_decay_score(str(tmp_path)).to_pandas()
+    tmax = ts.max()
+    w = 0.5 ** ((tmax - ts).total_seconds().to_numpy()
+                / (7 * 86400.0))
+    ref = pd.DataFrame({"user_id": ev["user_id"], "dv": w * ev["value"]}) \
+        .groupby("user_id")["dv"].sum().round(4)
+    assert list(out["user_id"]) == [1, 2]
+    assert out["decayed_value"].to_numpy() == pytest.approx(
+        ref.to_numpy())
+    assert list(out["n_events"]) == [3, 2]
+    # newest event for user 1 is 14 days old at weight 0.25; check one
+    # hand value: 10*0.25 + 10*0.5 + 10*1.0 = 17.5
+    assert out.loc[out["user_id"] == 1, "decayed_value"].iloc[0] == 17.5
