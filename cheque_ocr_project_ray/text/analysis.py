@@ -485,3 +485,43 @@ def train_split(batch: pa.Table) -> pa.Table:
         "bucket": pa.array(buckets, pa.int64()),
         "split": pa.array(splits, pa.string()),
     })
+
+
+def char_entropy(batch: pa.Table) -> pa.Table:
+    """Per-doc character-level Shannon entropy (code points) — the
+    gibberish / compressibility signal (low-entropy = repeated-char
+    spam, high-entropy = random noise; prose sits ~4-4.5 bits).
+
+    Vectorized end-to-end: the batch's utf8 payload decodes ONCE from
+    the Arrow data buffer (no per-row Python), code points land in one
+    numpy array keyed by ``row·0x110000 + cp``, and per-(row, char)
+    run lengths come from a single sort + diff.  Entropy uses the
+    ``log2(L) − Σ k·log2 k / L`` form — the SQL twin computes the
+    identical expression so 6dp rounding compares stable digits."""
+    arr = pc.fill_null(batch.column("text").combine_chunks(), "")
+    n = len(arr)
+    lens = pc.utf8_length(arr).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], np.int32)[arr.offset:
+                                           arr.offset + n + 1]
+    payload = bufs[2].to_pybytes()[off[0]:off[-1]] if n else b""
+    cp = np.frombuffer(payload.decode("utf-8").encode("utf-32-le"),
+                       np.uint32).astype(np.int64)
+    row = np.repeat(np.arange(n, dtype=np.int64), lens)
+    key = row * 0x110000 + cp
+    key.sort()
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(key)) + 1]) \
+        if len(key) else np.empty(0, np.int64)
+    counts = np.diff(np.concatenate([starts, [len(key)]])) \
+        if len(key) else np.empty(0, np.int64)
+    krow = (key[starts] // 0x110000) if len(key) else starts
+    row_sum = np.zeros(n, np.float64)
+    np.add.at(row_sum, krow, counts * np.log2(counts))
+    L = np.maximum(lens, 1).astype(np.float64)
+    ent = np.where(lens > 0, np.log2(L) - row_sum / L, 0.0)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_chars": pa.array(lens, pa.int64()),
+        "entropy": pa.array(round_half_up(ent, 6), pa.float64()),
+    })

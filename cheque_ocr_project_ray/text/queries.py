@@ -1010,6 +1010,32 @@ ORDER BY rep
 """
 
 
+def doc_char_entropy(sf_dir: str):
+    """Per-doc character Shannon entropy — the gibberish /
+    compressibility filter signal (stateless vectorized map; see
+    :func:`analysis.char_entropy` for the single-decode kernel)."""
+    return _docs(sf_dir).map_batches(analysis.char_entropy,
+                                     batch_format="pyarrow") \
+        .sort("doc_id")
+
+
+CHAR_ENTROPY_SQL = """
+WITH cnt AS (
+  SELECT doc_id, c, count(*) AS k FROM (
+    SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+  GROUP BY doc_id, c
+), h AS (
+  SELECT doc_id, sum(k * log2(k)) AS s, sum(k) AS L
+  FROM cnt GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars,
+       round(CASE WHEN h.L IS NULL OR h.L = 0 THEN 0.0
+                  ELSE log2(h.L) - h.s / h.L END, 6) AS entropy
+FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def corpus_mix_sample(sf_dir: str):
     """Deterministic per-source mixture sampling (data mixing): keep
     each doc with a per-source quota decided by a stable doc_id hash —
@@ -2233,6 +2259,7 @@ def text_queries() -> dict[str, Callable]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_components": dedup_components,
         "dedup_canonical": dedup_canonical,
+        "doc_char_entropy": doc_char_entropy,
         "doc_simhash": doc_simhash,
         "dedup_simhash": dedup_simhash,
         "corpus_curation": corpus_curation,
@@ -2284,6 +2311,7 @@ def text_oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _jaccard_pairs_sql(k=2, threshold=0.5),
         "dedup_components": _components_sql(k=2, threshold=0.5),
         "dedup_canonical": _dedup_canonical_sql(),
+        "doc_char_entropy": CHAR_ENTROPY_SQL,
         "doc_simhash": doc_simhash_sql(),
         "dedup_simhash": dedup_simhash_sql(max_hamming=3),
         "doc_chunk": CHUNK_SQL,

@@ -263,3 +263,20 @@ def test_final_merge_sums_paths_agree():
     dist = dist.sort_values("k").reset_index(drop=True)
     assert len(fast) == 7
     pd.testing.assert_frame_equal(fast, dist[fast.columns])
+
+
+def test_char_entropy_known_values_and_unicode():
+    """Hand-checked entropies; multi-byte code points count as single
+    characters (len semantics, matching SQL's len/string_split)."""
+    import numpy as np
+    import pyarrow as pa
+    from cheque_ocr_project_ray.text.analysis import char_entropy
+
+    t = pa.table({"doc_id": [0, 1, 2, 3, 4],
+                  "text": ["aaaa", "abab", "abcd", "", "é é"]})
+    out = char_entropy(t).to_pandas()
+    assert list(out["n_chars"]) == [4, 4, 4, 0, 3]
+    assert list(out["entropy"])[:4] == [0.0, 1.0, 2.0, 0.0]
+    # "é é": counts {é:2, ' ':1}, H = log2(3) - (2·log2 2)/3
+    expect = round(np.log2(3) - 2.0 / 3.0, 6)
+    assert out["entropy"].iloc[4] == expect
