@@ -261,3 +261,105 @@ def decontaminate(docs_ds, modulus: int = DECONTAM_MODULUS,
 
     return docs_ds.map_batches(Flag, concurrency=(2, map_pool()),
                                batch_format="pyarrow")
+
+
+PAIRS_DF_CAP = 100
+PAIRS_THRESHOLD = 0.5
+
+
+def tfidf_pairs(docs_ds, df_cap: int = PAIRS_DF_CAP,
+                threshold: float = PAIRS_THRESHOLD, np_: int = 0):
+    """Sparse TF-IDF cosine doc-doc similarity pairs — the
+    all-pairs-similar-documents join, DF-capped so it scales.
+
+    Semantics: cosine over the term subspace with ``df ≤ df_cap``
+    (weights, norms, AND dot products all live in the capped space —
+    an exact cosine there, not an approximation of the full one).
+    The cap is what makes the sparse join tractable: a term's posting
+    list is ≤ df_cap rows, so per-term pair generation is O(df_cap²)
+    regardless of corpus size, and hot (stopword-like) terms — which
+    contribute near-zero IDF weight anyway — never explode the join.
+
+    Scale shape: pass 1 reduces exact DFs (combiner + bounded merge);
+    the capped-vocab IDF table broadcasts once (same convention as
+    :func:`tfidf_topk`; swap for a term-partitioned hash join when the
+    rare-term vocabulary outgrows a broadcast).  Pass 2 emits
+    L2-normalized postings (norms are exact per batch — docs are whole
+    rows), ``groupby(term)`` generates within-posting pair products,
+    and the per-pair dot reduces through ``final_merge_sums``.
+    Emitted: (doc_a, doc_b, cos) with ``round(cos, 5) ≥ threshold``,
+    the rounded-compare convention shared with ``ann_range_search``."""
+    df_t = collect_table(doc_frequency(docs_ds, np_=np_).materialize())
+    n_docs = docs_ds.count()
+    if df_t is None or df_t.num_rows == 0:
+        return ray.data.from_arrow(_EMPTY_DOC_PAIRS)
+    df_t = df_t.filter(pc.less_equal(df_t.column("df"),
+                                     pa.scalar(df_cap)))
+    vocab = df_t.column("term").combine_chunks()
+    idf = np.log((1.0 + n_docs)
+                 / (1.0 + df_t.column("df").to_numpy())) + 1.0
+    idf_ref = ray.put((vocab, idf))
+
+    class NormalizedPostings:
+        def __init__(self):
+            self.vocab, self.idf = ray.get(idf_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            g = _pair_counts(batch)
+            idx = pc.index_in(g.column("term"), value_set=self.vocab)
+            g = g.filter(pc.is_valid(idx))
+            if g.num_rows == 0:
+                return pa.table({"term": pa.array([], pa.string()),
+                                 "doc_id": pa.array([], pa.int64()),
+                                 "wn": pa.array([], pa.float64())})
+            idx = pc.index_in(g.column("term"),
+                              value_set=self.vocab).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            w = g.column("tf").to_numpy().astype(np.float64) \
+                * self.idf[idx]
+            doc = g.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            # per-doc L2 norm over the capped terms, dense within batch
+            _, dense = np.unique(doc, return_inverse=True)
+            sq = np.zeros(dense.max() + 1, np.float64)
+            np.add.at(sq, dense, w * w)
+            wn = w / np.sqrt(sq)[dense]
+            return pa.table({"term": g.column("term"),
+                             "doc_id": pa.array(doc, pa.int64()),
+                             "wn": pa.array(wn, pa.float64())})
+
+    posts = docs_ds.map_batches(NormalizedPostings,
+                                concurrency=(2, map_pool()),
+                                batch_format="pyarrow")
+
+    def pair_gen(group: pa.Table) -> pa.Table:
+        d = group.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        w = group.column("wn").to_numpy(zero_copy_only=False)
+        order = np.argsort(d, kind="stable")
+        d, w = d[order], w[order]
+        ii, jj = np.triu_indices(len(d), 1)
+        return pa.table({"doc_a": pa.array(d[ii], pa.int64()),
+                         "doc_b": pa.array(d[jj], pa.int64()),
+                         "dot": pa.array(w[ii] * w[jj], pa.float64())})
+
+    pairs = posts.groupby("term").map_groups(pair_gen,
+                                             batch_format="pyarrow")
+    agg = final_merge_sums(pairs, ["doc_a", "doc_b"], ["dot"], np_=np_)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        cos = round_half_up(batch.column("dot").to_numpy(
+            zero_copy_only=False), 5)
+        t = pa.table({"doc_a": batch.column("doc_a"),
+                      "doc_b": batch.column("doc_b"),
+                      "cos": pa.array(cos, pa.float64())})
+        return t.filter(pc.greater_equal(t.column("cos"),
+                                         pa.scalar(threshold)))
+
+    return agg.map_batches(shape, batch_format="pyarrow") \
+        .sort(["doc_a", "doc_b"])
+
+
+_EMPTY_DOC_PAIRS = pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})

@@ -647,6 +647,49 @@ FROM scored WHERE rnk <= {index.TFIDF_K}
 """
 
 
+def doc_tfidf_pairs(sf_dir: str):
+    """All-pairs similar documents by TF-IDF cosine in the DF-capped
+    term space — the sparse similarity join (see
+    :func:`index.tfidf_pairs` for the bounded per-term pair shape)."""
+    return index.tfidf_pairs(_docs(sf_dir))
+
+
+TFIDF_PAIRS_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), tok AS (
+  SELECT doc_id, t.w AS term FROM w, LATERAL unnest(ws) AS t(w)
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+  HAVING count(DISTINCT doc_id) <= {index.PAIRS_DF_CAP}
+), n AS (
+  SELECT count(*) AS n FROM documents
+), wgt AS (
+  SELECT doc_id, term,
+         tf * (ln((1.0 + n.n) / (1.0 + df.df)) + 1.0) AS w
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), nrm AS (
+  SELECT doc_id, sqrt(sum(w * w)) AS nm FROM wgt GROUP BY doc_id
+), prs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+  FROM wgt a JOIN wgt b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(p.dot / (na.nm * nb.nm), 5) AS cos
+FROM prs p
+JOIN nrm na ON na.doc_id = p.doc_a
+JOIN nrm nb ON nb.doc_id = p.doc_b
+WHERE round(p.dot / (na.nm * nb.nm), 5) >= {index.PAIRS_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
 def doc_postings(sf_dir: str):
     """Inverted-index postings: per term df, total tf, first-5 doc-id
     sample — vocabulary-keyed partials, bounded-adaptive merge."""
@@ -2260,6 +2303,7 @@ def text_queries() -> dict[str, Callable]:
         "dedup_components": dedup_components,
         "dedup_canonical": dedup_canonical,
         "doc_char_entropy": doc_char_entropy,
+        "doc_tfidf_pairs": doc_tfidf_pairs,
         "doc_simhash": doc_simhash,
         "dedup_simhash": dedup_simhash,
         "corpus_curation": corpus_curation,
@@ -2312,6 +2356,7 @@ def text_oracle_sql() -> dict[str, str]:
         "dedup_components": _components_sql(k=2, threshold=0.5),
         "dedup_canonical": _dedup_canonical_sql(),
         "doc_char_entropy": CHAR_ENTROPY_SQL,
+        "doc_tfidf_pairs": TFIDF_PAIRS_SQL,
         "doc_simhash": doc_simhash_sql(),
         "dedup_simhash": dedup_simhash_sql(max_hamming=3),
         "doc_chunk": CHUNK_SQL,

@@ -89,3 +89,30 @@ def test_decontam_counts_match_shingle_sets():
     expect = len(dedup.shingles("a b c d e f", 3)
                  & dedup.shingles("c d e f g h", 3))
     assert out == [{"doc_id": 5, "n_hits": expect}]
+
+
+def test_tfidf_pairs_planted_near_identical(tmp_path):
+    """Two near-identical docs in the rare-term space must pair with
+    cos near 1; an unrelated doc pairs with neither.  The DF cap drops
+    the shared hot term from the similarity space."""
+    import pandas as pd
+    import ray.data
+    from cheque_ocr_project_ray.text.index import tfidf_pairs
+
+    shared = "common " * 5      # hot everywhere: df above the cap
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [shared + "alpha beta gamma delta",
+                 shared + "alpha beta gamma epsilon",
+                 shared + "zulu yankee xray whiskey",
+                 shared + "quebec papa oscar november"]})
+    ds = ray.data.from_arrow(
+        __import__("pyarrow").Table.from_pandas(docs))
+    out = tfidf_pairs(ds, df_cap=3, threshold=0.5).to_pandas()
+    assert list(zip(out["doc_a"], out["doc_b"])) == [(0, 1)]
+    # 3 shared rare terms (df=2) + 1 unique (df=1) per doc, smooth idf
+    import numpy as np
+    idf2 = np.log(5.0 / 3.0) + 1.0
+    idf1 = np.log(5.0 / 2.0) + 1.0
+    expect = round(3 * idf2 ** 2 / (3 * idf2 ** 2 + idf1 ** 2), 5)
+    assert out["cos"].iloc[0] == expect
