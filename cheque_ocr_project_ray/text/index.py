@@ -363,3 +363,93 @@ def tfidf_pairs(docs_ds, df_cap: int = PAIRS_DF_CAP,
 _EMPTY_DOC_PAIRS = pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64()),
                              "cos": pa.array([], pa.float64())})
+
+
+def _doc_bigrams(batch: pa.Table) -> pa.Table:
+    """Distinct (doc_id, g) word-bigram shingles per doc — the engine
+    side of the ``_shingle_ctes(2)`` SQL convention: non-empty tokens,
+    adjacent pairs joined with ' ', docs with a single token keep that
+    token as their one shingle, docs with no tokens emit nothing.
+    Exact per batch (a document is one row)."""
+    flat, counts = _filtered_tokens(batch.column("text"))
+    n = len(batch)
+    parent = np.repeat(np.arange(n, dtype=np.int64), counts)
+    doc_ids = batch.column("doc_id").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    same = parent[:-1] == parent[1:] if len(parent) else \
+        np.zeros(0, bool)
+    mask = pa.array(np.concatenate([same, [False]])) if len(parent) \
+        else pa.array([], pa.bool_())
+    lead = flat.filter(mask)
+    trail = flat.filter(pa.array(np.concatenate([[False], same]))
+                        if len(parent) else pa.array([], pa.bool_()))
+    g = pc.binary_join_element_wise(lead, trail, " ")
+    grow = parent[:-1][same] if len(parent) else parent
+    single = counts == 1
+    if single.any():
+        first_pos = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        srow = np.flatnonzero(single)
+        g = pa.concat_arrays([g, flat.take(pa.array(first_pos[srow]))])
+        grow = np.concatenate([grow, srow])
+    t = pa.table({"doc_id": pa.array(doc_ids[grow], pa.int64()),
+                  "g": g})
+    return t.group_by(["doc_id", "g"]).aggregate([]) \
+        .select(["doc_id", "g"])
+
+
+def ngram_novelty(docs_ds, np_: int = 0):
+    """Per-doc n-gram novelty — the streaming-curation freshness
+    signal: the fraction of a doc's distinct bigram shingles whose
+    FIRST corpus occurrence (min doc_id) is the doc itself.  Near-1 ⇒
+    fresh content; near-0 ⇒ the doc restates earlier material (the
+    within-corpus contamination complement of ``decontaminate``).
+
+    Scale shape: two streaming passes over the shingle pairs — pass 1
+    reduces per-gram min doc_id through combiner partials + the
+    bounded-adaptive merge; pass 2 hash-joins the pairs against the
+    winner table on the gram (both sides corpus-scale — never a
+    broadcast) and folds per-doc novel/total counts through
+    ``final_merge_sums``.  Docs with no tokens emit no row (the SQL
+    ``sh`` convention)."""
+    from cheque_ocr_project_ray.relational.joins import hash_join
+    from cheque_ocr_project_ray.util import final_merge_min
+
+    pairs = docs_ds.map_batches(_doc_bigrams, batch_format="pyarrow")
+
+    def min_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("g").aggregate([("doc_id", "min")])
+        return g.rename_columns(["g", "first_doc"])
+
+    winners = final_merge_min(
+        pairs.map_batches(min_partial, batch_format="pyarrow"),
+        ["g"], ["first_doc"], np_=np_)
+    joined = hash_join(pairs, winners, on="g", num_partitions=np_ or None)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        novel = pc.cast(pc.equal(batch.column("first_doc"),
+                                 batch.column("doc_id")), pa.int64())
+        t = pa.table({"doc_id": batch.column("doc_id"),
+                      "n_grams": pa.array(
+                          np.ones(batch.num_rows, np.int64)),
+                      "n_novel": novel})
+        g = t.group_by("doc_id").aggregate([("n_grams", "sum"),
+                                            ("n_novel", "sum")])
+        return g.rename_columns(["doc_id", "n_grams", "n_novel"])
+
+    agg = final_merge_sums(
+        joined.map_batches(count_partial, batch_format="pyarrow"),
+        ["doc_id"], ["n_grams", "n_novel"], np_=np_)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        ng = batch.column("n_grams").to_numpy(zero_copy_only=False)
+        nv = batch.column("n_novel").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_grams": batch.column("n_grams"),
+            "n_novel": batch.column("n_novel"),
+            "novelty": pa.array(round_half_up(nv / ng, 4),
+                                pa.float64())})
+
+    return agg.map_batches(shape, batch_format="pyarrow").sort("doc_id")

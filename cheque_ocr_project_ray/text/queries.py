@@ -690,6 +690,30 @@ ORDER BY doc_a, doc_b
 """
 
 
+def doc_ngram_novelty(sf_dir: str):
+    """Fraction of each doc's distinct bigram shingles first seen in
+    the doc itself (min doc_id ordering) — the within-corpus novelty /
+    staleness signal for streaming curation."""
+    return index.ngram_novelty(_docs(sf_dir))
+
+
+def _ngram_novelty_sql() -> str:
+    return f"""
+WITH {_shingle_ctes(2)}, firstseen AS (
+  SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g
+)
+SELECT s.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 4) AS novelty
+FROM sh s JOIN firstseen f USING (g)
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
 def doc_postings(sf_dir: str):
     """Inverted-index postings: per term df, total tf, first-5 doc-id
     sample — vocabulary-keyed partials, bounded-adaptive merge."""
@@ -2304,6 +2328,7 @@ def text_queries() -> dict[str, Callable]:
         "dedup_canonical": dedup_canonical,
         "doc_char_entropy": doc_char_entropy,
         "doc_tfidf_pairs": doc_tfidf_pairs,
+        "doc_ngram_novelty": doc_ngram_novelty,
         "doc_simhash": doc_simhash,
         "dedup_simhash": dedup_simhash,
         "corpus_curation": corpus_curation,
@@ -2357,6 +2382,7 @@ def text_oracle_sql() -> dict[str, str]:
         "dedup_canonical": _dedup_canonical_sql(),
         "doc_char_entropy": CHAR_ENTROPY_SQL,
         "doc_tfidf_pairs": TFIDF_PAIRS_SQL,
+        "doc_ngram_novelty": _ngram_novelty_sql(),
         "doc_simhash": doc_simhash_sql(),
         "dedup_simhash": dedup_simhash_sql(max_hamming=3),
         "doc_chunk": CHUNK_SQL,

@@ -116,3 +116,27 @@ def test_tfidf_pairs_planted_near_identical(tmp_path):
     idf1 = np.log(5.0 / 2.0) + 1.0
     expect = round(3 * idf2 ** 2 / (3 * idf2 ** 2 + idf1 ** 2), 5)
     assert out["cos"].iloc[0] == expect
+
+
+def test_ngram_novelty_ordering_and_conventions(tmp_path):
+    """First doc is fully novel; an exact restatement is fully stale;
+    a half-overlap scores in between; a single-token doc uses the
+    whole-text shingle convention; empty docs emit no row."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from cheque_ocr_project_ray.text.index import ngram_novelty
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["a b c d",           # grams: ab bc cd — all first
+                 "a b c d",           # same — zero novel
+                 "a b x y",           # ab stale; bx xy novel -> 2/3
+                 "solo",              # single-token shingle, novel
+                 "   "]})             # no tokens -> absent
+    ds = ray.data.from_arrow(pa.Table.from_pandas(docs))
+    out = ngram_novelty(ds).to_pandas()
+    assert list(out["doc_id"]) == [0, 1, 2, 3]
+    assert list(out["n_grams"]) == [3, 3, 3, 1]
+    assert list(out["n_novel"]) == [3, 0, 2, 1]
+    assert list(out["novelty"]) == [1.0, 0.0, 0.6667, 1.0]
