@@ -589,6 +589,57 @@ def embedding_neardup_blocked(sf_dir: str):
         threshold=NEARDUP_THRESHOLD, chunk_rows=NEARDUP_CHUNK_ROWS)
 
 
+def embedding_dedup_components(sf_dir: str):
+    """Semantic dedup closure: connected components over the exact
+    cosine near-dup pairs, canonical member = min vec_id — the
+    embedding-space counterpart of ``dedup_components`` (same
+    bounded-adaptive union-find / distributed min-label propagation;
+    the pair stream comes from the GEMM near-dup path, so nothing here
+    adds a shuffle beyond the pair machinery itself)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cheque_ocr_project_ray.text.cluster import components_from_pairs
+
+    comps = components_from_pairs(embedding_neardup(sf_dir),
+                                  a_col="vec_a", b_col="vec_b")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": batch.column("doc_id"),
+            "rep": batch.column("rep"),
+            "is_canonical": pc.cast(pc.equal(batch.column("doc_id"),
+                                             batch.column("rep")),
+                                    pa.int64())})
+
+    return comps.map_batches(shape, batch_format="pyarrow") \
+        .sort("vec_id")
+
+
+EMBEDDING_DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), prs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM e a, e b
+  WHERE a.vec_id < b.vec_id
+    AND list_cosine_similarity(a.v, b.v) >= {NEARDUP_THRESHOLD}
+), edges AS (
+  SELECT va AS a, vb AS b FROM prs
+  UNION ALL
+  SELECT vb, va FROM prs
+), reach AS (
+  SELECT DISTINCT a AS doc, a AS lab FROM edges
+  UNION
+  SELECT ed.a, r.lab FROM edges ed JOIN reach r ON ed.b = r.doc
+)
+SELECT doc AS vec_id, min(lab) AS rep,
+       CAST(doc = min(lab) AS BIGINT) AS is_canonical
+FROM reach GROUP BY doc
+ORDER BY vec_id
+"""
+
+
 NEARDUP_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -947,6 +998,7 @@ def vector_queries() -> dict[str, Callable]:
         "ann_knn_classify": ann_knn_classify,
         "embedding_neardup": embedding_neardup,
         "embedding_neardup_blocked": embedding_neardup_blocked,
+        "embedding_dedup_components": embedding_dedup_components,
         "embedding_kmeans": embedding_kmeans,
         "embedding_silhouette": embedding_silhouette,
         "embedding_pq": embedding_pq,
@@ -968,6 +1020,7 @@ def vector_oracle_sql() -> dict[str, str]:
         "embedding_quantize_error": QUANTIZE_ERROR_SQL,
         "embedding_neardup": NEARDUP_SQL,
         "embedding_neardup_blocked": NEARDUP_SQL,
+        "embedding_dedup_components": EMBEDDING_DEDUP_COMPONENTS_SQL,
         "embedding_kmeans": KMEANS_SQL,
         "embedding_silhouette": SILHOUETTE_SQL,
         "embedding_pq": PQ_SQL,

@@ -228,3 +228,29 @@ def test_neardup_blocked_no_driver_read(monkeypatch):
     assert len(base) > 0
     assert base.reset_index(drop=True).equals(
         blocked.reset_index(drop=True))
+
+
+def test_embedding_dedup_components_planted_chain():
+    """A transitive chain (0≈1, 1≈2 but 0 !≈ 2 directly is fine) must
+    collapse to one component with rep=min id; the outlier stays out."""
+    import pandas as pd
+    import pyarrow as pa_
+    import tempfile, os
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    step = rng.standard_normal(16) * 0.12
+    rows = pd.DataFrame({
+        "vec_id": [0, 1, 2, 7],
+        "embedding": [base.tolist(), (base + step).tolist(),
+                      (base + 2 * step).tolist(),
+                      (-base).tolist()],          # cos = -1 to base
+        "label": 0})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa_.Table.from_pandas(rows),
+                       os.path.join(d, "embeddings.parquet"))
+        from cheque_ocr_project_ray.vector.queries import (
+            embedding_dedup_components)
+        out = embedding_dedup_components(d).to_pandas()
+    assert list(out["vec_id"]) == [0, 1, 2]
+    assert list(out["rep"]) == [0, 0, 0]
+    assert list(out["is_canonical"]) == [1, 0, 0]
