@@ -1755,6 +1755,102 @@ WHERE s.score > t.thr
 """
 
 
+def doc_quality_percentile(sf_dir: str):
+    """Per-language percent_rank normalization of the quality score —
+    the corpus-wide ECDF scaling real curation uses so thresholds are
+    comparable across languages.
+
+    Exact and distributed the same way as ``doc_quality_filter_p75``:
+    per-(lang, 6dp-score) counts reduce through combiner partials (the
+    score grid is bounded by the rounding, not the corpus), the driver
+    folds the grid into the SQL ``percent_rank`` definition
+    ``(# scores < s) / (n_lang − 1)`` (0 when a language has a single
+    doc), and the tiny (lang, score)→pr map broadcasts into one
+    labeling pass."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_sums, map_pool,
+                                             round_half_up,
+                                             strip_schema_metadata)
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        s = analysis.quality_score(batch)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "lang": batch.column("lang"),
+                         "score": s.column("score")})
+
+    def scored():
+        return ray.data.read_parquet(
+            str(Path(sf_dir) / "documents.parquet"),
+            columns=["doc_id", "text", "lang"]) \
+            .map_batches(strip_schema_metadata, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .map_batches(score_batch, batch_format="pyarrow")
+
+    def grid_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"lang": batch.column("lang"),
+                      "score": batch.column("score"),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by(["lang", "score"]).aggregate([("n", "sum")])
+        return g.rename_columns(["lang", "score", "n"])
+
+    grid = collect_table(final_merge_sums(
+        scored().map_batches(grid_partial, batch_format="pyarrow"),
+        ["lang", "score"], ["n"]).materialize())
+    pr_map = {}
+    if grid is not None:
+        gdf = grid.to_pandas().sort_values(["lang", "score"])
+        for lang, g in gdf.groupby("lang", sort=False):
+            n = g["n"].to_numpy()
+            total = int(n.sum())
+            below = np.concatenate([[0], np.cumsum(n)[:-1]])
+            denom = max(total - 1, 1)
+            for s, b in zip(g["score"].to_numpy(), below):
+                pr_map[(lang, float(s))] = float(round_half_up(
+                    b / denom, 6)) if total > 1 else 0.0
+    pr_ref = ray.put(pr_map)
+
+    class Label:
+        def __init__(self):
+            self.pr = ray.get(pr_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            langs = batch.column("lang").to_pylist()
+            scores = batch.column("score").to_numpy(
+                zero_copy_only=False)
+            pr = np.fromiter(
+                (self.pr[(lg, float(s))]
+                 for lg, s in zip(langs, scores)),
+                dtype=np.float64, count=len(langs))
+            return batch.append_column("pr",
+                                       pa.array(pr, pa.float64()))
+
+    return scored().map_batches(Label, batch_format="pyarrow",
+                                concurrency=(1, map_pool())) \
+        .sort("doc_id")
+
+
+QUALITY_PERCENTILE_SQL = """
+WITH q AS ({QUALITY}),
+z AS (
+  SELECT doc_id,
+         {W0} + {W1} * stop_ratio + {W2} * ttr
+         + {W3} * ln(n_tokens) AS z
+  FROM q),
+s AS (
+  SELECT d.doc_id, d.lang, round(1.0 / (1.0 + exp(-z)), 6) AS score
+  FROM z JOIN documents d USING (doc_id))
+SELECT doc_id, lang, score,
+       round(percent_rank() OVER (PARTITION BY lang ORDER BY score), 6)
+           AS pr
+FROM s
+ORDER BY doc_id
+"""
+
+
 HASH_DIMS = 64
 
 
@@ -2329,6 +2425,7 @@ def text_queries() -> dict[str, Callable]:
         "doc_char_entropy": doc_char_entropy,
         "doc_tfidf_pairs": doc_tfidf_pairs,
         "doc_ngram_novelty": doc_ngram_novelty,
+        "doc_quality_percentile": doc_quality_percentile,
         "doc_simhash": doc_simhash,
         "dedup_simhash": dedup_simhash,
         "corpus_curation": corpus_curation,
@@ -2402,6 +2499,10 @@ def text_oracle_sql() -> dict[str, str]:
         "doc_charset_profile": CHARSET_PROFILE_SQL,
         "corpus_stopword_discovery": STOPWORD_DISCOVERY_SQL,
         "doc_quality_filter_p75": QUALITY_FILTER_P75_SQL.format(
+            QUALITY=QUALITY_SQL, W0=analysis.QUALITY_W[0],
+            W1=analysis.QUALITY_W[1], W2=analysis.QUALITY_W[2],
+            W3=analysis.QUALITY_W[3]),
+        "doc_quality_percentile": QUALITY_PERCENTILE_SQL.format(
             QUALITY=QUALITY_SQL, W0=analysis.QUALITY_W[0],
             W1=analysis.QUALITY_W[1], W2=analysis.QUALITY_W[2],
             W3=analysis.QUALITY_W[3]),

@@ -280,3 +280,30 @@ def test_char_entropy_known_values_and_unicode():
     # "é é": counts {é:2, ' ':1}, H = log2(3) - (2·log2 2)/3
     expect = round(np.log2(3) - 2.0 / 3.0, 6)
     assert out["entropy"].iloc[4] == expect
+
+
+def test_quality_percentile_matches_pandas(tmp_path):
+    """percent_rank semantics: ties share the min rank; a single-doc
+    language gets pr = 0."""
+    import pandas as pd
+    from cheque_ocr_project_ray.text.queries import doc_quality_percentile
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["a a a a", "a a a a",          # identical -> tie
+                 "the cat sat on the mat quietly today",
+                 "b",                            # short, low score
+                 "lone doc in its own language"],
+        "lang": ["en", "en", "en", "en", "xx"],
+        "source": "s0", "n_chars": 1})
+    docs.to_parquet(tmp_path / "documents.parquet")
+    out = doc_quality_percentile(str(tmp_path)).to_pandas()
+    assert list(out["doc_id"]) == [0, 1, 2, 3, 4]
+    en = out[out["lang"] == "en"].set_index("doc_id")
+    ref = docs[docs["lang"] == "en"].copy()
+    scores = en["score"]
+    # pandas percent_rank equivalent: (rank(method='min')-1)/(n-1)
+    pr = (scores.rank(method="min") - 1) / (len(scores) - 1)
+    assert (en["pr"].round(6) == pr.round(6)).all()
+    assert out.loc[out["lang"] == "xx", "pr"].iloc[0] == 0.0
+    assert en.loc[0, "pr"] == en.loc[1, "pr"]     # tie shares rank
