@@ -446,6 +446,99 @@ GROUP BY substr(text, 1, 40)
 """
 
 
+_INCR_SENT = 1 << 62
+
+
+def dedup_incremental(sf_dir: str, np_: int = 0):
+    """Incremental-crawl dedup: the newest 20% of the corpus (doc_id ≥
+    ⌊0.8·(max_id+1)⌋, the id-ordered ingest convention) is checked
+    against everything already processed — a new doc is kept iff its
+    40-char prefix key (the ``dedup_prefix`` convention) was never seen
+    in the old corpus AND it is the first holder of that key within
+    the new shard.
+
+    Scale shape: per-key (min_old, min_new) winners reduce through
+    combiner partials + the bounded-adaptive min merge (sentinel 2^62
+    marks 'absent on this side', so ONE min-merge serves both sides);
+    the new shard then hash-joins the winner table — both sides
+    corpus-scale, no broadcast, and the old corpus is never re-read
+    beyond the shared winner pass."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cheque_ocr_project_ray.relational.joins import hash_join
+    from cheque_ocr_project_ray.util import final_merge_min
+
+    ids = ray.data.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"), columns=["doc_id"])
+    split = int(np.floor(0.8 * (ids.max("doc_id") + 1)))
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "k": pc.utf8_slice_codeunits(batch.column("text"), 0, 40)})
+
+    docs = _docs(sf_dir).map_batches(keyed, batch_format="pyarrow")
+
+    def win_partial(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id")
+        old = pc.less(doc, pa.scalar(split))
+        sent = pa.scalar(_INCR_SENT, pa.int64())
+        t = pa.table({"k": batch.column("k"),
+                      "min_old": pc.if_else(old, doc, sent),
+                      "min_new": pc.if_else(old, sent, doc)})
+        g = t.group_by("k").aggregate([("min_old", "min"),
+                                       ("min_new", "min")])
+        return g.rename_columns(["k", "min_old", "min_new"])
+
+    winners = final_merge_min(
+        docs.map_batches(win_partial, batch_format="pyarrow"),
+        ["k"], ["min_old", "min_new"], np_=np_)
+
+    new = docs.filter(expr=f"doc_id >= {split}")
+    joined = hash_join(new, winners, on="k",
+                       num_partitions=np_ or None)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id")
+        dup_old = pc.not_equal(batch.column("min_old"),
+                               pa.scalar(_INCR_SENT, pa.int64()))
+        dup_new = pc.less(batch.column("min_new"), doc)
+        keep = pc.and_(pc.invert(dup_old),
+                       pc.equal(batch.column("min_new"), doc))
+        return pa.table({"doc_id": doc,
+                         "dup_old": pc.cast(dup_old, pa.int64()),
+                         "dup_new": pc.cast(dup_new, pa.int64()),
+                         "keep": pc.cast(keep, pa.int64())})
+
+    return joined.map_batches(shape, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH s AS (
+  SELECT CAST(floor(0.8 * (max(doc_id) + 1)) AS BIGINT) AS split
+  FROM documents
+), d AS (
+  SELECT doc_id, substr(text, 1, 40) AS k FROM documents
+), w AS (
+  SELECT k,
+         min(CASE WHEN doc_id < s.split THEN doc_id END) AS min_old,
+         min(CASE WHEN doc_id >= s.split THEN doc_id END) AS min_new
+  FROM d, s GROUP BY k
+)
+SELECT d.doc_id,
+       CAST(w.min_old IS NOT NULL AS BIGINT) AS dup_old,
+       CAST(w.min_new < d.doc_id AS BIGINT) AS dup_new,
+       CAST(w.min_old IS NULL AND w.min_new = d.doc_id AS BIGINT)
+           AS keep
+FROM d JOIN w USING (k), s
+WHERE d.doc_id >= s.split
+ORDER BY d.doc_id
+"""
+
+
 def dedup_minhash(sf_dir: str):
     return dedup.minhash_dedup_pairs(_docs(sf_dir), threshold=0.6)
 
@@ -2422,6 +2515,7 @@ def text_queries() -> dict[str, Callable]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_components": dedup_components,
         "dedup_canonical": dedup_canonical,
+        "dedup_incremental": dedup_incremental,
         "doc_char_entropy": doc_char_entropy,
         "doc_tfidf_pairs": doc_tfidf_pairs,
         "doc_ngram_novelty": doc_ngram_novelty,
@@ -2477,6 +2571,7 @@ def text_oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _jaccard_pairs_sql(k=2, threshold=0.5),
         "dedup_components": _components_sql(k=2, threshold=0.5),
         "dedup_canonical": _dedup_canonical_sql(),
+        "dedup_incremental": DEDUP_INCREMENTAL_SQL,
         "doc_char_entropy": CHAR_ENTROPY_SQL,
         "doc_tfidf_pairs": TFIDF_PAIRS_SQL,
         "doc_ngram_novelty": _ngram_novelty_sql(),

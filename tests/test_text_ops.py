@@ -307,3 +307,35 @@ def test_quality_percentile_matches_pandas(tmp_path):
     assert (en["pr"].round(6) == pr.round(6)).all()
     assert out.loc[out["lang"] == "xx", "pr"].iloc[0] == 0.0
     assert en.loc[0, "pr"] == en.loc[1, "pr"]     # tie shares rank
+
+
+def test_dedup_incremental_flags(tmp_path):
+    """Old-shard hit, within-new dup, and fresh doc each get the right
+    flags; split = floor(0.8·(max+1))."""
+    import pandas as pd
+    from cheque_ocr_project_ray.text.queries import dedup_incremental
+
+    # max_id 9 -> split 8: docs 8, 9 are the new shard
+    pad = "x" * 50
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 8, 9],
+        "text": ["old-A " + pad, "old-B " + pad,
+                 "old-A " + pad,            # 8: dup of old doc 0
+                 "fresh-content " + pad],   # 9: brand new
+        "lang": "en", "source": "s0", "n_chars": 1})
+    docs.to_parquet(tmp_path / "documents.parquet")
+    out = dedup_incremental(str(tmp_path)).to_pandas()
+    assert list(out["doc_id"]) == [8, 9]
+    assert list(out["dup_old"]) == [1, 0]
+    assert list(out["dup_new"]) == [0, 0]
+    assert list(out["keep"]) == [0, 1]
+
+    # add a within-new duplicate of doc 9
+    docs2 = pd.concat([docs, pd.DataFrame([{
+        "doc_id": 10, "text": "fresh-content " + pad, "lang": "en",
+        "source": "s0", "n_chars": 1}])])
+    docs2.to_parquet(tmp_path / "documents.parquet")
+    out2 = dedup_incremental(str(tmp_path)).to_pandas()
+    row10 = out2[out2["doc_id"] == 10].iloc[0]
+    assert row10["dup_old"] == 0 and row10["dup_new"] == 1 \
+        and row10["keep"] == 0
