@@ -640,6 +640,100 @@ ORDER BY vec_id
 """
 
 
+EMBED_DIM = 64
+
+
+def embedding_centroid_shift(sf_dir: str):
+    """Per-label embedding drift monitor: L2 distance between the mean
+    embedding of the older half of the corpus (vec_id < ⌊(max+1)/2⌋)
+    and the newer half — the distribution-shift alarm a training-data
+    pipeline runs per ingest batch.
+
+    Scale shape: each block contributes long-form per-(label, half,
+    dim) sum/count partials (bounded by labels × 2 × dim, not corpus
+    size) merged bounded-adaptively; the driver folds means and the
+    per-label distance.  6dp rounding per the float convention."""
+    import pyarrow as pa
+
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_sums,
+                                             round_half_up)
+    from cheque_ocr_project_ray.vector.ann import _table_matrix
+
+    ids = ray.data.read_parquet(
+        str(Path(sf_dir) / "embeddings.parquet"), columns=["vec_id"])
+    split = int((ids.max("vec_id") + 1) // 2)
+
+    ds = ray.data.read_parquet(
+        str(Path(sf_dir) / "embeddings.parquet"),
+        columns=["vec_id", "label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _table_matrix(batch)
+        d = m.shape[1]
+        vec = batch.column("vec_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lab = batch.column("label").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        half = (vec >= split).astype(np.int64)
+        key = lab * 2 + half
+        _, dense, counts = np.unique(key, return_inverse=True,
+                                     return_counts=True)
+        sums = np.zeros((len(counts), d), np.float64)
+        np.add.at(sums, dense, m)
+        ukey = np.unique(key)
+        dims = np.tile(np.arange(d, dtype=np.int64), len(ukey))
+        return pa.table({
+            "label": pa.array(np.repeat(ukey // 2, d), pa.int64()),
+            "half": pa.array(np.repeat(ukey % 2, d), pa.int64()),
+            "dim": pa.array(dims, pa.int64()),
+            "s": pa.array(sums.ravel(), pa.float64()),
+            "n": pa.array(np.repeat(counts.astype(np.int64), d),
+                          pa.int64())})
+
+    t = collect_table(final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "half", "dim"], ["s", "n"]).materialize())
+    if t is None or t.num_rows == 0:
+        return pd.DataFrame({"label": pd.Series([], dtype="int64"),
+                             "shift": pd.Series([], dtype="float64")})
+    df = t.to_pandas().sort_values(["label", "half", "dim"])
+    df["mean"] = df["s"] / df["n"]
+    piv = df.pivot_table(index=["label", "dim"], columns="half",
+                         values="mean")
+    # labels with only one half present drop (no drift to measure)
+    piv = piv.dropna()
+    diff = (piv[0] - piv[1]) ** 2
+    out = diff.groupby(level="label").sum().pow(0.5).reset_index()
+    out.columns = ["label", "shift"]
+    out["shift"] = round_half_up(out["shift"].to_numpy(), 6)
+    return out.sort_values("label").reset_index(drop=True)
+
+
+EMBEDDING_CENTROID_SHIFT_SQL = f"""
+WITH s AS (
+  SELECT CAST((max(vec_id) + 1) // 2 AS BIGINT) AS split
+  FROM embeddings
+), e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), m AS (
+  SELECT label,
+         CAST(vec_id >= s.split AS BIGINT) AS half,
+         t.i AS dim, avg(v[t.i]) AS mu
+  FROM e, s, generate_series(1, {EMBED_DIM}) t(i)
+  GROUP BY 1, 2, 3
+), p AS (
+  SELECT a.label, sum((a.mu - b.mu) * (a.mu - b.mu)) AS d2
+  FROM m a JOIN m b ON a.label = b.label AND a.dim = b.dim
+  WHERE a.half = 0 AND b.half = 1
+  GROUP BY a.label
+)
+SELECT CAST(label AS BIGINT) AS label, round(sqrt(d2), 6) AS shift
+FROM p
+ORDER BY label
+"""
+
+
 NEARDUP_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -999,6 +1093,7 @@ def vector_queries() -> dict[str, Callable]:
         "embedding_neardup": embedding_neardup,
         "embedding_neardup_blocked": embedding_neardup_blocked,
         "embedding_dedup_components": embedding_dedup_components,
+        "embedding_centroid_shift": embedding_centroid_shift,
         "embedding_kmeans": embedding_kmeans,
         "embedding_silhouette": embedding_silhouette,
         "embedding_pq": embedding_pq,
@@ -1021,6 +1116,7 @@ def vector_oracle_sql() -> dict[str, str]:
         "embedding_neardup": NEARDUP_SQL,
         "embedding_neardup_blocked": NEARDUP_SQL,
         "embedding_dedup_components": EMBEDDING_DEDUP_COMPONENTS_SQL,
+        "embedding_centroid_shift": EMBEDDING_CENTROID_SHIFT_SQL,
         "embedding_kmeans": KMEANS_SQL,
         "embedding_silhouette": SILHOUETTE_SQL,
         "embedding_pq": PQ_SQL,

@@ -254,3 +254,28 @@ def test_embedding_dedup_components_planted_chain():
     assert list(out["vec_id"]) == [0, 1, 2]
     assert list(out["rep"]) == [0, 0, 0]
     assert list(out["is_canonical"]) == [1, 0, 0]
+
+
+def test_embedding_centroid_shift_planted_drift(tmp_path):
+    """Label 0 drifts by a known vector between halves; label 1 is
+    stationary (identical mean in both halves)."""
+    import pandas as pd
+    import pyarrow as pa_
+    from cheque_ocr_project_ray.vector.queries import (
+        embedding_centroid_shift)
+
+    d = 64
+    drift = np.zeros(d); drift[0] = 3.0; drift[1] = 4.0   # |drift| = 5
+    rows = []
+    # ids 0..9 old half, 10..19 new half (max id 19 -> split 10)
+    for i in range(10):
+        v = np.zeros(d); v[2] = (-1.0) ** i    # mean over pairs = 0
+        rows.append({"vec_id": i, "embedding": v.tolist(), "label": 0})
+    for i in range(10, 20):
+        v = drift.copy(); v[2] = (-1.0) ** i
+        rows.append({"vec_id": i, "embedding": v.tolist(), "label": 0})
+    pq.write_table(pa_.Table.from_pylist(rows),
+                   str(tmp_path / "embeddings.parquet"))
+    out = embedding_centroid_shift(str(tmp_path))
+    assert list(out["label"]) == [0]
+    assert out["shift"].iloc[0] == 5.0
