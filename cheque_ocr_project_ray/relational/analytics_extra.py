@@ -2002,9 +2002,96 @@ ORDER BY user_id
 """
 
 
+# --- exact heavy hitters via bounded candidate pass -------------------
+HH_M = 120        # heavy ⟺ count · M > total (exact integer test)
+
+
+@_hash_shuffled
+def events_heavy_hitters(sf_dir: str, np_: int = 0):
+    """Exact frequency heavy hitters (users with > 1/M of all events)
+    WITHOUT a full-cardinality groupby — the two-phase candidate shape
+    that survives corpora whose key space dwarfs memory.
+
+    Phase 1 keeps, per batch, only keys with local count · M > batch
+    rows: by pigeonhole any globally-heavy key is locally heavy in at
+    least one batch, so the union (< M candidates per batch, deduped
+    through the bounded min-merge) is a guaranteed superset.  Phase 2
+    broadcasts the candidate set and recounts EXACTLY (combiner
+    partials over the filtered stream), then applies the integer
+    threshold against the metadata row count.  The full per-key count
+    table never materializes anywhere."""
+    import ray
+
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_min, map_pool)
+
+    ds = _pq(sf_dir, "events", ["user_id"])
+    total = ds.count()
+
+    def cand_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by("user_id").aggregate([("n", "sum")])
+        g = g.rename_columns(["user_id", "n"])
+        keep = pc.greater(pc.multiply(g.column("n"),
+                                      pa.scalar(HH_M, pa.int64())),
+                          pa.scalar(batch.num_rows, pa.int64()))
+        g = g.filter(keep)
+        return pa.table({"user_id": g.column("user_id"),
+                         "one": pa.array(
+                             np.ones(g.num_rows, np.int64))})
+
+    cand = collect_table(final_merge_min(
+        ds.map_batches(cand_partial, batch_format="pyarrow"),
+        ["user_id"], ["one"], np_=np_).materialize())
+    if cand is None or cand.num_rows == 0:
+        return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                             "n_events": pd.Series([], dtype="int64")})
+    cand_ref = ray.put(cand.column("user_id").combine_chunks())
+
+    class Recount:
+        def __init__(self):
+            self.cand = ray.get(cand_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            b = batch.filter(pc.is_in(batch.column("user_id"),
+                                      value_set=self.cand))
+            t = pa.table({"user_id": b.column("user_id"),
+                          "n_events": pa.array(
+                              np.ones(b.num_rows, np.int64))})
+            g = t.group_by("user_id").aggregate([("n_events", "sum")])
+            return g.rename_columns(["user_id", "n_events"])
+
+    exact = final_merge_sums(
+        ds.map_batches(Recount, batch_format="pyarrow",
+                       concurrency=(1, map_pool())),
+        ["user_id"], ["n_events"], np_=np_)
+
+    def threshold(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(pc.multiply(batch.column("n_events"),
+                                      pa.scalar(HH_M, pa.int64())),
+                          pa.scalar(total, pa.int64()))
+        return batch.filter(keep)
+
+    return exact.map_batches(threshold, batch_format="pyarrow") \
+        .sort("user_id")
+
+
+EVENTS_HEAVY_HITTERS_SQL = f"""
+WITH c AS (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+), t AS (SELECT count(*) AS total FROM events)
+SELECT user_id, n_events
+FROM c, t
+WHERE n_events * {HH_M} > total
+ORDER BY user_id
+"""
+
+
 def analytics_extra_queries():
     return {
         "events_decay_score": events_decay_score,
+        "events_heavy_hitters": events_heavy_hitters,
         "events_csv_roundtrip": events_csv_roundtrip,
         "events_jsonl_roundtrip": events_jsonl_roundtrip,
         "events_schema_evolution": events_schema_evolution,
@@ -2041,6 +2128,7 @@ def analytics_extra_queries():
 def analytics_extra_oracle_sql():
     return {
         "events_decay_score": EVENTS_DECAY_SCORE_SQL,
+        "events_heavy_hitters": EVENTS_HEAVY_HITTERS_SQL,
         "events_value_histogram": EVENTS_HISTOGRAM_SQL,
         "events_lag_delta": EVENTS_LAG_DELTA_SQL,
         "events_quantiles_by_type": EVENTS_QUANTILES_SQL,

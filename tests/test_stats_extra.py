@@ -197,3 +197,38 @@ def test_events_decay_score_matches_pandas(tmp_path):
     # newest event for user 1 is 14 days old at weight 0.25; check one
     # hand value: 10*0.25 + 10*0.5 + 10*1.0 = 17.5
     assert out.loc[out["user_id"] == 1, "decayed_value"].iloc[0] == 17.5
+
+
+def test_events_heavy_hitters_candidate_guarantee(tmp_path):
+    """A key that is never locally dominant in any one batch but
+    globally heavy must still be found (pigeonhole guarantees it IS
+    locally heavy somewhere); light keys are excluded exactly."""
+    import numpy as np
+    import pandas as pd
+    from cheque_ocr_project_ray.relational.analytics_extra import (
+        events_heavy_hitters, HH_M)
+
+    rng = np.random.default_rng(9)
+    # user 7: 2% of 6000 events = 120 > 6000/120 = 50 -> heavy
+    # user 8: exactly 50 events -> 50*120 = 6000 NOT > 6000 -> excluded
+    users = np.concatenate([
+        np.full(120, 7), np.full(50, 8),
+        rng.integers(100, 4000, 5830)])   # long light tail
+    rng.shuffle(users)
+    ev = pd.DataFrame({
+        "event_id": np.arange(len(users)),
+        "ts": pd.to_datetime("2024-01-01"),
+        "user_id": users, "event_type": "click",
+        "value": 1.0, "props": "{}"})
+    ev.to_parquet(tmp_path / "events.parquet")
+    out = events_heavy_hitters(str(tmp_path))
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    assert 7 in set(out["user_id"])
+    assert 8 not in set(out["user_id"])
+    assert int(out.loc[out["user_id"] == 7, "n_events"].iloc[0]) == 120
+    # exactness: every reported count matches a pandas groupby
+    ref = ev.groupby("user_id").size()
+    for _, r in out.iterrows():
+        assert ref[r["user_id"]] == r["n_events"]
+        assert r["n_events"] * HH_M > len(ev)
