@@ -270,8 +270,61 @@ def _cheque_queries() -> dict[str, Callable[[str], Any]]:
         return assemble_spans(flat).map_batches(spans_json_batch,
                                                 batch_format="pyarrow")
 
+    def cheque_ladder_diff(sf_dir: str):
+        """Agreement matrix between the v1 ladder
+        (issuer_processor_v.py AUTO-UPDATED/REJECTED/ERROR) and the V3
+        seven-state REVIEW ladder (IssuerBatchProcessorV3.py:446-473,
+        threshold 0.85) — the migration-impact report a user runs
+        before switching ladders.
+
+        The two pipeline runs project to (doc_id, status) and
+        MATERIALIZE sequentially before the join: concurrent cheque
+        pipelines would sum their actor-pool minimum reservations (the
+        union-branch deadlock documented on pipelines/cheque.py), and
+        the projected stream is two narrow columns (at true corpus
+        scale, spill the projection to parquet and join the re-read).
+        The join is the partitioned hash join; counts reduce through
+        combiner partials."""
+        import numpy as np
+        import pyarrow as pa
+
+        from cheque_ocr_project_ray.config import DEFAULT_CONFIG
+        from cheque_ocr_project_ray.relational.joins import hash_join
+        from cheque_ocr_project_ray.util import final_merge_sums
+
+        fixture = ensure_fixture(sf_dir)
+
+        def project(ds, name):
+            def ren(b: pa.Table) -> pa.Table:
+                return pa.table({"doc_id": b.column("doc_id"),
+                                 name: b.column("status")})
+            return ds.select_columns(["doc_id", "status"]) \
+                .map_batches(ren, batch_format="pyarrow").materialize()
+
+        v1 = project(build_cheque_pipeline(fixture), "status_v1")
+        cfg = DEFAULT_CONFIG.with_overrides(status_ladder="v3",
+                                            threshold=0.85)
+        v3 = project(build_cheque_pipeline(fixture, cfg=cfg),
+                     "status_v3")
+        joined = hash_join(v1, v3, on="doc_id")
+
+        def partial(batch: pa.Table) -> pa.Table:
+            t = pa.table({"status_v1": batch.column("status_v1"),
+                          "status_v3": batch.column("status_v3"),
+                          "n": pa.array(np.ones(batch.num_rows,
+                                                np.int64))})
+            g = t.group_by(["status_v1", "status_v3"]).aggregate(
+                [("n", "sum")])
+            return g.rename_columns(["status_v1", "status_v3", "n"])
+
+        return final_merge_sums(
+            joined.map_batches(partial, batch_format="pyarrow"),
+            ["status_v1", "status_v3"], ["n"]) \
+            .sort(["status_v1", "status_v3"])
+
     return {
         "cheque_extract": cheque_extract,
+        "cheque_ladder_diff": cheque_ladder_diff,
         "cheque_spans": cheque_spans,
         "cheque_spans_json": cheque_spans_json,
         "cheque_status_histogram": cheque_status_histogram,
@@ -371,6 +424,12 @@ FROM read_parquet('{exp}') GROUP BY status
         "cheque_status_histogram_v3": f"""
 SELECT status_v3 AS status, count(*) AS "count()"
 FROM read_parquet('{exp}') GROUP BY status_v3
+""",
+        "cheque_ladder_diff": f"""
+SELECT status AS status_v1, status_v3, count(*) AS n
+FROM read_parquet('{exp}')
+GROUP BY status, status_v3
+ORDER BY status, status_v3
 """,
         "cheque_spelling_fix": f"""
 SELECT doc_id, issuer, issuer_fixed, issuer_conf

@@ -103,3 +103,18 @@ def test_issuer_dbf_real_procdt_flag(fixture_and_results):
     stamps = df["procdt"].unique()
     assert len(stamps) == 1
     assert re.fullmatch(r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}", stamps[0])
+
+
+def test_ladder_diff_marginals(fixture_and_results):
+    """The v1×v3 agreement matrix must be consistent: cells sum to the
+    corpus size and the v1 marginal equals the v1 status histogram."""
+    import __ray_entry__ as e
+    out = e.queries()["cheque_ladder_diff"](
+        "/root/testdata/sf0.001").to_pandas()
+    _, results = fixture_and_results
+    status = results.select_columns(["status"]).to_pandas()
+    assert out["n"].sum() == len(status)
+    v1_marginal = out.groupby("status_v1")["n"].sum()
+    ref = status["status"].value_counts()
+    for s, n in v1_marginal.items():
+        assert ref[s] == n
