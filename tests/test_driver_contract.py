@@ -30,8 +30,8 @@ def test_expected_families_present():
                   "media_decode_stats", "corpus_curation",
                   "corpus_pipeline", "events_sessions"):
         assert probe in qs
-    assert len(qs) >= 186
-    assert len(entry.oracle_sql()) >= 175
+    assert len(qs) >= 198
+    assert len(entry.oracle_sql()) >= 187
 
 
 def _family(name: str) -> str:
@@ -49,12 +49,12 @@ def _family(name: str) -> str:
 def test_per_family_floors():
     """A regression in a family the driver's sample didn't draw (the
     r2 sample was cheque+relational only) must fail HERE, not wait for
-    the driver to happen to draw it.  Floors = round-3 counts."""
+    the driver to happen to draw it.  Floors = round-4 counts."""
     import collections
     q = collections.Counter(_family(n) for n in entry.queries())
     o = collections.Counter(_family(n) for n in entry.oracle_sql())
-    for fam, (qf, of) in {"cheque": (19, 18), "relational": (84, 82),
-                          "text": (42, 42), "vector": (17, 14),
+    for fam, (qf, of) in {"cheque": (20, 19), "relational": (95, 93),
+                          "text": (50, 49), "vector": (23, 19),
                           "multimodal": (10, 7)}.items():
         assert q[fam] >= qf, f"{fam} queries shrank: {q[fam]} < {qf}"
         assert o[fam] >= of, f"{fam} oracles shrank: {o[fam]} < {of}"
