@@ -277,9 +277,65 @@ def media_integrity_audit(sf_dir: str):
         "n_unreferenced_payloads": [unreferenced]})
 
 
+def media_size_quantiles(sf_dir: str):
+    """Per-format payload-size quantiles (p50/p90/p99 bytes) — the
+    capacity-planning profile that sizes media batch/block knobs.
+
+    Exact and streaming: per-(format, nbytes) counts reduce through
+    combiner partials (the distinct-size grid is bounded by the format
+    geometry, not the corpus), and the driver replays DuckDB's
+    ``quantile_cont`` interpolation bit-for-bit from the grid
+    (``quantile_cont_from_grid``).  The payload column never leaves
+    the worker — only its length does."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_sums,
+                                             quantile_cont_from_grid)
+
+    ds = _media_ds(sf_dir, columns=["media_ref", "data"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        data = batch.column("data")
+        fmt = pc.if_else(
+            pc.equal(pc.binary_slice(data, 0, 5),
+                     pa.scalar(b"CHQ1\n", pa.binary())),
+            "chq1", "unknown")
+        t = pa.table({"format": fmt,
+                      "nbytes": pc.binary_length(data).cast(pa.int64()),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by(["format", "nbytes"]).aggregate([("n", "sum")])
+        return g.rename_columns(["format", "nbytes", "n"])
+
+    grid = collect_table(final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=DEFAULT_MEDIA_BATCH),
+        ["format", "nbytes"], ["n"]).materialize())
+    if grid is None or grid.num_rows == 0:
+        return pd.DataFrame({"format": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64"),
+                             "p50_bytes": pd.Series([], dtype="float64"),
+                             "p90_bytes": pd.Series([], dtype="float64"),
+                             "p99_bytes": pd.Series([], dtype="float64")})
+    gdf = grid.to_pandas().sort_values(["format", "nbytes"])
+    rows = []
+    for fmt, g in gdf.groupby("format", sort=True):
+        v = g["nbytes"].to_numpy(dtype="float64")
+        c = g["n"].to_numpy()
+        rows.append({
+            "format": fmt, "n": int(c.sum()),
+            "p50_bytes": quantile_cont_from_grid(v, c, 0.50),
+            "p90_bytes": quantile_cont_from_grid(v, c, 0.90),
+            "p99_bytes": quantile_cont_from_grid(v, c, 0.99)})
+    return pd.DataFrame(rows)
+
+
 def multimodal_queries() -> dict[str, Callable]:
     return {
         "media_decode_stats": media_decode_stats,
+        "media_size_quantiles": media_size_quantiles,
         "media_dedup_exact": media_dedup_exact,
         "media_integrity_audit": media_integrity_audit,
         "media_resize_plan": media_resize_plan,
@@ -385,6 +441,20 @@ SELECT (SELECT count(*) FROM r) AS n_span_refs,
         WHERE ref NOT IN (SELECT ref FROM r))
            AS n_unreferenced_payloads
 """
+    size_quantiles = f"""
+WITH m AS (
+  SELECT CASE WHEN hex(data) LIKE '{_CHQ1_HEX_PREFIX}'
+              THEN 'chq1' ELSE 'unknown' END AS format,
+         octet_length(data) AS nbytes
+  FROM read_parquet('{glob}'))
+SELECT format, count(*) AS n,
+       quantile_cont(nbytes, 0.50) AS p50_bytes,
+       quantile_cont(nbytes, 0.90) AS p90_bytes,
+       quantile_cont(nbytes, 0.99) AS p99_bytes
+FROM m
+GROUP BY format
+ORDER BY format
+"""
     return {
         "media_integrity_audit": integrity_audit,
         "media_decode_stats": decode_stats,
@@ -393,4 +463,5 @@ SELECT (SELECT count(*) FROM r) AS n_span_refs,
         "media_frame_sample": frame_sample,
         "media_audio_features": audio_features,
         "media_roi_plan": roi_plan,
+        "media_size_quantiles": size_quantiles,
     }

@@ -125,3 +125,31 @@ def test_stages_in_ray_pipeline(media_table):
     pdf = decoded.to_pandas()
     assert len(pdf) == media_table.num_rows
     assert set(pdf["format"]) == {"chq1", "unknown"}
+
+
+def test_media_size_quantiles_matches_numpy():
+    """Grid quantiles equal direct numpy quantile_cont over the raw
+    sizes (linear interpolation), per format."""
+    import numpy as np
+    import pyarrow.dataset as pads
+    from cheque_ocr_project_ray.fixtures.gen import ensure_fixture
+    from cheque_ocr_project_ray.multimodal.queries import (
+        media_size_quantiles)
+
+    out = media_size_quantiles("/root/testdata/sf0.001")
+    fixture = ensure_fixture("/root/testdata/sf0.001")
+    t = pads.dataset(f"{fixture}/media").to_table(columns=["data"])
+    payloads = t.column("data").to_pylist()
+    by_fmt = {"chq1": [], "unknown": []}
+    for d in payloads:
+        by_fmt["chq1" if d[:5] == b"CHQ1\n" else "unknown"].append(len(d))
+    assert out["n"].sum() == len(payloads)
+    for fmt, sizes in by_fmt.items():
+        if not sizes:
+            continue
+        row = out[out["format"] == fmt].iloc[0]
+        sizes = np.array(sizes, dtype="float64")
+        assert row["n"] == len(sizes)
+        for q, col in ((0.5, "p50_bytes"), (0.9, "p90_bytes"),
+                       (0.99, "p99_bytes")):
+            assert row[col] == np.quantile(sizes, q, method="linear")
