@@ -1424,6 +1424,125 @@ ORDER BY 1
 """
 
 
+# --- Q22 shape: anti-join + global-average threshold + dim rollup ------
+@_hash_shuffled
+def q22_global_sales_opportunity(sf_dir: str, np_: int = 0):
+    """TPC-H Q22 adapted (no phone column — the country-code predicate
+    becomes the nation dimension): customers with an above-average
+    positive account balance and NO urgent orders, rolled up per
+    nation (every customer in this corpus has *some* order, so Q22's
+    "no orders at all" is vacuous — the urgent-priority predicate
+    keeps the anti-join selective at every tier, same adaptation as
+    ``customers_without_orders``).
+
+    Shape (100 TB-safe):
+    - pass 1 over customer: one-row combiner partials → global
+      (sum_cents, n) of positive balances; the average threshold is
+      applied as the exact-int cross-multiplication
+      ``cents · n > total_cents`` — no float threshold to drift.
+    - the NOT EXISTS is the distributed anti-join: per-batch distinct
+      order custkeys (combiner) → native left-outer hash join → keep
+      nulls.  Never a driver-side custkey set.
+    - nation is a broadcast decorate on the (bounded) per-nation
+      aggregate."""
+    customer = _pq(sf_dir, "customer",
+                   ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        cents = money_units(batch.column("c_acctbal"))
+        pos = pc.greater(cents, pa.scalar(0, pa.int64()))
+        kept = cents.filter(pos) if isinstance(cents, pa.ChunkedArray) \
+            else pc.filter(cents, pos)
+        return pa.table({
+            "cents": pa.array([pc.sum(kept).as_py() or 0], pa.int64()),
+            "n": pa.array([len(kept)], pa.int64())})
+
+    roll = customer.map_batches(bal_partial, batch_format="pyarrow") \
+        .aggregate(RaySum("cents", alias_name="total"),
+                   RaySum("n", alias_name="n"))
+    total, n = int(roll["total"]), int(roll["n"])
+
+    def rich(batch: pa.Table) -> pa.Table:
+        cents = money_units(batch.column("c_acctbal"))
+        keep = pc.greater(
+            pc.multiply(cents, pa.scalar(n, pa.int64())),
+            pa.scalar(total, pa.int64()))
+        b = batch.filter(keep)
+        return pa.table({"c_custkey": b.column("c_custkey"),
+                         "c_nationkey": b.column("c_nationkey"),
+                         "cents": pc.filter(money_units(
+                             batch.column("c_acctbal")), keep)})
+
+    rich_ds = customer.map_batches(rich, batch_format="pyarrow")
+
+    def order_keys(batch: pa.Table) -> pa.Table:
+        urgent = batch.filter(
+            pc.equal(batch.column("o_orderpriority"), "1-URGENT"))
+        keys = pc.unique(urgent.column("o_custkey"))
+        return pa.table({"c_custkey": keys,
+                         "__has": pa.array([1] * len(keys), pa.int64())})
+
+    keys = _pq(sf_dir, "orders", ["o_custkey", "o_orderpriority"]) \
+        .map_batches(order_keys, batch_format="pyarrow")
+    joined = rich_ds.join(keys, join_type="left_outer",
+                          num_partitions=np_ or 8, on=("c_custkey",))
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_null(batch.column("__has")))
+        t = pa.table({"c_nationkey": b.column("c_nationkey"),
+                      "numcust": pa.array([1] * b.num_rows, pa.int64()),
+                      "cents": b.column("cents")})
+        g = t.group_by("c_nationkey").aggregate(
+            [("numcust", "sum"), ("cents", "sum")])
+        return g.rename_columns(["c_nationkey", "numcust", "cents"])
+
+    agg = final_merge_sums(
+        joined.map_batches(nation_partial, batch_format="pyarrow"),
+        ["c_nationkey"], ["numcust", "cents"], np_=np_)
+
+    nation = pq.read_table(str(Path(sf_dir) / "nation.parquet"),
+                           columns=["n_nationkey", "n_name"]) \
+        .rename_columns(["c_nationkey", "nation"])
+    nation_ref = ray.put(nation)
+
+    class Decorate:
+        def __init__(self):
+            self.dim = ray.get(nation_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            j = batch.join(self.dim, keys="c_nationkey",
+                           join_type="inner")
+            return pa.table({
+                "nation": j.column("nation"),
+                "numcust": j.column("numcust"),
+                "totacctbal": pc.divide(
+                    pc.cast(j.column("cents"), pa.float64()),
+                    pa.scalar(100.0))})
+
+    return agg.map_batches(Decorate, batch_format="pyarrow",
+                           concurrency=(1, map_pool())).sort("nation")
+
+
+Q22_GLOBAL_SALES_SQL = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer),
+pos AS (
+  SELECT sum(bal) AS total, count(*) AS n FROM c WHERE bal > 0)
+SELECT n_name AS nation,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(c.bal) AS DOUBLE) AS totacctbal
+FROM c JOIN nation ON c_nationkey = n_nationkey, pos
+WHERE c.bal * pos.n > pos.total
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c.c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
 def tpch_extra_queries():
     return {
         "q4_late_orders": q4_late_orders,
@@ -1443,6 +1562,7 @@ def tpch_extra_queries():
         "supplier_value_share": supplier_value_share,
         "promo_part_suppliers": promo_part_suppliers,
         "q12_ship_delay_priority": q12_ship_delay_priority,
+        "q22_global_sales_opportunity": q22_global_sales_opportunity,
     }
 
 
@@ -1465,4 +1585,5 @@ def tpch_extra_oracle_sql():
         "supplier_value_share": SUPPLIER_VALUE_SHARE_SQL,
         "promo_part_suppliers": PROMO_PART_SUPPLIERS_SQL,
         "q12_ship_delay_priority": Q12_SHIP_DELAY_SQL,
+        "q22_global_sales_opportunity": Q22_GLOBAL_SALES_SQL,
     }

@@ -244,3 +244,47 @@ def test_q12_band_and_priority_counts(tmp_path):
             == ref["high_line_count"].to_numpy()).all()
     assert (out["low_line_count"].to_numpy()
             == ref["low_line_count"].to_numpy()).all()
+
+
+def test_q22_threshold_and_antijoin(tmp_path):
+    """Above-average-positive-balance filter is exact-int
+    (cents·n > total) and the NOT EXISTS drops exactly the customers
+    with an urgent order."""
+    from cheque_ocr_project_ray.relational.tpch_extra import (
+        q22_global_sales_opportunity)
+    rng = np.random.default_rng(22)
+    n = 120
+    cust = pd.DataFrame({
+        "c_custkey": np.arange(n),
+        "c_nationkey": rng.integers(0, 3, n),
+        "c_acctbal": np.round(rng.uniform(-500, 5000, n), 2)})
+    nation = pd.DataFrame({"n_nationkey": [0, 1, 2],
+                           "n_name": ["NA", "NB", "NC"]})
+    # half the customers get an urgent order, some get only non-urgent
+    ok = rng.integers(0, n, 200)
+    orders = pd.DataFrame({
+        "o_custkey": ok,
+        "o_orderpriority": rng.choice(
+            ["1-URGENT", "3-MEDIUM"], 200, p=[0.5, 0.5])})
+    _write(tmp_path, customer=cust, nation=nation, orders=orders)
+
+    out = q22_global_sales_opportunity(str(tmp_path)).to_pandas() \
+        .reset_index(drop=True)
+
+    cents = np.round(cust["c_acctbal"] * 100).astype("int64")
+    pos = cents[cents > 0]
+    rich = cust[cents * len(pos) > pos.sum()]
+    urgent = set(orders.loc[orders["o_orderpriority"] == "1-URGENT",
+                            "o_custkey"])
+    keep = rich[~rich["c_custkey"].isin(urgent)]
+    ref = keep.merge(nation, left_on="c_nationkey",
+                     right_on="n_nationkey") \
+        .groupby("n_name") \
+        .agg(numcust=("c_custkey", "size"), cents=("c_acctbal", lambda
+             s: np.round(s * 100).astype("int64").sum())) \
+        .reset_index().rename(columns={"n_name": "nation"})
+    ref["totacctbal"] = ref["cents"] / 100.0
+    ref = ref[["nation", "numcust", "totacctbal"]] \
+        .sort_values("nation").reset_index(drop=True)
+    out["numcust"] = out["numcust"].astype("int64")
+    pd.testing.assert_frame_equal(out, ref)
