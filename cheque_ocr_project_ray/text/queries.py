@@ -1678,6 +1678,117 @@ LIMIT {BM25_TOPK}
 """
 
 
+HYBRID_K = 10
+HYBRID_W_LEX = 0.5
+HYBRID_W_VEC = 0.5
+
+
+def doc_hybrid_search(sf_dir: str):
+    """Two-stage hybrid retrieval — the standard RAG-corpus stack:
+    the distributed BM25 scorer (stage 1, ``doc_bm25_topk``) produces
+    a BOUNDED lexical candidate list, which is re-ranked by embedding
+    cosine against the corpus probe vector (``vec_id = 0`` — the
+    ``ann_cosine_topk`` convention; ``vec_id`` is 1:1 with ``doc_id``).
+
+    Scale shape: stage 1 streams the whole corpus through combiner
+    partials + per-batch top-k (no full sort); stage 2 touches exactly
+    the ≤``BM25_TOPK`` candidate embedding rows via a predicate-
+    pushdown read — never an embedding scan.  Both scores are rounded
+    before the (0.5, 0.5) blend so the float ops mirror the SQL twin
+    exactly."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from cheque_ocr_project_ray.util import round_half_up
+
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "bm25": pd.Series([], dtype="float64"),
+                          "cos": pd.Series([], dtype="float64"),
+                          "hybrid": pd.Series([], dtype="float64")})
+    cand = doc_bm25_topk(sf_dir).to_pandas()   # bounded: ≤ BM25_TOPK rows
+    if cand.empty:
+        return empty
+    ids = [int(x) for x in cand["doc_id"]]
+    emb_path = str(Path(sf_dir) / "embeddings.parquet")
+    t = _pq.read_table(emb_path, columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "in", ids)])
+    if t.num_rows == 0:
+        return empty
+    qt = _pq.read_table(emb_path, columns=["embedding"],
+                        filters=[("vec_id", "=", 0)])
+    q = np.asarray(qt["embedding"].to_pylist()[0], dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    cos = round_half_up((m @ q) / np.where(norms == 0, 1, norms), 5)
+    rerank = pd.DataFrame({
+        "doc_id": t["vec_id"].to_numpy(zero_copy_only=False)
+        .astype("int64"),
+        "cos": cos})
+    out = cand.merge(rerank, on="doc_id", how="inner") \
+        .rename(columns={"score": "bm25"})
+    out["hybrid"] = round_half_up(
+        out["bm25"].to_numpy() * HYBRID_W_LEX
+        + out["cos"].to_numpy() * HYBRID_W_VEC, 6)
+    out = out.sort_values(["hybrid", "doc_id"],
+                          ascending=[False, True]).head(HYBRID_K)
+    return out[["doc_id", "bm25", "cos", "hybrid"]] \
+        .reset_index(drop=True)
+
+
+# The scoring CTEs mirror BM25_TOPK_SQL exactly (same tokenizer, idf,
+# norm and 6dp rounding); the rerank joins the bounded candidate list
+# to embeddings and blends the pre-rounded scores.
+HYBRID_SEARCH_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS ws,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS dl
+  FROM documents
+), tok AS (
+  SELECT doc_id, dl, tt.w AS term FROM t, LATERAL unnest(ws) AS tt(w)
+  WHERE tt.w IN ({", ".join(f"'{x}'" for x in KEYWORD_TERMS)})
+), tf AS (
+  SELECT doc_id, any_value(dl) AS dl, term, count(*) AS tf
+  FROM tok GROUP BY doc_id, term
+), stats AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n_docs,
+         (SELECT sum(len(regexp_split_to_array(trim(text), '\\s+')))
+          / CAST(count(*) AS DOUBLE) FROM documents) AS avgdl
+), df AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * ({BM25_K1}::DOUBLE + 1.0))
+             / (tf.tf + {BM25_K1}::DOUBLE * (1.0 - {BM25_B}::DOUBLE
+                + {BM25_B}::DOUBLE * (tf.dl / stats.avgdl)))) AS score
+  FROM tf JOIN df USING (term), stats
+  GROUP BY tf.doc_id
+), cand AS (
+  SELECT doc_id, round(score, 6) AS bm25
+  FROM scored
+  ORDER BY round(score, 6) DESC, doc_id
+  LIMIT {BM25_TOPK}
+), q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), rr AS (
+  SELECT c.doc_id, c.bm25,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv),
+               5) AS cos
+  FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id, q
+)
+SELECT doc_id, bm25, cos,
+       round(bm25 * {HYBRID_W_LEX}::DOUBLE
+             + cos * {HYBRID_W_VEC}::DOUBLE, 6) AS hybrid
+FROM rr
+ORDER BY hybrid DESC, doc_id
+LIMIT {HYBRID_K}
+"""
+
+
 def doc_bigram_logprob(sf_dir: str):
     """Mean add-one-smoothed BIGRAM log-likelihood per doc under the
     corpus's own bigram LM — the next rung above unigram LM filtering
@@ -2534,6 +2645,7 @@ def text_queries() -> dict[str, Callable]:
         "doc_source_dup_rate": doc_source_dup_rate,
         "doc_bigram_logprob": doc_bigram_logprob,
         "doc_bm25_topk": doc_bm25_topk,
+        "doc_hybrid_search": doc_hybrid_search,
         "doc_source_jsd": doc_source_jsd,
         "doc_quality_filter_p75": doc_quality_filter_p75,
         "doc_feature_hashing": doc_feature_hashing,
@@ -2587,6 +2699,7 @@ def text_oracle_sql() -> dict[str, str]:
         "doc_source_dup_rate": SOURCE_DUP_RATE_SQL,
         "doc_bigram_logprob": BIGRAM_LOGPROB_SQL,
         "doc_bm25_topk": BM25_TOPK_SQL,
+        "doc_hybrid_search": HYBRID_SEARCH_SQL,
         "doc_source_jsd": SOURCE_JSD_SQL,
         "doc_feature_hashing": FEATURE_HASHING_SQL,
         "doc_hash_similarity": HASH_SIMILARITY_SQL,

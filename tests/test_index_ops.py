@@ -140,3 +140,24 @@ def test_ngram_novelty_ordering_and_conventions(tmp_path):
     assert list(out["n_grams"]) == [3, 3, 3, 1]
     assert list(out["n_novel"]) == [3, 0, 2, 1]
     assert list(out["novelty"]) == [1.0, 0.0, 0.6667, 1.0]
+
+
+def test_doc_hybrid_search_blend_identity():
+    """Hybrid = 0.5·bm25 + 0.5·cos (pre-rounded inputs), sorted desc,
+    and candidates come from the BM25 top-k."""
+    import numpy as np
+    from cheque_ocr_project_ray.text.queries import (doc_bm25_topk,
+                                                     doc_hybrid_search)
+    from cheque_ocr_project_ray.util import round_half_up
+
+    sf = "/root/testdata/sf0.001"
+    out = doc_hybrid_search(sf)
+    assert list(out.columns) == ["doc_id", "bm25", "cos", "hybrid"]
+    assert 0 < len(out) <= 10
+    blend = round_half_up(
+        out["bm25"].to_numpy() * 0.5 + out["cos"].to_numpy() * 0.5, 6)
+    assert np.array_equal(out["hybrid"].to_numpy(), blend)
+    h = out["hybrid"].to_numpy()
+    assert (np.diff(h) <= 0).all()
+    cand = set(doc_bm25_topk(sf).to_pandas()["doc_id"])
+    assert set(out["doc_id"]).issubset(cand)
