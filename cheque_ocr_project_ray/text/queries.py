@@ -1678,6 +1678,101 @@ LIMIT {BM25_TOPK}
 """
 
 
+CODE_SYMBOLS = ["{", "}", "[", "]", "(", ")", ";", "=", "<", ">"]
+CODE_RATIO_TAU = 0.02
+
+
+def doc_code_score(sf_dir: str):
+    """Code-likeness profiling per source — the curation signal that
+    separates prose from code/markup before LM training (C4/Gopher
+    drop or route code-heavy docs).  Per-doc symbol density
+    ``round(symbols/chars, 6) >= tau`` flags code-like docs; the
+    per-source rollup reduces through exact-int combiner partials
+    (sym and char totals), so the density output is a single float
+    division — bit-equal to the SQL twin.
+
+    Vectorized: ten ``pc.count_substring`` passes per batch (one per
+    symbol), no Python row loop."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cheque_ocr_project_ray.util import (final_merge_sums,
+                                             round_half_up)
+
+    docs = ray.data.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"),
+        columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        chars = pc.utf8_length(text).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        syms = np.zeros(batch.num_rows, np.int64)
+        for s in CODE_SYMBOLS:
+            syms += pc.count_substring(text, s).to_numpy(
+                zero_copy_only=False)
+        ok = chars > 0
+        ratio = round_half_up(
+            syms[ok].astype(np.float64) / chars[ok], 6)
+        t = pa.table({
+            "source": pc.filter(batch.column("source"),
+                                pa.array(ok)),
+            "n_docs": pa.array(np.ones(int(ok.sum()), np.int64)),
+            "n_code_like": pa.array(
+                (ratio >= CODE_RATIO_TAU).astype(np.int64)),
+            "syms": pa.array(syms[ok]),
+            "chars": pa.array(chars[ok])})
+        g = t.group_by("source").aggregate(
+            [("n_docs", "sum"), ("n_code_like", "sum"),
+             ("syms", "sum"), ("chars", "sum")])
+        return g.rename_columns(
+            ["source", "n_docs", "n_code_like", "syms", "chars"])
+
+    agg = final_merge_sums(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["source"], ["n_docs", "n_code_like", "syms", "chars"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        dens = round_half_up(
+            pc.divide(pc.multiply(pc.cast(b.column("syms"),
+                                          pa.float64()),
+                                  pa.scalar(1000.0)),
+                      pc.cast(b.column("chars"), pa.float64()))
+            .to_numpy(zero_copy_only=False), 4)
+        return pa.table({"source": b.column("source"),
+                         "n_docs": b.column("n_docs"),
+                         "n_code_like": b.column("n_code_like"),
+                         "sym_per_kchar": pa.array(dens, pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort("source")
+
+
+_CODE_SYM_SQL = " + ".join(
+    f"(length(text) - length(replace(text, '{s}', '')))"
+    for s in CODE_SYMBOLS)
+
+CODE_SCORE_SQL = f"""
+WITH d AS (
+  SELECT source, length(text) AS chars,
+         {_CODE_SYM_SQL} AS syms
+  FROM documents
+  WHERE length(text) > 0
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN round(CAST(syms AS DOUBLE) / chars, 6)
+                          >= {CODE_RATIO_TAU} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_code_like,
+       round((CAST(sum(syms) AS DOUBLE) * 1000.0)
+             / CAST(sum(chars) AS DOUBLE), 4) AS sym_per_kchar
+FROM d
+GROUP BY source
+ORDER BY source
+"""
+
+
 HYBRID_K = 10
 HYBRID_W_LEX = 0.5
 HYBRID_W_VEC = 0.5
@@ -2646,6 +2741,7 @@ def text_queries() -> dict[str, Callable]:
         "doc_bigram_logprob": doc_bigram_logprob,
         "doc_bm25_topk": doc_bm25_topk,
         "doc_hybrid_search": doc_hybrid_search,
+        "doc_code_score": doc_code_score,
         "doc_source_jsd": doc_source_jsd,
         "doc_quality_filter_p75": doc_quality_filter_p75,
         "doc_feature_hashing": doc_feature_hashing,
@@ -2700,6 +2796,7 @@ def text_oracle_sql() -> dict[str, str]:
         "doc_bigram_logprob": BIGRAM_LOGPROB_SQL,
         "doc_bm25_topk": BM25_TOPK_SQL,
         "doc_hybrid_search": HYBRID_SEARCH_SQL,
+        "doc_code_score": CODE_SCORE_SQL,
         "doc_source_jsd": SOURCE_JSD_SQL,
         "doc_feature_hashing": FEATURE_HASHING_SQL,
         "doc_hash_similarity": HASH_SIMILARITY_SQL,

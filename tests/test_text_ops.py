@@ -339,3 +339,45 @@ def test_dedup_incremental_flags(tmp_path):
     row10 = out2[out2["doc_id"] == 10].iloc[0]
     assert row10["dup_old"] == 0 and row10["dup_new"] == 1 \
         and row10["keep"] == 0
+
+
+def test_doc_code_score_flags_and_density(tmp_path):
+    """Symbol counting, the 6dp-rounded threshold and the exact-int
+    density must match a direct python reference."""
+    import numpy as np
+    import pandas as pd
+    from cheque_ocr_project_ray.text.queries import (CODE_RATIO_TAU,
+                                                     CODE_SYMBOLS,
+                                                     doc_code_score)
+    from cheque_ocr_project_ray.util import round_half_up
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "source": ["web", "web", "code", "code"],
+        "text": ["plain prose with no symbols at all",
+                 "x = (a < b); y = arr[i];",
+                 "def f(x):\n    return {k: v for k, v in x}",
+                 "just words here"],
+        "lang": ["en"] * 4, "n_chars": [0] * 4})
+    docs["n_chars"] = docs["text"].str.len()
+    docs.to_parquet(tmp_path / "documents.parquet")
+
+    out = doc_code_score(str(tmp_path)).to_pandas().reset_index(drop=True)
+
+    rows = []
+    for src, g in docs.groupby("source"):
+        syms = g["text"].map(
+            lambda t: sum(t.count(s) for s in CODE_SYMBOLS)).to_numpy()
+        chars = g["text"].str.len().to_numpy()
+        ratio = round_half_up(syms / chars, 6)
+        rows.append({
+            "source": src, "n_docs": len(g),
+            "n_code_like": int((ratio >= CODE_RATIO_TAU).sum()),
+            "sym_per_kchar": float(round_half_up(
+                syms.sum() * 1000.0 / chars.sum(), 4))})
+    ref = pd.DataFrame(rows).sort_values("source").reset_index(drop=True)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_code_like"] = out["n_code_like"].astype("int64")
+    ref["n_docs"] = ref["n_docs"].astype("int64")
+    ref["n_code_like"] = ref["n_code_like"].astype("int64")
+    pd.testing.assert_frame_equal(out, ref)
