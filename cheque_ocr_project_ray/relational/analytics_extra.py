@@ -2088,8 +2088,77 @@ ORDER BY user_id
 """
 
 
+# --- grouped linear regression from exact-int moment sums --------------
+@_hash_shuffled
+def lineitem_discount_slope(sf_dir: str, np_: int = 0):
+    """Per-returnflag OLS slope of quantity on discount — the grouped
+    linear-regression operator (price-elasticity / drift-trend shape).
+
+    The five regression moments (n, Σx, Σy, Σxy, Σx²) are EXACT
+    integers in 1e-4 discount units, reduced through combiner
+    partials; the slope is assembled on the 3-row merged grid with
+    arbitrary-precision Python ints (no int64 overflow at any corpus
+    size) and ONE float division — bit-equal to the SQL twin, unlike
+    DuckDB's running-covariance ``regr_slope``."""
+    ds = _pq(sf_dir, "lineitem",
+             ["l_returnflag", "l_discount", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = money_units(batch.column("l_discount"), 4) \
+            .to_numpy(zero_copy_only=False)
+        y = pc.cast(batch.column("l_quantity"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        t = pa.table({"l_returnflag": batch.column("l_returnflag"),
+                      "n": pa.array(np.ones(len(x), np.int64)),
+                      "sx": pa.array(x), "sy": pa.array(y),
+                      "sxy": pa.array(x * y), "sxx": pa.array(x * x)})
+        g = t.group_by("l_returnflag").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxy", "sum"), ("sxx", "sum")])
+        return g.rename_columns(
+            ["l_returnflag", "n", "sx", "sy", "sxy", "sxx"])
+
+    agg = final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag"], ["n", "sx", "sy", "sxy", "sxx"], np_=np_)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        slopes = []
+        for _, r in b.iterrows():
+            n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+            sxy, sxx = int(r["sxy"]), int(r["sxx"])
+            num, den = n * sxy - sx * sy, n * sxx - sx * sx
+            slopes.append(float(round_half_up(
+                float(num) / float(den) * 10000.0, 6)))
+        return pd.DataFrame({"l_returnflag": b["l_returnflag"],
+                             "n": b["n"].astype("int64"),
+                             "slope": slopes})
+
+    return agg.map_batches(finish, batch_format="pandas") \
+        .sort("l_returnflag")
+
+
+DISCOUNT_SLOPE_SQL = """
+WITH d AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_discount AS DECIMAL(8,4)) * 10000 AS BIGINT) AS x,
+         CAST(l_quantity AS BIGINT) AS y
+  FROM lineitem),
+m AS (
+  SELECT l_returnflag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM d GROUP BY l_returnflag)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) * 10000.0, 6) AS slope
+FROM m
+ORDER BY l_returnflag
+"""
+
+
 def analytics_extra_queries():
     return {
+        "lineitem_discount_slope": lineitem_discount_slope,
         "events_decay_score": events_decay_score,
         "events_heavy_hitters": events_heavy_hitters,
         "events_csv_roundtrip": events_csv_roundtrip,
@@ -2127,6 +2196,7 @@ def analytics_extra_queries():
 
 def analytics_extra_oracle_sql():
     return {
+        "lineitem_discount_slope": DISCOUNT_SLOPE_SQL,
         "events_decay_score": EVENTS_DECAY_SCORE_SQL,
         "events_heavy_hitters": EVENTS_HEAVY_HITTERS_SQL,
         "events_value_histogram": EVENTS_HISTOGRAM_SQL,

@@ -232,3 +232,33 @@ def test_events_heavy_hitters_candidate_guarantee(tmp_path):
     for _, r in out.iterrows():
         assert ref[r["user_id"]] == r["n_events"]
         assert r["n_events"] * HH_M > len(ev)
+
+
+def test_lineitem_discount_slope_matches_polyfit(tmp_path):
+    """Moment-sum slope equals numpy's least-squares slope on clean
+    synthetic data with a known linear relationship."""
+    import numpy as np
+    import pandas as pd
+    from cheque_ocr_project_ray.relational.analytics_extra import (
+        lineitem_discount_slope)
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    disc = rng.integers(0, 1001, n) / 10000.0   # 0.0000..0.1000
+    flag = rng.choice(["A", "N", "R"], n)
+    # quantity depends linearly on discount with per-flag slopes
+    true_slope = {"A": 80.0, "N": -40.0, "R": 0.0}
+    qty = np.array([10 + true_slope[f] * d for f, d in zip(flag, disc)])
+    qty = np.round(qty + rng.integers(-2, 3, n))  # integer quantities
+    li = pd.DataFrame({"l_returnflag": flag, "l_discount": disc,
+                       "l_quantity": qty})
+    li.to_parquet(tmp_path / "lineitem.parquet")
+
+    out = lineitem_discount_slope(str(tmp_path)).to_pandas() \
+        .set_index("l_returnflag")
+    for f in ["A", "N", "R"]:
+        m = flag == f
+        ref = np.polyfit(disc[m], qty[m], 1)[0]
+        assert abs(out.loc[f, "slope"] - ref) < 1e-4
+        # noise is +/-2 uniform: fitted slope lands near the truth
+        assert abs(out.loc[f, "slope"] - true_slope[f]) < 12.0
