@@ -2088,6 +2088,86 @@ ORDER BY user_id
 """
 
 
+# --- time-series lag-1 autocorrelation of the hourly count series ------
+@_hash_shuffled
+def events_hourly_autocorr(sf_dir: str, np_: int = 0):
+    """Lag-1 Pearson autocorrelation of the DENSE hourly event-count
+    series — the load-seasonality / drift-detection statistic a
+    pipeline monitor computes over ingestion counts.
+
+    Scale shape: one combiner pass reduces the corpus to per-hour
+    counts (the grid is bounded by the time span, not the row count);
+    the dense fill, the lag pairing and the six exact-int regression
+    moments happen on that grid with Python ints; ONE float expression
+    at the end mirrors the SQL twin's op order."""
+    import math
+
+    from cheque_ocr_project_ray.util import collect_table
+
+    ds = _pq(sf_dir, "events", ["ts"])
+    hour_us = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hrs = pc.divide(_ts_col_us(batch.column("ts")),
+                        pa.scalar(hour_us))
+        t = pa.table({"hour": hrs,
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by("hour").aggregate([("n", "sum")])
+        return g.rename_columns(["hour", "n"])
+
+    grid = collect_table(final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["hour"], ["n"], np_=np_).materialize())
+    empty = pd.DataFrame({"n_hours": pd.Series([], dtype="int64"),
+                          "n_pairs": pd.Series([], dtype="int64"),
+                          "autocorr": pd.Series([], dtype="float64")})
+    if grid is None or grid.num_rows == 0:
+        return empty
+    gdf = grid.to_pandas().sort_values("hour")
+    lo, hi = int(gdf["hour"].iloc[0]), int(gdf["hour"].iloc[-1])
+    dense = np.zeros(hi - lo + 1, dtype=np.int64)
+    dense[gdf["hour"].to_numpy() - lo] = gdf["n"].to_numpy()
+    x, y = dense[:-1], dense[1:]
+    k = len(x)
+    if k < 2:
+        return empty
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy = int((x.astype(object) * y.astype(object)).sum())
+    sxx = int((x.astype(object) * x.astype(object)).sum())
+    syy = int((y.astype(object) * y.astype(object)).sum())
+    num = k * sxy - sx * sy
+    denx, deny = k * sxx - sx * sx, k * syy - sy * sy
+    r = float(num) / math.sqrt(float(denx) * float(deny))
+    return pd.DataFrame({"n_hours": [len(dense)], "n_pairs": [k],
+                         "autocorr": [float(round_half_up(r, 6))]})
+
+
+EVENTS_AUTOCORR_SQL = """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY 1),
+grid AS (
+  SELECT unnest(generate_series((SELECT min(h) FROM c),
+                                (SELECT max(h) FROM c),
+                                INTERVAL 1 HOUR)) AS h),
+s AS (
+  SELECT grid.h, COALESCE(c.n, 0) AS n
+  FROM grid LEFT JOIN c USING (h)),
+p AS (
+  SELECT n AS x, lead(n) OVER (ORDER BY h) AS y FROM s),
+m AS (
+  SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM p WHERE y IS NOT NULL)
+SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_hours,
+       CAST(k AS BIGINT) AS n_pairs,
+       round(CAST(k * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(k * sxx - sx * sx AS DOUBLE)
+                    * CAST(k * syy - sy * sy AS DOUBLE)), 6) AS autocorr
+FROM m
+"""
+
+
 # --- grouped linear regression from exact-int moment sums --------------
 @_hash_shuffled
 def lineitem_discount_slope(sf_dir: str, np_: int = 0):
@@ -2159,6 +2239,7 @@ ORDER BY l_returnflag
 def analytics_extra_queries():
     return {
         "lineitem_discount_slope": lineitem_discount_slope,
+        "events_hourly_autocorr": events_hourly_autocorr,
         "events_decay_score": events_decay_score,
         "events_heavy_hitters": events_heavy_hitters,
         "events_csv_roundtrip": events_csv_roundtrip,
@@ -2197,6 +2278,7 @@ def analytics_extra_queries():
 def analytics_extra_oracle_sql():
     return {
         "lineitem_discount_slope": DISCOUNT_SLOPE_SQL,
+        "events_hourly_autocorr": EVENTS_AUTOCORR_SQL,
         "events_decay_score": EVENTS_DECAY_SCORE_SQL,
         "events_heavy_hitters": EVENTS_HEAVY_HITTERS_SQL,
         "events_value_histogram": EVENTS_HISTOGRAM_SQL,

@@ -262,3 +262,37 @@ def test_lineitem_discount_slope_matches_polyfit(tmp_path):
         assert abs(out.loc[f, "slope"] - ref) < 1e-4
         # noise is +/-2 uniform: fitted slope lands near the truth
         assert abs(out.loc[f, "slope"] - true_slope[f]) < 12.0
+
+
+def test_events_hourly_autocorr_alternating_series(tmp_path):
+    """A strictly alternating hourly count series has lag-1
+    autocorrelation -1; gaps are zero-filled into the dense grid."""
+    import numpy as np
+    import pandas as pd
+    from cheque_ocr_project_ray.relational.analytics_extra import (
+        events_hourly_autocorr)
+
+    # hours 0..9 alternate 30/10 events; hour 4 left EMPTY (dense fill
+    # puts a 0 there, breaking perfect alternation detectably)
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for h in range(10):
+        if h == 4:
+            continue
+        cnt = 30 if h % 2 == 0 else 10
+        for i in range(cnt):
+            rows.append(base + pd.Timedelta(hours=h, seconds=i))
+    ev = pd.DataFrame({"ts": rows})
+    ev["event_id"] = np.arange(len(ev))
+    ev["user_id"] = 0
+    ev["event_type"] = "view"
+    ev["value"] = 1.0
+    ev["props"] = "{}"
+    ev.to_parquet(tmp_path / "events.parquet")
+
+    out = events_hourly_autocorr(str(tmp_path))
+    assert out["n_hours"].iloc[0] == 10
+    assert out["n_pairs"].iloc[0] == 9
+    dense = np.array([30, 10, 30, 10, 0, 10, 30, 10, 30, 10], float)
+    ref = np.corrcoef(dense[:-1], dense[1:])[0, 1]
+    assert abs(out["autocorr"].iloc[0] - ref) < 1e-6
