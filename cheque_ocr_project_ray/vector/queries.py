@@ -1074,6 +1074,138 @@ FROM e GROUP BY label, u.dim
 """
 
 
+OUTLIER_TAU = 1.012  # 5dp-rounded distance threshold; non-vacuous at
+                     # every tier (p90 of the distance distribution
+                     # sits at ~1.009 across sf0.001-0.1)
+
+
+def embedding_outliers(sf_dir: str):
+    """Per-label distance-to-centroid outlier audit — the embedding-
+    space anomaly filter a training-data pipeline runs before
+    contrastive sampling (mislabeled / corrupted vectors sit far from
+    their class centroid).
+
+    Two streaming passes: (1) per-(label, dim) float sum/count
+    combiner partials → broadcast centroids (the ``label_centroids``
+    grid, unrounded); (2) per-batch distances with DuckDB
+    ``list_distance`` op-order parity (sequential per-dim
+    accumulation, the ``embedding_silhouette`` precedent), flags on
+    the 5dp-ROUNDED distance, per-label (n, n_outliers, max) partials
+    merged through one bounded groupby (max via negated Min so a
+    single pass serves all three)."""
+    import ray as _ray
+    from ray.data.aggregate import Min as RayMin
+    from ray.data.aggregate import Sum as RaySum
+
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_sums, map_pool,
+                                             round_half_up)
+    from cheque_ocr_project_ray.vector.ann import _table_matrix
+
+    ds = ray.data.read_parquet(str(Path(sf_dir) / "embeddings.parquet"),
+                               columns=["label", "embedding"])
+
+    def cpartial(batch: pa.Table) -> pa.Table:
+        labels = batch.column("label").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m = _table_matrix(batch)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]), np.float64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=len(uniq))
+        dims = m.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, dims), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(dims, dtype=np.int64),
+                                    len(uniq)), pa.int64()),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(counts, dims).astype(np.int64))})
+
+    grid = collect_table(final_merge_sums(
+        ds.map_batches(cpartial, batch_format="pyarrow"),
+        ["label", "dim"], ["s", "n"]).materialize())
+    empty = pd.DataFrame({"label": pd.Series([], dtype="int64"),
+                          "n": pd.Series([], dtype="int64"),
+                          "n_outliers": pd.Series([], dtype="int64"),
+                          "max_dist": pd.Series([], dtype="float64")})
+    if grid is None or grid.num_rows == 0:
+        return empty
+    g = grid.to_pandas().sort_values(["label", "dim"])
+    labels_sorted = np.sort(g["label"].unique())
+    dim = int(g["dim"].max()) + 1
+    cent = (g["s"] / g["n"]).to_numpy().reshape(len(labels_sorted), dim)
+    lab_pos = {int(v): i for i, v in enumerate(labels_sorted)}
+    cent_ref = _ray.put((lab_pos, cent))
+
+    class Flag:
+        def __init__(self):
+            self.lab_pos, self.cent = _ray.get(cent_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _table_matrix(batch)
+            labels = batch.column("label").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            rows = np.fromiter((self.lab_pos[int(x)] for x in labels),
+                               dtype=np.int64, count=len(labels))
+            diff = m - self.cent[rows]
+            sq = diff * diff
+            acc = np.zeros(len(m), np.float64)
+            for j in range(sq.shape[1]):   # seq-dim == list_distance
+                acc += sq[:, j]
+            dist = round_half_up(np.sqrt(acc), 5)
+            t = pa.table({
+                "label": pa.array(labels),
+                "n": pa.array(np.ones(len(m), np.int64)),
+                "n_outliers": pa.array(
+                    (dist > OUTLIER_TAU).astype(np.int64)),
+                "negd": pa.array(-dist, pa.float64())})
+            gg = t.group_by("label").aggregate(
+                [("n", "sum"), ("n_outliers", "sum"), ("negd", "min")])
+            return gg.rename_columns(["label", "n", "n_outliers",
+                                      "negd"])
+
+    merged = ds.map_batches(Flag, batch_format="pyarrow",
+                            concurrency=(1, map_pool())) \
+        .groupby("label").aggregate(
+            RaySum("n", alias_name="n"),
+            RaySum("n_outliers", alias_name="n_outliers"),
+            RayMin("negd", alias_name="negd"))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "label": b["label"].astype("int64"),
+            "n": b["n"].astype("int64"),
+            "n_outliers": b["n_outliers"].astype("int64"),
+            "max_dist": -b["negd"]})
+
+    return merged.map_batches(finish, batch_format="pandas") \
+        .sort("label")
+
+
+EMBEDDING_OUTLIERS_SQL = f"""
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS v
+  FROM embeddings),
+cm AS (
+  SELECT label, u.dim AS dim, sum(u.x) / count(*) AS m
+  FROM (SELECT label,
+               unnest(list_transform(v, (x, i) ->
+                      struct_pack(dim := i, x := x))) AS u
+        FROM e)
+  GROUP BY label, u.dim),
+cv AS (
+  SELECT label, list(m ORDER BY dim) AS c FROM cm GROUP BY label),
+d AS (
+  SELECT e.label, round(list_distance(e.v, cv.c), 5) AS dist
+  FROM e JOIN cv USING (label))
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN dist > {OUTLIER_TAU} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       max(dist) AS max_dist
+FROM d GROUP BY label ORDER BY label
+"""
+
+
 def vector_queries() -> dict[str, Callable]:
     return {
         "ann_cosine_topk": ann_cosine_topk,
@@ -1099,6 +1231,7 @@ def vector_queries() -> dict[str, Callable]:
         "embedding_pq": embedding_pq,
         "label_stats": label_stats,
         "label_centroids": label_centroids,
+        "embedding_outliers": embedding_outliers,
     }
 
 
@@ -1123,4 +1256,5 @@ def vector_oracle_sql() -> dict[str, str]:
         "ann_knn_classify": ANN_KNN_CLASSIFY_SQL,
         "label_stats": LABEL_STATS_SQL,
         "label_centroids": LABEL_CENTROIDS_SQL,
+        "embedding_outliers": EMBEDDING_OUTLIERS_SQL,
     }

@@ -279,3 +279,33 @@ def test_embedding_centroid_shift_planted_drift(tmp_path):
     out = embedding_centroid_shift(str(tmp_path))
     assert list(out["label"]) == [0]
     assert out["shift"].iloc[0] == 5.0
+
+
+def test_embedding_outliers_flags_planted_vector(tmp_path):
+    """A vector far from its label centroid is flagged; tight cluster
+    members are not; max_dist reflects the planted outlier."""
+    import numpy as np
+    import pandas as pd
+    from cheque_ocr_project_ray.vector.queries import (OUTLIER_TAU,
+                                                       embedding_outliers)
+
+    rng = np.random.default_rng(9)
+    dim = 8
+    rows = []
+    for label in (0, 1):
+        base = np.full(dim, float(label))
+        for i in range(20):
+            rows.append((label, base + rng.normal(0, 0.01, dim)))
+        rows.append((label, base + 5.0))   # planted far outlier
+    df = pd.DataFrame({
+        "vec_id": np.arange(len(rows)),
+        "label": [r[0] for r in rows],
+        "embedding": [r[1].astype("float32") for r in rows]})
+    df.to_parquet(tmp_path / "embeddings.parquet")
+
+    out = embedding_outliers(str(tmp_path)).to_pandas() \
+        .set_index("label")
+    for label in (0, 1):
+        assert out.loc[label, "n"] == 21
+        assert out.loc[label, "n_outliers"] == 1
+        assert out.loc[label, "max_dist"] > OUTLIER_TAU
