@@ -2449,8 +2449,10 @@ def relational_queries() -> dict[str, Callable]:
     from cheque_ocr_project_ray.relational.tpch_extra import \
         tpch_extra_queries
     from cheque_ocr_project_ray.relational.pagerank import trade_pagerank
+    from cheque_ocr_project_ray.relational.scanline import scanline_queries
     out = tpch_extra_queries()
     out.update(analytics_extra_queries())
+    out.update(scanline_queries())
     out.update({
         "trade_pagerank": trade_pagerank,
         "q1_pricing_summary": q1_pricing_summary,
@@ -2509,8 +2511,11 @@ def relational_oracle_sql() -> dict[str, str]:
         tpch_extra_oracle_sql
     from cheque_ocr_project_ray.relational.pagerank import \
         TRADE_PAGERANK_SQL
+    from cheque_ocr_project_ray.relational.scanline import \
+        scanline_oracle_sql
     out = tpch_extra_oracle_sql()
     out.update(analytics_extra_oracle_sql())
+    out.update(scanline_oracle_sql())
     out.update({
         "trade_pagerank": TRADE_PAGERANK_SQL,
         "q1_pricing_summary": Q1_SQL,

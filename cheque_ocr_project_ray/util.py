@@ -147,6 +147,29 @@ def final_merge_min(partials_ds, keys: list, min_cols: list,
         *[Min(c, alias_name=c) for c in min_cols])
 
 
+def final_merge_max(partials_ds, keys: list, max_cols: list,
+                    np_: int = 0, bound: int = 2_000_000):
+    """Max-reduce twin of :func:`final_merge_min` — same
+    bounded-adaptive shape (driver Arrow ``group_by`` when the partial
+    stream is bounded, distributed groupby beyond)."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Max
+
+    part = partials_ds.materialize()
+    if part.count() <= bound:
+        t = collect_table(part)
+        if t is not None:
+            g = t.group_by(keys).aggregate([(c, "max") for c in max_cols])
+            g = g.select(list(keys) + [f"{c}_max" for c in max_cols]) \
+                .rename_columns(list(keys) + list(max_cols))
+            return ray.data.from_arrow(g)
+        return part
+    return part.groupby(list(keys),
+                        num_partitions=np_ or None).aggregate(
+        *[Max(c, alias_name=c) for c in max_cols])
+
+
 def collect_table(materialized_ds):
     """Concat a (small, bounded) materialized Dataset's blocks into one
     local Arrow table, or None when nothing real was produced.
