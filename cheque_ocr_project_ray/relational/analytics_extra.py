@@ -2236,8 +2236,93 @@ ORDER BY l_returnflag
 """
 
 
+TOP_PARTS_K = 3
+
+
+@_hash_shuffled
+def parts_top_per_nation(sf_dir: str, np_: int = 0):
+    """Top-``TOP_PARTS_K`` parts by discounted revenue per supplier
+    nation — grouped top-k AFTER aggregation (rank-within-group over a
+    derived fact, not raw rows).  Supplier×nation is a broadcast
+    dimension; revenue partials combine per batch on (nation, part)
+    before the merge, and the per-nation rank runs distributed in
+    ``groupby(nation).map_groups`` (group size ≤ |part| — never the
+    raw lineitem stream)."""
+    import pyarrow.parquet as pq_
+    from pathlib import Path
+
+    from cheque_ocr_project_ray.relational.joins import broadcast_join
+
+    empty = pd.DataFrame({"n_name": pd.Series([], dtype="object"),
+                          "p_partkey": pd.Series([], dtype="int64"),
+                          "revenue": pd.Series([], dtype="float64"),
+                          "rnk": pd.Series([], dtype="int64")})
+    if pq_.ParquetFile(str(Path(sf_dir) / "lineitem.parquet")) \
+            .metadata.num_rows == 0:
+        return empty
+
+    supplier = pq_.read_table(str(Path(sf_dir) / "supplier.parquet"),
+                              columns=["s_suppkey", "s_nationkey"])
+    nation = pq_.read_table(str(Path(sf_dir) / "nation.parquet"),
+                            columns=["n_nationkey", "n_name"])
+    dim = supplier.rename_columns(["l_suppkey", "s_nationkey"]).join(
+        nation.rename_columns(["s_nationkey", "n_name"]),
+        keys="s_nationkey", join_type="inner") \
+        .select(["l_suppkey", "n_name"])
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_suppkey", "l_partkey", "l_extendedprice", "l_discount"])
+    joined = broadcast_join(li, dim, on="l_suppkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from cheque_ocr_project_ray.relational.tpch_extra import _du
+        t = pa.table({"n_name": batch.column("n_name"),
+                      "p_partkey": batch.column("l_partkey"),
+                      "du": _du(batch)})
+        return t.group_by(["n_name", "p_partkey"]) \
+            .aggregate([("du", "sum")]) \
+            .rename_columns(["n_name", "p_partkey", "du"])
+
+    agg = final_merge_sums(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["n_name", "p_partkey"], ["du"], np_=np_)
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["du", "p_partkey"],
+                          ascending=[False, True]).head(TOP_PARTS_K)
+        return pd.DataFrame({
+            "n_name": g["n_name"].to_numpy(),
+            "p_partkey": g["p_partkey"].to_numpy(np.int64),
+            "revenue": g["du"].to_numpy(np.float64) / 10000.0,
+            "rnk": np.arange(1, len(g) + 1, dtype=np.int64)})
+
+    return agg.groupby("n_name", num_partitions=np_).map_groups(
+        top3, batch_format="pandas")
+
+
+TOP_PARTS_SQL = f"""
+WITH rev AS (
+  SELECT n_name, l_partkey AS p_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS du
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  GROUP BY n_name, l_partkey),
+rk AS (
+  SELECT n_name, p_partkey, du,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY du DESC, p_partkey) AS rnk
+  FROM rev)
+SELECT n_name, p_partkey, CAST(du AS DOUBLE) AS revenue,
+       CAST(rnk AS BIGINT) AS rnk
+FROM rk WHERE rnk <= {TOP_PARTS_K}
+"""
+
+
 def analytics_extra_queries():
     return {
+        "parts_top_per_nation": parts_top_per_nation,
         "lineitem_discount_slope": lineitem_discount_slope,
         "events_hourly_autocorr": events_hourly_autocorr,
         "events_decay_score": events_decay_score,
@@ -2277,6 +2362,7 @@ def analytics_extra_queries():
 
 def analytics_extra_oracle_sql():
     return {
+        "parts_top_per_nation": TOP_PARTS_SQL,
         "lineitem_discount_slope": DISCOUNT_SLOPE_SQL,
         "events_hourly_autocorr": EVENTS_AUTOCORR_SQL,
         "events_decay_score": EVENTS_DECAY_SCORE_SQL,

@@ -1206,6 +1206,103 @@ FROM d GROUP BY label ORDER BY label
 """
 
 
+MMR_K = 5
+MMR_POOL = 50
+MMR_LAMBDA = 0.7
+
+
+def embedding_mmr_topk(sf_dir: str):
+    """Maximal-Marginal-Relevance diverse top-k: greedy re-ranking of
+    the exact top-``MMR_POOL`` candidates so each pick maximizes
+    ``λ·rel − (1−λ)·max_sim_to_selected`` — the diversity-aware
+    retrieval head (dedup-at-serve-time) every RAG stack needs.
+
+    Two-stage shape: stage 1 is the DISTRIBUTED brute-force top-pool
+    (per-block GEMM + tiny global re-rank); stage 2 is the greedy loop
+    over the pool — O(k·pool) driver work on ≤``MMR_POOL`` rows by
+    construction, never corpus-sized.  All cosines are rounded to 5dp
+    BEFORE entering the greedy scores so the selection is bit-stable
+    across engines (the same trick ``brute_force_topk`` uses); ties
+    break by ``vec_id``.
+    """
+    from cheque_ocr_project_ray.util import round_half_up
+
+    cand = ann.brute_force_topk(_emb(sf_dir), _query_vec(sf_dir),
+                                k=MMR_POOL).to_pandas()
+    ids = cand["vec_id"].to_numpy().astype(np.int64)
+    rel = cand["rel" if "rel" in cand else "cos"].to_numpy()
+
+    t = pq.read_table(str(Path(sf_dir) / "embeddings.parquet"),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "in", ids.tolist())])
+    by_id = dict(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
+    m = np.asarray([by_id[int(i)] for i in ids], dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    mn = m / np.where(norms == 0, 1, norms)[:, None]
+    sims = round_half_up(mn @ mn.T, 5)  # pairwise, rounded like rel
+
+    n = len(ids)
+    selected: list[int] = []
+    rows = []
+    remaining = np.ones(n, dtype=bool)
+    for rank in range(1, min(MMR_K, n) + 1):
+        msim = (sims[:, selected].max(axis=1) if selected
+                else np.zeros(n))
+        score = MMR_LAMBDA * rel - (1.0 - MMR_LAMBDA) * msim
+        score = np.where(remaining, score, -np.inf)
+        # argmax with vec_id tie-break (ids ascend within equal score)
+        best = int(np.lexsort((ids, -score))[0])
+        rows.append((rank, int(ids[best]), float(rel[best]),
+                     float(round_half_up(score[best], 5))))
+        selected.append(best)
+        remaining[best] = False
+    return pd.DataFrame(rows, columns=["rnk", "vec_id", "rel", "mmr"]) \
+        .astype({"rnk": "int64", "vec_id": "int64"})
+
+
+def _mmr_sql(k: int = MMR_K, pool: int = MMR_POOL,
+             lam: float = MMR_LAMBDA) -> str:
+    """Unrolled greedy MMR: step i picks argmax of
+    λ·rel − (1−λ)·max(sim to steps 1..i−1) over the remaining pool.
+    Cosines are rounded to 5dp before scoring on BOTH sides, so the
+    float arithmetic (and therefore the greedy path) is identical."""
+    mu = round(1.0 - lam, 10)
+    parts = [f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 5)
+             AS rel
+  FROM embeddings e, q
+  ORDER BY rel DESC, e.vec_id LIMIT {pool}),
+p1 AS (SELECT vec_id, v, rel, {lam} * rel AS mmr
+       FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+s1 AS (SELECT vec_id, v FROM p1)"""]
+    for i in range(2, k + 1):
+        parts.append(f""",
+c{i} AS (
+  SELECT c.vec_id, c.v, c.rel,
+         {lam} * c.rel - {mu} * (
+             SELECT max(round(list_cosine_similarity(c.v, s.v), 5))
+             FROM s{i - 1} s) AS mmr
+  FROM cand c
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM s{i - 1})),
+p{i} AS (SELECT vec_id, v, rel, mmr FROM c{i}
+         ORDER BY mmr DESC, vec_id LIMIT 1),
+s{i} AS (SELECT vec_id, v FROM s{i - 1}
+         UNION ALL SELECT vec_id, v FROM p{i})""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rnk, vec_id, rel, mmr FROM p{i}"
+        for i in range(1, k + 1))
+    parts.append(f""",
+sel AS ({union})
+SELECT CAST(rnk AS BIGINT) AS rnk, vec_id, rel,
+       round(mmr, 5) AS mmr
+FROM sel ORDER BY rnk""")
+    return "".join(parts)
+
+
 def vector_queries() -> dict[str, Callable]:
     return {
         "ann_cosine_topk": ann_cosine_topk,
@@ -1232,6 +1329,7 @@ def vector_queries() -> dict[str, Callable]:
         "label_stats": label_stats,
         "label_centroids": label_centroids,
         "embedding_outliers": embedding_outliers,
+        "embedding_mmr_topk": embedding_mmr_topk,
     }
 
 
@@ -1257,4 +1355,5 @@ def vector_oracle_sql() -> dict[str, str]:
         "label_stats": LABEL_STATS_SQL,
         "label_centroids": LABEL_CENTROIDS_SQL,
         "embedding_outliers": EMBEDDING_OUTLIERS_SQL,
+        "embedding_mmr_topk": _mmr_sql(),
     }
