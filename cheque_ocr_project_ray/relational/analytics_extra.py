@@ -2300,6 +2300,219 @@ def parts_top_per_nation(sf_dir: str, np_: int = 0):
         top3, batch_format="pandas")
 
 
+PATH_LEN = 4
+PATH_TOP_K = 20
+
+
+@_hash_shuffled
+def events_funnel_paths(sf_dir: str, np_: int = 0):
+    """Top-``PATH_TOP_K`` user journey prefixes: each user's first
+    ``PATH_LEN`` event types (ordered by ts, event_id) joined into one
+    path string, counted across users — sequence mining's "what do
+    people actually do first".  Per-user ordering happens inside
+    ``groupby(user).map_groups`` (sessionization partitioning
+    assumption); the path table is ≤|types|^len — merge-bounded — and
+    the final top-k is a sort of that bounded table, never raw rows."""
+    import pyarrow.parquet as pq_
+    from pathlib import Path
+    if pq_.ParquetFile(str(Path(sf_dir) / "events.parquet")) \
+            .metadata.num_rows == 0:
+        return pd.DataFrame({"path": pd.Series([], dtype="object"),
+                             "n_users": pd.Series([], dtype="int64")})
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id",
+                                "event_type"])
+
+    def path(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"]).head(PATH_LEN)
+        return pd.DataFrame({"path": [">".join(g["event_type"])],
+                             "n_users": np.asarray([1], np.int64)})
+
+    per_user = ds.groupby("user_id", num_partitions=np_).map_groups(
+        path, batch_format="pandas")
+    agg = final_merge_sums(per_user, ["path"], ["n_users"], np_=np_)
+    return agg.sort(["n_users", "path"],
+                    descending=[True, False]).limit(PATH_TOP_K)
+
+
+EVENTS_FUNNEL_PATHS_SQL = f"""
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= {PATH_LEN} GROUP BY user_id)
+SELECT path, count(*) AS n_users
+FROM p GROUP BY path
+ORDER BY n_users DESC, path
+LIMIT {PATH_TOP_K}
+"""
+
+
+@_hash_shuffled
+def events_user_overlap(sf_dir: str, np_: int = 0):
+    """Audience-overlap matrix: for every event-type pair, the count
+    of users doing BOTH plus the Jaccard of their user sets — the
+    co-engagement report.  Per-user distinct type sets come from one
+    ``groupby(user)`` pass that emits both the within-user pairs AND a
+    one-row-per-type presence marker (``type_a == type_b``), so user
+    streams are deduped exactly once; everything after is a bounded
+    |types|² merge."""
+    import itertools
+
+    import pyarrow.parquet as pq_
+    from pathlib import Path
+
+    empty = pd.DataFrame({
+        "type_a": pd.Series([], dtype="object"),
+        "type_b": pd.Series([], dtype="object"),
+        "n_both": pd.Series([], dtype="int64"),
+        "n_a": pd.Series([], dtype="int64"),
+        "n_b": pd.Series([], dtype="int64"),
+        "jaccard": pd.Series([], dtype="float64")})
+    if pq_.ParquetFile(str(Path(sf_dir) / "events.parquet")) \
+            .metadata.num_rows == 0:
+        return empty
+
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["user_id", "event_type"]).aggregate([])
+
+    ut = ds.map_batches(distinct_partial, batch_format="pyarrow")
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ts = sorted(set(group["event_type"]))
+        a = list(ts)          # presence markers: type_a == type_b
+        b = list(ts)
+        for x, y in itertools.combinations(ts, 2):
+            a.append(x)
+            b.append(y)
+        return pd.DataFrame({"type_a": a, "type_b": b,
+                             "n": np.ones(len(a), np.int64)})
+
+    merged = final_merge_sums(
+        ut.groupby("user_id", num_partitions=np_).map_groups(
+            pairs, batch_format="pandas"),
+        ["type_a", "type_b"], ["n"], np_=np_)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty or "type_a" not in b.columns:
+            return empty
+        counts = b[b["type_a"] == b["type_b"]] \
+            .set_index("type_a")["n"].to_dict()
+        p = b[b["type_a"] != b["type_b"]].sort_values(
+            ["type_a", "type_b"])
+        na = p["type_a"].map(counts).to_numpy(np.int64)
+        nb = p["type_b"].map(counts).to_numpy(np.int64)
+        inter = p["n"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "type_a": p["type_a"].to_numpy(),
+            "type_b": p["type_b"].to_numpy(),
+            "n_both": inter, "n_a": na, "n_b": nb,
+            "jaccard": round_half_up(
+                inter.astype(np.float64) / (na + nb - inter), 6)})
+
+    return merged.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None)
+
+
+EVENTS_USER_OVERLAP_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+cnt AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+pr AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS inter
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b,
+       CAST(inter AS BIGINT) AS n_both,
+       CAST(ca.n AS BIGINT) AS n_a,
+       CAST(cb.n AS BIGINT) AS n_b,
+       round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 6)
+           AS jaccard
+FROM pr
+JOIN cnt ca ON ca.event_type = type_a
+JOIN cnt cb ON cb.event_type = type_b
+"""
+
+
+@_hash_shuffled
+def orders_priority_mix_shift(sf_dir: str, np_: int = 0):
+    """Quarter-over-quarter order-priority mix: each quarter's share
+    per priority plus the share delta vs the SAME priority one quarter
+    earlier (LAG over an aggregate, not raw rows) — the mix-shift
+    monitor.  The combiner reduces the corpus to a calendar×|priority|
+    table before any window logic; the window itself runs on that
+    driver-tiny table."""
+    ds = _pq(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("o_orderdate"), pa.timestamp("us"))
+        q = pc.add(pc.divide(pc.subtract(pc.cast(pc.month(ts), pa.int64()),
+                                         pa.scalar(1, pa.int64())),
+                             pa.scalar(3, pa.int64())),
+                   pa.scalar(1, pa.int64()))
+        yq = pc.add(pc.multiply(pc.cast(pc.year(ts), pa.int64()),
+                                pa.scalar(10, pa.int64())), q)
+        t = pa.table({"yq": yq,
+                      "o_orderpriority": batch.column("o_orderpriority"),
+                      "n_orders": pa.array(
+                          np.ones(batch.num_rows, np.int64))})
+        return t.group_by(["yq", "o_orderpriority"]) \
+            .aggregate([("n_orders", "sum")]) \
+            .rename_columns(["yq", "o_orderpriority", "n_orders"])
+
+    agg = final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["yq", "o_orderpriority"], ["n_orders"], np_=np_)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty or "yq" not in b.columns:
+            return pd.DataFrame({
+                "yq": pd.Series([], dtype="int64"),
+                "o_orderpriority": pd.Series([], dtype="object"),
+                "n_orders": pd.Series([], dtype="int64"),
+                "share": pd.Series([], dtype="float64"),
+                "share_delta": pd.Series([], dtype="float64")})
+        b = b.sort_values(["o_orderpriority", "yq"]) \
+            .reset_index(drop=True)
+        share = (b["n_orders"].to_numpy(np.float64)
+                 / b.groupby("yq")["n_orders"].transform("sum")
+                 .to_numpy(np.float64))
+        prev = pd.Series(share).groupby(b["o_orderpriority"]).shift(1)
+        return pd.DataFrame({
+            "yq": b["yq"], "o_orderpriority": b["o_orderpriority"],
+            "n_orders": b["n_orders"],
+            "share": round_half_up(share, 6),
+            "share_delta": round_half_up(
+                (share - prev.to_numpy(np.float64)), 6)})
+
+    return agg.repartition(1).map_batches(finish, batch_format="pandas",
+                                          batch_size=None)
+
+
+ORDERS_MIX_SHIFT_SQL = """
+WITH c AS (
+  SELECT year(o_orderdate) * 10 + quarter(o_orderdate) AS yq,
+         o_orderpriority, count(*) AS n_orders
+  FROM orders GROUP BY 1, 2),
+s AS (
+  SELECT yq, o_orderpriority, n_orders,
+         CAST(n_orders AS DOUBLE)
+             / sum(n_orders) OVER (PARTITION BY yq) AS share
+  FROM c)
+SELECT yq, o_orderpriority, CAST(n_orders AS BIGINT) AS n_orders,
+       round(share, 6) AS share,
+       round(share - lag(share) OVER (PARTITION BY o_orderpriority
+                                      ORDER BY yq), 6) AS share_delta
+FROM s
+"""
+
+
 TOP_PARTS_SQL = f"""
 WITH rev AS (
   SELECT n_name, l_partkey AS p_partkey,
@@ -2323,6 +2536,9 @@ FROM rk WHERE rnk <= {TOP_PARTS_K}
 def analytics_extra_queries():
     return {
         "parts_top_per_nation": parts_top_per_nation,
+        "events_funnel_paths": events_funnel_paths,
+        "events_user_overlap": events_user_overlap,
+        "orders_priority_mix_shift": orders_priority_mix_shift,
         "lineitem_discount_slope": lineitem_discount_slope,
         "events_hourly_autocorr": events_hourly_autocorr,
         "events_decay_score": events_decay_score,
@@ -2363,6 +2579,9 @@ def analytics_extra_queries():
 def analytics_extra_oracle_sql():
     return {
         "parts_top_per_nation": TOP_PARTS_SQL,
+        "events_funnel_paths": EVENTS_FUNNEL_PATHS_SQL,
+        "events_user_overlap": EVENTS_USER_OVERLAP_SQL,
+        "orders_priority_mix_shift": ORDERS_MIX_SHIFT_SQL,
         "lineitem_discount_slope": DISCOUNT_SLOPE_SQL,
         "events_hourly_autocorr": EVENTS_AUTOCORR_SQL,
         "events_decay_score": EVENTS_DECAY_SCORE_SQL,

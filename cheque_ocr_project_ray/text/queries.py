@@ -2695,6 +2695,58 @@ GROUP BY source
 """
 
 
+def doc_lang_confusion(sf_dir: str):
+    """Language-ID quality eval: confusion matrix of the n-gram
+    heuristic's ``pred_lang`` against the corpus ground-truth ``lang``
+    column — (true_lang, pred_lang, n).  The matrix is |langs|² —
+    driver-tiny at any corpus size — and the counts combine per batch
+    before the merge, so no raw doc rows shuffle."""
+    from cheque_ocr_project_ray.util import final_merge_sums
+
+    ds = ray.data.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"),
+        columns=["doc_id", "text", "lang"])
+
+    def partial(batch):
+        import numpy as np
+        import pyarrow as pa
+        pred = analysis.lang_id(batch)
+        t = pa.table({
+            "true_lang": batch.column("lang"),
+            "pred_lang": pred.column("pred_lang"),
+            "n": pa.array(np.ones(batch.num_rows, np.int64))})
+        return t.group_by(["true_lang", "pred_lang"]) \
+            .aggregate([("n", "sum")]) \
+            .rename_columns(["true_lang", "pred_lang", "n"])
+
+    return final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["true_lang", "pred_lang"], ["n"])
+
+
+LANG_CONFUSION_SQL = """
+WITH t AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), hits AS (
+  SELECT doc_id, lang,
+         len(list_filter(toks, x -> x IN ('the', 'a', 'of')))  AS en,
+         len(list_filter(toks, x -> x IN ('el', 'la', 'los'))) AS es,
+         len(list_filter(toks, x -> x IN ('le', 'les', 'des'))) AS fr
+  FROM t
+)
+SELECT lang AS true_lang,
+       CASE WHEN en = 0 AND es = 0 AND fr = 0 THEN 'und'
+            WHEN en >= es AND en >= fr THEN 'en'
+            WHEN es >= fr THEN 'es'
+            ELSE 'fr' END AS pred_lang,
+       count(*) AS n
+FROM hits
+GROUP BY 1, 2
+"""
+
+
 def text_queries() -> dict[str, Callable]:
     return {
         "doc_token_stats": doc_token_stats,
@@ -2705,6 +2757,7 @@ def text_queries() -> dict[str, Callable]:
         "corpus_top_bigrams": corpus_top_bigrams,
         "doc_pack": doc_pack,
         "doc_lang_id": doc_lang_id,
+        "doc_lang_confusion": doc_lang_confusion,
         "doc_fingerprint": doc_fingerprint,
         "doc_bpe_tokens": doc_bpe_tokens,
         "doc_split": doc_split,
@@ -2761,6 +2814,7 @@ def text_oracle_sql() -> dict[str, str]:
         "corpus_top_bigrams": TOP_BIGRAMS_SQL,
         "doc_pack": PACK_SQL,
         "doc_lang_id": LANG_ID_SQL,
+        "doc_lang_confusion": LANG_CONFUSION_SQL,
         "doc_fingerprint": FINGERPRINT_SQL,
         "doc_bpe_tokens": BPE_TOKENS_SQL,
         "doc_split": SPLIT_SQL,

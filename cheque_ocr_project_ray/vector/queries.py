@@ -1206,6 +1206,50 @@ FROM d GROUP BY label ORDER BY label
 """
 
 
+def embedding_ann_ndcg(sf_dir: str, k: int = 10):
+    """NDCG@k of the approximate indexes against the exact ranking —
+    the GRADED complement to ``ann_recall_eval`` (recall treats every
+    exact neighbor equally; NDCG rewards putting the BEST ones first).
+    Gains are graded by exact-rank position (gain of exact rank r =
+    k − r), discounted log2 by result position; ideal DCG normalizes.
+    Approximate by design → rows-only (pytest bounds it: ndcg ∈ [0,1],
+    exact-vs-itself = 1, and ndcg ≤ some recall-consistent cap)."""
+    from cheque_ocr_project_ray.util import round_half_up
+
+    probes = pq.read_table(str(Path(sf_dir) / "embeddings.parquet"),
+                           columns=["vec_id", "embedding"],
+                           filters=[("vec_id", "<", RECALL_PROBES)])
+    qvecs = [np.asarray(v, dtype=np.float64)
+             for v in probes["embedding"].to_pylist()]
+
+    disc = 1.0 / np.log2(np.arange(k) + 2.0)
+
+    def ndcg(exact_ids: list, approx_ids: list) -> float:
+        gain = {vid: float(k - r) for r, vid in enumerate(exact_ids)}
+        dcg = sum(gain.get(vid, 0.0) * disc[i]
+                  for i, vid in enumerate(approx_ids[:k]))
+        ideal = float((np.sort([gain[v] for v in exact_ids])[::-1][:k]
+                       * disc[:len(exact_ids)]).sum())
+        return dcg / ideal if ideal else 0.0
+
+    scores = {"lsh": [], "ivf": [], "pq": []}
+    for qv in qvecs:
+        exact = ann.brute_force_topk(_emb(sf_dir), qv, k=k) \
+            .to_pandas()["vec_id"].tolist()
+        for name, fn in (("lsh", ann.lsh_topk), ("ivf", ann.ivf_topk),
+                         ("pq", ann.pq_topk)):
+            approx = fn(_emb(sf_dir), qv, k=k) \
+                .to_pandas()["vec_id"].tolist()
+            scores[name].append(ndcg(exact, approx))
+
+    methods = ["lsh", "ivf", "pq"]
+    return pd.DataFrame({
+        "method": methods,
+        "ndcg_at_10": [float(round_half_up(np.mean(scores[m]), 4))
+                       for m in methods],
+        "n_queries": [len(qvecs)] * len(methods)})
+
+
 MMR_K = 5
 MMR_POOL = 50
 MMR_LAMBDA = 0.7
@@ -1330,6 +1374,7 @@ def vector_queries() -> dict[str, Callable]:
         "label_centroids": label_centroids,
         "embedding_outliers": embedding_outliers,
         "embedding_mmr_topk": embedding_mmr_topk,
+        "embedding_ann_ndcg": embedding_ann_ndcg,
     }
 
 

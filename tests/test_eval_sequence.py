@@ -1,0 +1,70 @@
+"""Semantic pins for the round-4 eval/sequence additions
+(SQL-twin equality runs in tools/check_oracle.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from cheque_ocr_project_ray.relational.analytics_extra import (
+    PATH_LEN, PATH_TOP_K, events_funnel_paths, events_user_overlap,
+    orders_priority_mix_shift)
+from cheque_ocr_project_ray.text.queries import doc_lang_confusion
+from cheque_ocr_project_ray.vector.queries import embedding_ann_ndcg
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_funnel_paths_counts_every_user_once():
+    df = events_funnel_paths(SF).to_pandas()
+    assert len(df) <= PATH_TOP_K
+    n_users = pd.read_parquet(f"{SF}/events.parquet",
+                              columns=["user_id"])["user_id"].nunique()
+    # top-k is a subset of a partition of all users
+    assert df["n_users"].sum() <= n_users
+    assert (df["path"].str.count(">") <= PATH_LEN - 1).all()
+    n = df["n_users"].to_numpy()
+    assert (np.diff(n) <= 0).all()  # descending
+
+
+def test_user_overlap_brute():
+    df = events_user_overlap(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "event_type"])
+    sets = {t: set(g["user_id"]) for t, g in ev.groupby("event_type")}
+    for row in df.itertuples():
+        a, b = sets[row.type_a], sets[row.type_b]
+        assert row.type_a < row.type_b
+        assert row.n_both == len(a & b)
+        assert (row.n_a, row.n_b) == (len(a), len(b))
+        assert abs(row.jaccard - len(a & b) / len(a | b)) < 1e-6
+
+
+def test_mix_shift_shares_sum_to_one():
+    df = orders_priority_mix_shift(SF).to_pandas()
+    sums = df.groupby("yq")["share"].sum()
+    assert ((sums - 1.0).abs() < 1e-4).all()
+    # deltas are NaN exactly on each priority's first quarter
+    firsts = df.groupby("o_orderpriority")["yq"].transform("min")
+    assert df.loc[df["yq"] == firsts, "share_delta"].isna().all()
+    assert df.loc[df["yq"] != firsts, "share_delta"].notna().all()
+
+
+def test_lang_confusion_totals_and_accuracy():
+    df = doc_lang_confusion(SF).to_pandas()
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    # every doc lands in exactly one confusion cell
+    assert df["n"].sum() == n_docs
+    # predictions stay inside the heuristic's output alphabet (the
+    # corpus has de/zh ground truth the 3-way heuristic cannot emit —
+    # surfacing that blind spot is the point of this eval)
+    assert set(df["pred_lang"]) <= {"en", "es", "fr", "und"}
+    truth = pd.read_parquet(f"{SF}/documents.parquet",
+                            columns=["lang"])["lang"].value_counts()
+    got = df.groupby("true_lang")["n"].sum()
+    assert (got.sort_index() == truth.sort_index()).all()
+
+
+def test_ndcg_bounds_and_recall_consistency():
+    df = embedding_ann_ndcg(SF)
+    assert set(df["method"]) == {"lsh", "ivf", "pq"}
+    assert ((df["ndcg_at_10"] >= 0) & (df["ndcg_at_10"] <= 1)).all()
