@@ -2695,6 +2695,130 @@ GROUP BY source
 """
 
 
+def dedup_triangles(sf_dir: str):
+    """Triangle count + global clustering coefficient of the
+    n-gram-Jaccard near-dup graph — the transitivity audit for dedup
+    quality (high clustering = pair threshold induces coherent
+    clusters; low = chains of borderline pairs that over-merge under
+    closure).  Same edge source as ``dedup_components``.
+
+    Distributed shape: edges are kept (a < b)-ordered, wedges come
+    from ONE partitioned hash join (e1.b = e2.a → a<b<c wedge rows,
+    each triangle generated exactly once), and closure is a second
+    hash join of wedges against edges on a packed "a,c" key — never an
+    adjacency broadcast, never a driver edge list.  Per-node wedge
+    fanout is degree² — the hub-cap assumption the pair sources
+    already enforce (``bucket_cap`` star fallback bounds degrees).
+    Degrees reduce via combiner partials; only scalar sums reach the
+    driver."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import pandas as pd
+
+    from cheque_ocr_project_ray.relational.joins import hash_join
+    from cheque_ocr_project_ray.util import final_merge_sums
+
+    pairs = dedup.ngram_jaccard_pairs(_docs(sf_dir), shingle_k=2,
+                                      threshold=0.5)
+    edges = pairs.select_columns(["doc_a", "doc_b"]).materialize()
+    n_edges = edges.count()
+
+    def _result(t: int, e: int, nodes: int, wedges: int) -> pd.DataFrame:
+        from cheque_ocr_project_ray.util import round_half_up
+        clustering = (float(round_half_up(3.0 * t / wedges, 6))
+                      if wedges > 0 else 0.0)
+        return pd.DataFrame({"n_triangles": [np.int64(t)],
+                             "n_edges": [np.int64(e)],
+                             "n_nodes": [np.int64(nodes)],
+                             "clustering": [clustering]})
+
+    if n_edges == 0:
+        return _result(0, 0, 0, 0)
+
+    def as_ab(batch: pa.Table) -> pa.Table:
+        return pa.table({"a": batch.column("doc_a"),
+                         "b": batch.column("doc_b")})
+
+    def as_bc(batch: pa.Table) -> pa.Table:
+        return pa.table({"b": batch.column("doc_a"),
+                         "c": batch.column("doc_b")})
+
+    e1 = edges.map_batches(as_ab, batch_format="pyarrow")
+    e2 = edges.map_batches(as_bc, batch_format="pyarrow")
+    wedges_ds = hash_join(e1, e2, on="b")  # (a,b,c) with a<b<c
+
+    def pack_ac(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        key = np.char.add(np.char.add(a.astype("U20"), ","),
+                          c.astype("U20"))
+        return pa.table({"key": pa.array(key.tolist(), pa.string())})
+
+    def pack_edge(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        key = np.char.add(np.char.add(a.astype("U20"), ","),
+                          b.astype("U20"))
+        return pa.table({"key": pa.array(key.tolist(), pa.string()),
+                         "hit": pa.array(np.ones(len(a), np.int64))})
+
+    closed = hash_join(wedges_ds.map_batches(pack_ac,
+                                             batch_format="pyarrow"),
+                       edges.map_batches(pack_edge,
+                                         batch_format="pyarrow"),
+                       on="key")
+    n_triangles = closed.count()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"v": pa.concat_arrays([
+            batch.column("doc_a").combine_chunks(),
+            batch.column("doc_b").combine_chunks()]),
+            "d": pa.array(np.ones(2 * batch.num_rows, np.int64))})
+        return t.group_by("v").aggregate([("d", "sum")]) \
+            .rename_columns(["v", "d"])
+
+    deg = final_merge_sums(
+        edges.map_batches(deg_partial, batch_format="pyarrow"),
+        ["v"], ["d"])
+
+    def wedge_partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("d").to_numpy(zero_copy_only=False)
+        return pa.table({"w": pa.array([int((d * (d - 1) // 2).sum())],
+                                       pa.int64()),
+                         "nodes": pa.array([len(d)], pa.int64())})
+
+    sums = deg.map_batches(wedge_partial, batch_format="pyarrow") \
+        .sum(["w", "nodes"])
+    return _result(n_triangles, n_edges,
+                   int(sums["sum(nodes)"]), int(sums["sum(w)"]))
+
+
+def _triangles_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT doc_a AS a, doc_b AS b
+  FROM ({_jaccard_pairs_sql(k=2, threshold=0.5)})),
+deg AS (
+  SELECT v, count(*) AS d
+  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+  GROUP BY v),
+tri AS (
+  SELECT count(*) AS t
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+wed AS (SELECT sum(d * (d - 1) // 2) AS w FROM deg)
+SELECT CAST(t AS BIGINT) AS n_triangles,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       round(CASE WHEN w > 0 THEN 3.0 * t / w ELSE 0 END, 6)
+           AS clustering
+FROM tri, wed
+"""
+
+
 def doc_lang_confusion(sf_dir: str):
     """Language-ID quality eval: confusion matrix of the n-gram
     heuristic's ``pred_lang`` against the corpus ground-truth ``lang``
@@ -2758,6 +2882,7 @@ def text_queries() -> dict[str, Callable]:
         "doc_pack": doc_pack,
         "doc_lang_id": doc_lang_id,
         "doc_lang_confusion": doc_lang_confusion,
+        "dedup_triangles": dedup_triangles,
         "doc_fingerprint": doc_fingerprint,
         "doc_bpe_tokens": doc_bpe_tokens,
         "doc_split": doc_split,
@@ -2815,6 +2940,7 @@ def text_oracle_sql() -> dict[str, str]:
         "doc_pack": PACK_SQL,
         "doc_lang_id": LANG_ID_SQL,
         "doc_lang_confusion": LANG_CONFUSION_SQL,
+        "dedup_triangles": _triangles_sql(),
         "doc_fingerprint": FINGERPRINT_SQL,
         "doc_bpe_tokens": BPE_TOKENS_SQL,
         "doc_split": SPLIT_SQL,

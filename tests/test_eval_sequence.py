@@ -68,3 +68,27 @@ def test_ndcg_bounds_and_recall_consistency():
     df = embedding_ann_ndcg(SF)
     assert set(df["method"]) == {"lsh", "ivf", "pq"}
     assert ((df["ndcg_at_10"] >= 0) & (df["ndcg_at_10"] <= 1)).all()
+
+
+def test_triangles_match_bruteforce():
+    from cheque_ocr_project_ray.text import dedup
+    from cheque_ocr_project_ray.text.queries import (_docs,
+                                                     dedup_triangles)
+
+    res = dedup_triangles(SF)
+    pairs = dedup.ngram_jaccard_pairs(_docs(SF), shingle_k=2,
+                                      threshold=0.5).to_pandas()
+    edges = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(1 for a, b in edges
+              for c in (adj[a] & adj[b]) if b < c)
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    row = res.iloc[0]
+    assert row["n_triangles"] == tri
+    assert row["n_edges"] == len(edges)
+    assert row["n_nodes"] == len(adj)
+    if wedges:
+        assert abs(row["clustering"] - 3.0 * tri / wedges) < 1e-6
