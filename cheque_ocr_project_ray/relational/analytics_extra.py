@@ -2300,6 +2300,147 @@ def parts_top_per_nation(sf_dir: str, np_: int = 0):
         top3, batch_format="pandas")
 
 
+def _skyline_mask(price: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Non-dominated mask for (maximize price, minimize size).
+
+    Vectorized sweep: at each distinct price level (descending), only
+    rows at the level's min size can survive, and they survive iff
+    that min beats the best (smallest) size seen at any strictly
+    higher price.  Ties on both dims are mutually non-dominating →
+    all kept."""
+    n = len(price)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    order = np.lexsort((size, -price))
+    p_s, s_s = price[order], size[order]
+    # level boundaries (price descending, so equal prices adjacent)
+    starts = np.flatnonzero(np.concatenate(([True], p_s[1:] != p_s[:-1])))
+    level_min = np.minimum.reduceat(s_s, starts)
+    # best size among all STRICTLY higher price levels (exclusive)
+    best_prev = np.concatenate(
+        ([np.inf], np.minimum.accumulate(level_min)[:-1]))
+    lvl = np.cumsum(np.concatenate(
+        ([0], (p_s[1:] != p_s[:-1]).astype(np.int64))))
+    ok = (s_s == level_min[lvl]) & (level_min[lvl] < best_prev[lvl])
+    keep[order] = ok
+    return keep
+
+
+def part_skyline(sf_dir: str):
+    """Pareto frontier (skyline) of parts: maximize ``p_retailprice``
+    while minimizing ``p_size`` — no part in the result is dominated
+    by another on both dimensions.  The distributed-skyline classic:
+    each batch keeps only its LOCAL skyline (dominance is transitive,
+    so global skyline ⊆ union of local skylines), and one final sweep
+    over that small candidate union finishes.  Candidate union size is
+    the sum of per-batch frontier sizes — orders of magnitude below
+    the corpus; a worst-case anti-correlated corpus degrades to a
+    second distributed round (repartition + re-sweep), not a failure."""
+    from cheque_ocr_project_ray.relational.queries import _pq
+
+    ds = _pq(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+
+    def local(batch: pa.Table) -> pa.Table:
+        keep = _skyline_mask(
+            batch.column("p_retailprice").to_numpy(zero_copy_only=False),
+            batch.column("p_size").to_numpy(
+                zero_copy_only=False).astype(np.int64))
+        return batch.filter(pa.array(keep))
+
+    cand = ds.map_batches(local, batch_format="pyarrow")
+    # final sweep over the bounded candidate union
+    return cand.repartition(1).map_batches(local, batch_format="pyarrow",
+                                           batch_size=None)
+
+
+PART_SKYLINE_SQL = """
+SELECT p_partkey, p_retailprice, p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice >= p.p_retailprice
+    AND q.p_size <= p.p_size
+    AND (q.p_retailprice > p.p_retailprice OR q.p_size < p.p_size))
+"""
+
+
+@_hash_shuffled
+def events_cusum_shift(sf_dir: str, np_: int = 0):
+    """CUSUM change-point over the hourly event-count series: the hour
+    where the cumulative deviation from the global mean peaks — the
+    level-shift detector.  All arithmetic is EXACT integers (the
+    deviation is scaled by n_hours: ``cu_i = H·prefix(n) − i·total``),
+    so the running statistic is order-stable and bit-equal to the SQL
+    window, with no float accumulation drift.  Hourly counts reduce
+    via combiner partials (calendar-bounded); the scan itself runs on
+    that tiny table."""
+    import pyarrow.parquet as pq_
+    from pathlib import Path
+
+    empty = pd.DataFrame({
+        "shift_hour": pd.Series([], dtype="datetime64[us]"),
+        "cusum_scaled": pd.Series([], dtype="int64"),
+        "n_hours": pd.Series([], dtype="int64"),
+        "total_events": pd.Series([], dtype="int64")})
+    if pq_.ParquetFile(str(Path(sf_dir) / "events.parquet")) \
+            .metadata.num_rows == 0:
+        return empty
+
+    ds = _pq(sf_dir, "events", ["ts"])
+    hour_us = 3_600 * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")),
+                     pa.int64())
+        hr = pc.multiply(pc.divide(us, pa.scalar(hour_us, pa.int64())),
+                         pa.scalar(hour_us, pa.int64()))
+        t = pa.table({"hr": hr,
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))})
+        return t.group_by("hr").aggregate([("n", "sum")]) \
+            .rename_columns(["hr", "n"])
+
+    agg = final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["hr"], ["n"], np_=np_)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty or "hr" not in b.columns:
+            return empty
+        b = b.sort_values("hr").reset_index(drop=True)
+        n = b["n"].to_numpy(np.int64)
+        h, tot = len(n), int(n.sum())
+        cu = h * np.cumsum(n) - np.arange(1, h + 1, dtype=np.int64) * tot
+        i = int(np.lexsort((np.arange(h), -np.abs(cu)))[0])
+        return pd.DataFrame({
+            "shift_hour": b["hr"].iloc[[i]].to_numpy(np.int64)
+            .astype("datetime64[us]"),
+            "cusum_scaled": np.asarray([cu[i]], np.int64),
+            "n_hours": np.asarray([h], np.int64),
+            "total_events": np.asarray([tot], np.int64)})
+
+    return agg.repartition(1).map_batches(finish, batch_format="pandas",
+                                          batch_size=None)
+
+
+EVENTS_CUSUM_SQL = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hr, count(*) AS n
+  FROM events GROUP BY 1),
+t AS (SELECT count(*) AS nh, sum(n) AS tot FROM h),
+c AS (
+  SELECT hr,
+         (SELECT nh FROM t)
+             * sum(n) OVER (ORDER BY hr ROWS UNBOUNDED PRECEDING)
+         - row_number() OVER (ORDER BY hr) * (SELECT tot FROM t) AS cu
+  FROM h)
+SELECT hr AS shift_hour, CAST(cu AS BIGINT) AS cusum_scaled,
+       CAST((SELECT nh FROM t) AS BIGINT) AS n_hours,
+       CAST((SELECT tot FROM t) AS BIGINT) AS total_events
+FROM c ORDER BY abs(cu) DESC, hr LIMIT 1
+"""
+
+
 PATH_LEN = 4
 PATH_TOP_K = 20
 
@@ -2539,6 +2680,8 @@ def analytics_extra_queries():
         "events_funnel_paths": events_funnel_paths,
         "events_user_overlap": events_user_overlap,
         "orders_priority_mix_shift": orders_priority_mix_shift,
+        "part_skyline": part_skyline,
+        "events_cusum_shift": events_cusum_shift,
         "lineitem_discount_slope": lineitem_discount_slope,
         "events_hourly_autocorr": events_hourly_autocorr,
         "events_decay_score": events_decay_score,
@@ -2582,6 +2725,8 @@ def analytics_extra_oracle_sql():
         "events_funnel_paths": EVENTS_FUNNEL_PATHS_SQL,
         "events_user_overlap": EVENTS_USER_OVERLAP_SQL,
         "orders_priority_mix_shift": ORDERS_MIX_SHIFT_SQL,
+        "part_skyline": PART_SKYLINE_SQL,
+        "events_cusum_shift": EVENTS_CUSUM_SQL,
         "lineitem_discount_slope": DISCOUNT_SLOPE_SQL,
         "events_hourly_autocorr": EVENTS_AUTOCORR_SQL,
         "events_decay_score": EVENTS_DECAY_SCORE_SQL,

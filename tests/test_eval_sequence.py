@@ -92,3 +92,40 @@ def test_triangles_match_bruteforce():
     assert row["n_nodes"] == len(adj)
     if wedges:
         assert abs(row["clustering"] - 3.0 * tri / wedges) < 1e-6
+
+
+def test_skyline_is_nondominated_and_complete():
+    from cheque_ocr_project_ray.relational.analytics_extra import \
+        part_skyline
+
+    df = part_skyline(SF).to_pandas()
+    parts = pd.read_parquet(f"{SF}/part.parquet",
+                            columns=["p_partkey", "p_retailprice",
+                                     "p_size"])
+    pr = parts["p_retailprice"].to_numpy()
+    sz = parts["p_size"].to_numpy()
+    brute = set()
+    for i in range(len(parts)):
+        dominated = ((pr >= pr[i]) & (sz <= sz[i])
+                     & ((pr > pr[i]) | (sz < sz[i]))).any()
+        if not dominated:
+            brute.add(int(parts["p_partkey"].iloc[i]))
+    assert set(df["p_partkey"]) == brute
+
+
+def test_cusum_matches_bruteforce():
+    from cheque_ocr_project_ray.relational.analytics_extra import \
+        events_cusum_shift
+
+    df = events_cusum_shift(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts"])
+    hr = (ev["ts"].astype("int64") // (3_600 * 1_000_000)).value_counts() \
+        .sort_index()
+    n = hr.to_numpy(np.int64)
+    h, tot = len(n), int(n.sum())
+    cu = h * np.cumsum(n) - np.arange(1, h + 1, dtype=np.int64) * tot
+    i = int(np.argmax(np.abs(cu)))
+    row = df.iloc[0]
+    assert row["n_hours"] == h and row["total_events"] == tot
+    assert abs(row["cusum_scaled"]) == np.abs(cu).max()
+    assert row["shift_hour"].value // 1000 == hr.index[i] * 3_600 * 1_000_000
