@@ -2190,6 +2190,13 @@ GROUP BY c_nationkey
 Q7_NATIONS = ("NATION_1", "NATION_2")
 
 
+_Q7_EMPTY = pa.table({
+    "supp_nation": pa.array([], pa.string()),
+    "cust_nation": pa.array([], pa.string()),
+    "yr": pa.array([], pa.int64()),
+    "revenue": pa.array([], pa.float64())})
+
+
 @_hash_shuffled
 def q7_volume_shipping(sf_dir: str, np_: int = 0):
     """Yearly shipped revenue between two nations, both directions
@@ -2219,14 +2226,26 @@ def q7_volume_shipping(sf_dir: str, np_: int = 0):
     sn = supplier.join(
         nation.rename_columns(["s_nationkey", "supp_nation"]),
         keys="s_nationkey")
+    # suppliers of the two nations only — qualifying rows must have
+    # BOTH ends in the pair, so this set prefilters lineitem BEFORE
+    # the fact-fact exchange (~|pair|/|nations| of the stream ever
+    # shuffles; the direction check still runs post-join)
+    s2 = sn.filter(pc.is_in(sn.column("supp_nation"),
+                            value_set=pa.array(Q7_NATIONS)))
+    if s2.num_rows == 0 or cn.num_rows == 0:
+        # a side of the pair has no members at this tier: provably
+        # empty — skip the fact scans (and the schemaless-empty
+        # stream a zero-row prefilter would otherwise produce)
+        return ray.data.from_arrow(_Q7_EMPTY)
     dims_ref = ray.put((cn.column("c_custkey").combine_chunks(),
                         cn.column("cust_nation").combine_chunks(),
                         sn.column("s_suppkey").combine_chunks(),
-                        sn.column("supp_nation").combine_chunks()))
+                        sn.column("supp_nation").combine_chunks(),
+                        s2.column("s_suppkey").combine_chunks()))
 
     class OrderNation:
         def __init__(self):
-            self.ckeys, self.cnames, _, _ = ray.get(dims_ref)
+            self.ckeys, self.cnames, _, _, _ = ray.get(dims_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             b = batch.filter(pc.is_in(batch.column("o_custkey"),
@@ -2241,15 +2260,24 @@ def q7_volume_shipping(sf_dir: str, np_: int = 0):
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
         .map_batches(OrderNation, batch_format="pyarrow",
                      concurrency=(1, map_pool()))
+    def supp_prefilter(batch: pa.Table) -> pa.Table:
+        # stateless TASK, not an actor pool: q7 already runs two
+        # pools + shuffle aggregators, and a third pool's minimum
+        # actor reservation deadlocks small CPU budgets; ray.get of
+        # the broadcast dims is a zero-copy plasma read per task
+        return batch.filter(pc.is_in(batch.column("l_suppkey"),
+                                     value_set=ray.get(dims_ref)[4]))
+
     li = _pq(sf_dir, "lineitem",
              ["l_orderkey", "l_suppkey", "l_shipdate",
-              "l_extendedprice", "l_discount"])
+              "l_extendedprice", "l_discount"]) \
+        .map_batches(supp_prefilter, batch_format="pyarrow")
     joined = hash_join(li, orders, on="l_orderkey",
                        num_partitions=np_ or None)
 
     class VolumePartial:
         def __init__(self):
-            _, _, self.skeys, self.snames = ray.get(dims_ref)
+            _, _, self.skeys, self.snames, _ = ray.get(dims_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             si = pc.index_in(batch.column("l_suppkey"),
@@ -2283,11 +2311,7 @@ def q7_volume_shipping(sf_dir: str, np_: int = 0):
         ["supp_nation", "cust_nation", "yr"], ["du"],
         np_=np_).materialize())
     if t is None:  # no cross-nation flow: typed-empty result
-        return ray.data.from_arrow(pa.table({
-            "supp_nation": pa.array([], pa.string()),
-            "cust_nation": pa.array([], pa.string()),
-            "yr": pa.array([], pa.int64()),
-            "revenue": pa.array([], pa.float64())}))
+        return ray.data.from_arrow(_Q7_EMPTY)
     return ray.data.from_arrow(pa.table({
         "supp_nation": t.column("supp_nation"),
         "cust_nation": t.column("cust_nation"),
