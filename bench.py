@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "ann_range_search",        # radius search (streaming GEMM filter)
     "supplier_scorecard",      # entity-360 multi-metric join profile
     "doc_bm25_topk",           # two-pass ranked retrieval
+    "events_funnel_paths",     # per-user ordered sequence mining
+    "embedding_mmr_topk",      # diverse retrieval re-rank (r4)
 ]
 
 
