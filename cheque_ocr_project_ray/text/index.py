@@ -356,8 +356,17 @@ def tfidf_pairs(docs_ds, df_cap: int = PAIRS_DF_CAP,
         return t.filter(pc.greater_equal(t.column("cos"),
                                          pa.scalar(threshold)))
 
-    return agg.map_batches(shape, batch_format="pyarrow") \
-        .sort(["doc_a", "doc_b"])
+    out = agg.map_batches(shape, batch_format="pyarrow") \
+        .sort(["doc_a", "doc_b"]).materialize()
+    # a zero-pair corpus (every shared term above df_cap, or nothing
+    # past the threshold — the sf0.1 tier does this) must still be a
+    # TYPED empty: Ray's to_pandas drops columns on ANY empty Dataset,
+    # so hand back the typed Arrow table instead.  The materialize is
+    # ~free — sort is already an all-to-all barrier on this bounded,
+    # threshold-filtered pair set.
+    if out.count() == 0:
+        return _EMPTY_DOC_PAIRS
+    return out
 
 
 _EMPTY_DOC_PAIRS = pa.table({"doc_a": pa.array([], pa.int64()),
