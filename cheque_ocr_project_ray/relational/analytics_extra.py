@@ -19,6 +19,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
+
 from cheque_ocr_project_ray.relational.queries import _hash_shuffled, _pq
 from cheque_ocr_project_ray.relational.tpch_extra import (_DAY_US,
                                                           _ts_col_us)
@@ -2441,6 +2443,188 @@ FROM c ORDER BY abs(cu) DESC, hr LIMIT 1
 """
 
 
+SEASONAL_TOP_K = 10
+
+
+@_hash_shuffled
+def events_hourly_seasonal_z(sf_dir: str, np_: int = 0):
+    """Seasonal anomaly detection: each hour's event count z-scored
+    against its OWN (day-of-week, hour-of-day) seasonal group — the
+    "is this Tuesday 3pm unusual for a Tuesday 3pm" monitor, the
+    complement of the global-shift CUSUM.  Group moments (k, Σn, Σn²)
+    are exact integers, so mean/var/z are bit-equal to the SQL twin
+    (sqrt is IEEE-correctly-rounded on identical inputs).  Hourly
+    counts reduce via combiner partials; the seasonal join and top-k
+    run on the calendar-bounded table."""
+    import pyarrow.parquet as pq_
+    from pathlib import Path
+
+    empty = pd.DataFrame({
+        "hr": pd.Series([], dtype="datetime64[us]"),
+        "dow": pd.Series([], dtype="int64"),
+        "hod": pd.Series([], dtype="int64"),
+        "n_events": pd.Series([], dtype="int64"),
+        "mean_n": pd.Series([], dtype="float64"),
+        "z": pd.Series([], dtype="float64")})
+    if pq_.ParquetFile(str(Path(sf_dir) / "events.parquet")) \
+            .metadata.num_rows == 0:
+        return empty
+
+    ds = _pq(sf_dir, "events", ["ts"])
+    hour_us = 3_600 * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")),
+                     pa.int64())
+        hr = pc.multiply(pc.divide(us, pa.scalar(hour_us, pa.int64())),
+                         pa.scalar(hour_us, pa.int64()))
+        t = pa.table({"hr": hr,
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))})
+        return t.group_by("hr").aggregate([("n", "sum")]) \
+            .rename_columns(["hr", "n"])
+
+    agg = final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["hr"], ["n"], np_=np_)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty or "hr" not in b.columns:
+            return empty
+        hr_us_arr = b["hr"].to_numpy(np.int64)
+        n = b["n"].to_numpy(np.int64)
+        days = hr_us_arr // (24 * hour_us)
+        dow = (days + 4) % 7          # 1970-01-01 = Thursday = 4
+        hod = (hr_us_arr // hour_us) % 24
+        g = pd.DataFrame({"dow": dow, "hod": hod, "n": n})
+        st = g.groupby(["dow", "hod"])["n"].agg(
+            k="count", s="sum", q=lambda x: int((x.astype(object)
+                                                 ** 2).sum()))
+        st = st.reset_index()
+        m = g.merge(st, on=["dow", "hod"])
+        k = m["k"].to_numpy(np.float64)
+        s = m["s"].to_numpy(np.float64)
+        q = m["q"].to_numpy(np.float64)
+        mu = s / k
+        var = (q * k - s * s) / (k * k)
+        nn = m["n"].to_numpy(np.float64)
+        z = np.where(var > 0, (nn - mu) / np.sqrt(np.where(var > 0,
+                                                           var, 1.0)),
+                     0.0)
+        order = np.lexsort((hr_us_arr, -np.abs(z)))[:SEASONAL_TOP_K]
+        return pd.DataFrame({
+            "hr": hr_us_arr[order].astype("datetime64[us]"),
+            "dow": dow[order].astype(np.int64),
+            "hod": hod[order].astype(np.int64),
+            "n_events": n[order],
+            "mean_n": round_half_up(mu[order], 6),
+            "z": round_half_up(z[order], 4)})
+
+    return agg.repartition(1).map_batches(finish, batch_format="pandas",
+                                          batch_size=None)
+
+
+EVENTS_SEASONAL_Z_SQL = f"""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hr, count(*) AS n
+  FROM events GROUP BY 1),
+g AS (SELECT hr, n, dayofweek(hr) AS dow, hour(hr) AS hod FROM h),
+st AS (
+  SELECT dow, hod, count(*) AS k, sum(n) AS s, sum(n * n) AS q
+  FROM g GROUP BY 1, 2),
+z AS (
+  SELECT g.hr, g.dow, g.hod, g.n,
+         CAST(s AS DOUBLE) / k AS mu,
+         (CAST(q AS DOUBLE) * k - CAST(s AS DOUBLE) * s)
+             / (CAST(k AS DOUBLE) * k) AS var
+  FROM g JOIN st ON g.dow = st.dow AND g.hod = st.hod)
+SELECT hr, CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
+       CAST(n AS BIGINT) AS n_events,
+       round(mu, 6) AS mean_n,
+       round(CASE WHEN var > 0 THEN (n - mu) / sqrt(var)
+             ELSE 0 END, 4) AS z
+FROM z
+ORDER BY abs(CASE WHEN var > 0 THEN (n - mu) / sqrt(var)
+             ELSE 0 END) DESC, hr
+LIMIT {SEASONAL_TOP_K}
+"""
+
+
+@_hash_shuffled
+def suppliers_hhi_by_parttype(sf_dir: str, np_: int = 0):
+    """Market concentration per part type: the Herfindahl–Hirschman
+    index of supplier revenue shares (Σ shareᵢ², 1/n..1) plus the
+    supplier count — the assortment-risk report.  Per-(type, supplier)
+    revenue reduces to exact integer cents via combiner partials; the
+    HHI itself is computed from arbitrary-precision integer moments
+    (Σc², (Σc)² — c² overflows int64 at corpus scale) with ONE final
+    double division, bit-equal to the HUGEINT SQL."""
+    import pyarrow.parquet as pq_
+    from pathlib import Path
+
+    empty = pd.DataFrame({
+        "p_type": pd.Series([], dtype="object"),
+        "n_suppliers": pd.Series([], dtype="int64"),
+        "hhi": pd.Series([], dtype="float64")})
+    if pq_.ParquetFile(str(Path(sf_dir) / "lineitem.parquet")) \
+            .metadata.num_rows == 0:
+        return empty
+
+    part = pq_.read_table(str(Path(sf_dir) / "part.parquet"),
+                          columns=["p_partkey", "p_type"])
+    part_ref = ray.put((part.column("p_partkey").combine_chunks(),
+                        part.column("p_type").combine_chunks()))
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pkeys, ptypes = ray.get(part_ref)
+        idx = pc.index_in(batch.column("l_partkey"), value_set=pkeys)
+        t = pa.table({"p_type": ptypes.take(idx),
+                      "l_suppkey": batch.column("l_suppkey"),
+                      "cents": money_units(
+                          batch.column("l_extendedprice"))})
+        return t.group_by(["p_type", "l_suppkey"]) \
+            .aggregate([("cents", "sum")]) \
+            .rename_columns(["p_type", "l_suppkey", "cents"])
+
+    agg = final_merge_sums(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["p_type", "l_suppkey"], ["cents"], np_=np_)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty or "p_type" not in b.columns:
+            return empty
+        rows = []
+        for ptype, g in b.groupby("p_type", sort=True):
+            cs = [int(c) for c in g["cents"]]  # python ints: exact c²
+            num = sum(c * c for c in cs)
+            den = sum(cs)
+            hhi = float(num) / (float(den) * float(den)) if den else 0.0
+            rows.append((ptype, len(cs), float(round_half_up(hhi, 6))))
+        return pd.DataFrame(rows, columns=["p_type", "n_suppliers",
+                                           "hhi"]) \
+            .astype({"n_suppliers": "int64"})
+
+    return agg.repartition(1).map_batches(finish, batch_format="pandas",
+                                          batch_size=None)
+
+
+SUPPLIERS_HHI_SQL = """
+WITH s AS (
+  SELECT p_type, l_suppkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+              AS BIGINT) AS c
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY 1, 2)
+SELECT p_type, CAST(count(*) AS BIGINT) AS n_suppliers,
+       round(CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE)
+             / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)), 6)
+           AS hhi
+FROM s GROUP BY p_type
+"""
+
+
 PATH_LEN = 4
 PATH_TOP_K = 20
 
@@ -2682,6 +2866,8 @@ def analytics_extra_queries():
         "orders_priority_mix_shift": orders_priority_mix_shift,
         "part_skyline": part_skyline,
         "events_cusum_shift": events_cusum_shift,
+        "events_hourly_seasonal_z": events_hourly_seasonal_z,
+        "suppliers_hhi_by_parttype": suppliers_hhi_by_parttype,
         "lineitem_discount_slope": lineitem_discount_slope,
         "events_hourly_autocorr": events_hourly_autocorr,
         "events_decay_score": events_decay_score,
@@ -2727,6 +2913,8 @@ def analytics_extra_oracle_sql():
         "orders_priority_mix_shift": ORDERS_MIX_SHIFT_SQL,
         "part_skyline": PART_SKYLINE_SQL,
         "events_cusum_shift": EVENTS_CUSUM_SQL,
+        "events_hourly_seasonal_z": EVENTS_SEASONAL_Z_SQL,
+        "suppliers_hhi_by_parttype": SUPPLIERS_HHI_SQL,
         "lineitem_discount_slope": DISCOUNT_SLOPE_SQL,
         "events_hourly_autocorr": EVENTS_AUTOCORR_SQL,
         "events_decay_score": EVENTS_DECAY_SCORE_SQL,

@@ -129,3 +129,55 @@ def test_cusum_matches_bruteforce():
     assert row["n_hours"] == h and row["total_events"] == tot
     assert abs(row["cusum_scaled"]) == np.abs(cu).max()
     assert row["shift_hour"].value // 1000 == hr.index[i] * 3_600 * 1_000_000
+
+
+def test_seasonal_z_matches_bruteforce_top1():
+    from cheque_ocr_project_ray.relational.analytics_extra import \
+        events_hourly_seasonal_z
+
+    df = events_hourly_seasonal_z(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts"])
+    hour_us = 3_600 * 1_000_000
+    hr = (ev["ts"].astype("int64") // hour_us * hour_us).value_counts() \
+        .sort_index()
+    g = pd.DataFrame({
+        "hr": hr.index.to_numpy(np.int64),
+        "n": hr.to_numpy(np.int64)})
+    g["dow"] = (g["hr"] // (24 * hour_us) + 4) % 7
+    g["hod"] = (g["hr"] // hour_us) % 24
+    st = g.groupby(["dow", "hod"])["n"] \
+        .agg(["count", "sum", lambda x: (x ** 2).sum()])
+    st.columns = ["k", "s", "q"]
+    m = g.merge(st.reset_index(), on=["dow", "hod"])
+    mu = m["s"] / m["k"]
+    var = (m["q"] * m["k"] - m["s"] * m["s"]) / (m["k"] * m["k"])
+    z = np.where(var > 0, (m["n"] - mu) / np.sqrt(var.clip(1e-300)), 0)
+    best = np.abs(z).max()
+    assert abs(abs(df["z"].iloc[0]) - round(best, 4)) < 2e-4
+    assert len(df) == 10
+    zz = df["z"].abs().to_numpy()
+    assert (np.diff(zz) <= 1e-9).all()  # sorted by |z| desc
+
+
+def test_hhi_bounds_and_monopoly():
+    from cheque_ocr_project_ray.relational.analytics_extra import \
+        suppliers_hhi_by_parttype
+
+    df = suppliers_hhi_by_parttype(SF).to_pandas()
+    assert len(df) > 0
+    # HHI ∈ [1/n, 1]
+    lo = 1.0 / df["n_suppliers"].to_numpy()
+    assert ((df["hhi"] >= lo - 1e-6) & (df["hhi"] <= 1.0 + 1e-9)).all()
+    # exact brute check of one type
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey",
+                                  "l_extendedprice"])
+    part = pd.read_parquet(f"{SF}/part.parquet",
+                           columns=["p_partkey", "p_type"])
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    t0 = df["p_type"].iloc[0]
+    sub = j[j["p_type"] == t0]
+    cents = (sub["l_extendedprice"] * 100).round().astype("int64")
+    per = cents.groupby(sub["l_suppkey"]).sum()
+    hhi = float((per.astype(object) ** 2).sum()) / float(per.sum()) ** 2
+    assert abs(df[df["p_type"] == t0]["hhi"].iloc[0] - hhi) < 2e-6
