@@ -544,6 +544,60 @@ GROUP BY window_id
 """
 
 
+@_hash_shuffled
+def events_hopping_users(sf_dir: str, np_: int = 0):
+    """Distinct users per hopping window (60-min windows, 30-min hop)
+    — the sliding-audience counter.  DISTINCT-in-window cannot use
+    value combiners: the per-batch stage dedups (window, user) pairs
+    locally, ONE distributed groupby finishes the global dedup, and a
+    per-batch count partial + bounded merge yields the counts — raw
+    events never shuffle, only the deduped pair stream."""
+    from ray.data.aggregate import Count
+
+    from cheque_ocr_project_ray.util import final_merge_sums
+
+    ds = _pq(sf_dir, "events", ["ts", "user_id"])
+    hop_us = 1_800_000_000
+
+    def pairs_partial(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        k = pc.divide(us, hop_us)
+        t = pa.concat_tables([
+            pa.table({"window_id": k,
+                      "user_id": batch.column("user_id")}),
+            pa.table({"window_id": pc.subtract(
+                k, pa.scalar(1, pa.int64())),
+                "user_id": batch.column("user_id")})])
+        return t.group_by(["window_id", "user_id"]).aggregate([])
+
+    distinct = ds.map_batches(pairs_partial, batch_format="pyarrow") \
+        .groupby(["window_id", "user_id"],
+                 num_partitions=np_ or None).aggregate(
+            Count(alias_name="_c"))
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"window_id": batch.column("window_id"),
+                      "n_users": pa.array(
+                          np.ones(batch.num_rows, np.int64))})
+        return t.group_by("window_id").aggregate([("n_users", "sum")]) \
+            .rename_columns(["window_id", "n_users"])
+
+    return final_merge_sums(
+        distinct.map_batches(count_partial, batch_format="pyarrow"),
+        ["window_id"], ["n_users"], np_=np_)
+
+
+EVENTS_HOPPING_USERS_SQL = """
+WITH e AS (SELECT epoch_us(ts) // 1800000000 AS k, user_id FROM events),
+w AS (SELECT k AS window_id, user_id FROM e
+      UNION ALL
+      SELECT k - 1 AS window_id, user_id FROM e)
+SELECT window_id, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM w
+GROUP BY window_id
+"""
+
+
 # --- JSON property extraction (nested-data scalar op) ----------------
 @_hash_shuffled
 def events_props_stats(sf_dir: str, np_: int = 0):
@@ -2492,6 +2546,7 @@ def relational_queries() -> dict[str, Callable]:
         "events_sessions": events_sessions,
         "events_sessions_salted": events_sessions_salted,
         "events_hopping": events_hopping,
+        "events_hopping_users": events_hopping_users,
         "events_asof_view": events_asof_view,
         "events_user_count": events_user_count,
         "events_user_count_approx": events_user_count_approx,
@@ -2555,6 +2610,7 @@ def relational_oracle_sql() -> dict[str, str]:
         "events_sessions": EVENTS_SESSIONS_SQL,
         "events_sessions_salted": EVENTS_SESSIONS_SQL,
         "events_hopping": EVENTS_HOPPING_SQL,
+        "events_hopping_users": EVENTS_HOPPING_USERS_SQL,
         "events_asof_view": EVENTS_ASOF_SQL,
         "events_user_count": EVENTS_USER_COUNT_SQL,
         "events_top_per_type": EVENTS_TOP_PER_TYPE_SQL,

@@ -2819,6 +2819,120 @@ FROM tri, wed
 """
 
 
+def dedup_cluster_sizes(sf_dir: str):
+    """Near-dup cluster-size histogram: (cluster_size, n_clusters)
+    over the connected components of the n-gram-Jaccard pair graph —
+    the dedup-impact summary a curation report leads with (how much of
+    the corpus is 2-packs vs giant templates).  Components reduce to
+    (doc, rep); two bounded groupbys finish."""
+    from cheque_ocr_project_ray.text.cluster import components_from_pairs
+    from cheque_ocr_project_ray.util import final_merge_sums
+
+    import numpy as np
+    import pyarrow as pa
+
+    pairs = dedup.ngram_jaccard_pairs(_docs(sf_dir), shingle_k=2,
+                                      threshold=0.5)
+    comp = components_from_pairs(pairs)
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"rep": batch.column("rep"),
+                      "n": pa.array(
+                          np.ones(batch.num_rows, np.int64))})
+        return t.group_by("rep").aggregate([("n", "sum")]) \
+            .rename_columns(["rep", "n"])
+
+    sizes = final_merge_sums(
+        comp.map_batches(size_partial, batch_format="pyarrow"),
+        ["rep"], ["n"])
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"cluster_size": batch.column("n"),
+                      "n_clusters": pa.array(
+                          np.ones(batch.num_rows, np.int64))})
+        return t.group_by("cluster_size") \
+            .aggregate([("n_clusters", "sum")]) \
+            .rename_columns(["cluster_size", "n_clusters"])
+
+    return final_merge_sums(
+        sizes.map_batches(hist_partial, batch_format="pyarrow"),
+        ["cluster_size"], ["n_clusters"])
+
+
+CLUSTER_SIZES_SQL = f"""
+SELECT size AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM (
+  SELECT rep, CAST(count(*) AS BIGINT) AS size
+  FROM ({_components_sql(2, 0.5)})
+  GROUP BY rep)
+GROUP BY size
+"""
+
+
+def corpus_dedup_savings(sf_dir: str):
+    """Exact-dedup impact report (one row): distinct texts, total
+    docs, duplicate docs, and the characters a keep-first dedup pass
+    saves — identical texts have identical length, so saved_chars =
+    Σ (count−1)·n_chars per text group, exact integers end to end.
+    The text-hash groupby is corpus-distributed; only per-group
+    scalars reach the final fold."""
+    from cheque_ocr_project_ray.text.analysis import text_md5
+    from cheque_ocr_project_ray.util import collect_table
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Min
+
+    ds = ray.data.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"),
+        columns=["doc_id", "text", "n_chars"])
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "text_hash": pa.array(
+                text_md5(batch.column("text").to_pylist()), pa.string()),
+            "n_chars": batch.column("n_chars")})
+
+    groups = ds.map_batches(hash_batch, batch_format="pyarrow") \
+        .groupby("text_hash").aggregate(
+            Count(alias_name="c"), Min("n_chars", alias_name="nc"))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        nc = batch.column("nc").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_distinct_texts": pa.array([len(c)], pa.int64()),
+            "n_docs": pa.array([int(c.sum())], pa.int64()),
+            "dup_docs": pa.array([int((c - 1).sum())], pa.int64()),
+            "saved_chars": pa.array([int(((c - 1) * nc).sum())],
+                                    pa.int64())})
+
+    t = collect_table(
+        groups.map_batches(fold, batch_format="pyarrow").materialize())
+    if t is None:
+        return pd.DataFrame({
+            "n_distinct_texts": pd.Series([0], dtype="int64"),
+            "n_docs": pd.Series([0], dtype="int64"),
+            "dup_docs": pd.Series([0], dtype="int64"),
+            "saved_chars": pd.Series([0], dtype="int64")})
+    df = t.to_pandas()
+    return pd.DataFrame([df.sum()]).astype("int64")
+
+
+DEDUP_SAVINGS_SQL = """
+WITH h AS (
+  SELECT md5(text) AS th, count(*) AS c, min(n_chars) AS nc
+  FROM documents GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_distinct_texts,
+       CAST(sum(c) AS BIGINT) AS n_docs,
+       CAST(sum(c - 1) AS BIGINT) AS dup_docs,
+       CAST(sum((c - 1) * nc) AS BIGINT) AS saved_chars
+FROM h
+"""
+
+
 def doc_lang_confusion(sf_dir: str):
     """Language-ID quality eval: confusion matrix of the n-gram
     heuristic's ``pred_lang`` against the corpus ground-truth ``lang``
@@ -2883,6 +2997,8 @@ def text_queries() -> dict[str, Callable]:
         "doc_lang_id": doc_lang_id,
         "doc_lang_confusion": doc_lang_confusion,
         "dedup_triangles": dedup_triangles,
+        "dedup_cluster_sizes": dedup_cluster_sizes,
+        "corpus_dedup_savings": corpus_dedup_savings,
         "doc_fingerprint": doc_fingerprint,
         "doc_bpe_tokens": doc_bpe_tokens,
         "doc_split": doc_split,
@@ -2941,6 +3057,8 @@ def text_oracle_sql() -> dict[str, str]:
         "doc_lang_id": LANG_ID_SQL,
         "doc_lang_confusion": LANG_CONFUSION_SQL,
         "dedup_triangles": _triangles_sql(),
+        "dedup_cluster_sizes": CLUSTER_SIZES_SQL,
+        "corpus_dedup_savings": DEDUP_SAVINGS_SQL,
         "doc_fingerprint": FINGERPRINT_SQL,
         "doc_bpe_tokens": BPE_TOKENS_SQL,
         "doc_split": SPLIT_SQL,

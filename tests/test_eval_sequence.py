@@ -181,3 +181,46 @@ def test_hhi_bounds_and_monopoly():
     per = cents.groupby(sub["l_suppkey"]).sum()
     hhi = float((per.astype(object) ** 2).sum()) / float(per.sum()) ** 2
     assert abs(df[df["p_type"] == t0]["hhi"].iloc[0] - hhi) < 2e-6
+
+
+def test_cluster_sizes_consistent_with_components():
+    import ray
+    from cheque_ocr_project_ray.text.queries import (dedup_cluster_sizes,
+                                                     dedup_components)
+
+    hist = dedup_cluster_sizes(SF).to_pandas()
+    comp = dedup_components(SF).to_pandas()
+    sizes = comp.groupby("rep").size().value_counts().sort_index()
+    got = hist.set_index("cluster_size")["n_clusters"].sort_index()
+    assert (got == sizes).all()
+    assert (hist["cluster_size"] >= 2).all()  # pairs-only components
+
+
+def test_dedup_savings_identities():
+    from cheque_ocr_project_ray.text.queries import corpus_dedup_savings
+
+    df = corpus_dedup_savings(SF)
+    row = df.iloc[0]
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["text", "n_chars"])
+    assert row["n_docs"] == len(docs)
+    assert row["n_distinct_texts"] == docs["text"].nunique()
+    assert row["dup_docs"] == len(docs) - docs["text"].nunique()
+    dup_chars = docs.groupby("text")["n_chars"] \
+        .agg(lambda x: (len(x) - 1) * x.min()).sum()
+    assert row["saved_chars"] == dup_chars
+
+
+def test_hopping_users_brute():
+    from cheque_ocr_project_ray.relational.queries import \
+        events_hopping_users
+
+    df = events_hopping_users(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["ts", "user_id"])
+    k = ev["ts"].astype("int64") // 1_800_000_000
+    w = pd.concat([pd.DataFrame({"w": k, "u": ev["user_id"]}),
+                   pd.DataFrame({"w": k - 1, "u": ev["user_id"]})])
+    truth = w.groupby("w")["u"].nunique()
+    got = df.set_index("window_id")["n_users"].sort_index()
+    assert (got == truth.sort_index()).all()
