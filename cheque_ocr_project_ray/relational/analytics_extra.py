@@ -2443,6 +2443,223 @@ FROM c ORDER BY abs(cu) DESC, hr LIMIT 1
 """
 
 
+ATTRIB_WINDOW_US = 7 * 24 * 3_600 * 1_000_000
+
+
+@_hash_shuffled
+def events_attribution_linear(sf_dir: str, np_: int = 0):
+    """Linear multi-touch attribution: each 'purchase' splits its
+    value equally across the user's touches in the prior 7 days,
+    credited to the touch's event type.  EXACT integers end to end:
+    each touch gets ``cents // n`` and the FIRST touch absorbs the
+    remainder (``cents % n``) — a deterministic rule that keeps the
+    per-type sums order-independent (a float value/n split would make
+    the distributed sum order-sensitive and break cross-engine
+    equality).  Per-user windows run vectorized (searchsorted) inside
+    ``groupby(user).map_groups``; credits merge via combiner sums."""
+    import pyarrow.parquet as pq_
+    from pathlib import Path
+
+    empty = pd.DataFrame({
+        "event_type": pd.Series([], dtype="object"),
+        "n_credits": pd.Series([], dtype="int64"),
+        "credited_value": pd.Series([], dtype="float64")})
+    if pq_.ParquetFile(str(Path(sf_dir) / "events.parquet")) \
+            .metadata.num_rows == 0:
+        return empty
+
+    ds = _pq(sf_dir, "events",
+             ["user_id", "ts", "event_id", "event_type", "value"])
+
+    def credits(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        us = g["ts"].astype("int64").to_numpy()
+        types = g["event_type"].to_numpy()
+        cents_all = np.round(g["value"].to_numpy() * 100) \
+            .astype(np.int64)
+        is_p = types == "purchase"
+        out_t: list = []
+        out_c: list = []
+        # touches = EVERY event strictly before the purchase within
+        # the window (purchases can be touches for later purchases)
+        for i in np.flatnonzero(is_p):
+            lo = np.searchsorted(us, us[i] - ATTRIB_WINDOW_US,
+                                 side="left")
+            idx = np.arange(lo, i)
+            # strict time order: same-ts earlier-event_id rows count
+            idx = idx[(us[idx] < us[i])]
+            n = len(idx)
+            if n == 0:
+                continue
+            c = int(cents_all[i])
+            base = c // n
+            share = np.full(n, base, np.int64)
+            share[0] += c % n
+            out_t.append(types[idx])
+            out_c.append(share)
+        if not out_t:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype="object"),
+                "n_credits": pd.Series([], dtype="int64"),
+                "cents": pd.Series([], dtype="int64")})
+        t = np.concatenate(out_t)
+        c = np.concatenate(out_c)
+        df = pd.DataFrame({"event_type": t, "cents": c})
+        agg = df.groupby("event_type").agg(
+            n_credits=("cents", "size"), cents=("cents", "sum"))
+        return agg.reset_index()
+
+    per_user = ds.groupby("user_id", num_partitions=np_).map_groups(
+        credits, batch_format="pandas")
+    merged = final_merge_sums(per_user, ["event_type"],
+                              ["n_credits", "cents"], np_=np_)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty or "event_type" not in b.columns:
+            return empty
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "n_credits": b["n_credits"].astype("int64"),
+            "credited_value": b["cents"].to_numpy(np.float64) / 100.0})
+
+    return merged.map_batches(finish, batch_format="pandas")
+
+
+EVENTS_ATTRIBUTION_SQL = f"""
+WITH p AS (
+  SELECT user_id, event_id AS pid, ts AS pts,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT p.pid, p.cents, t.event_type,
+         row_number() OVER (PARTITION BY p.pid
+                            ORDER BY t.ts, t.event_id) AS rn,
+         count(*) OVER (PARTITION BY p.pid) AS n
+  FROM p JOIN events t
+    ON t.user_id = p.user_id AND t.ts < p.pts
+   AND epoch_us(t.ts) >= epoch_us(p.pts) - {ATTRIB_WINDOW_US})
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_credits,
+       CAST(CAST(sum(cents // n
+                     + CASE WHEN rn = 1 THEN cents % n ELSE 0 END)
+                 AS DOUBLE) / 100.0 AS DOUBLE) AS credited_value
+FROM j GROUP BY event_type
+"""
+
+
+DAU_WINDOW_DAYS = 7
+
+
+@_hash_shuffled
+def events_dau_wau(sf_dir: str, np_: int = 0):
+    """DAU / trailing-WAU stickiness per day: daily distinct users,
+    distinct users over the trailing 7 days, and the ratio — the
+    engagement health metric.  The trailing-window distinct cannot
+    combine counts: distinct (day, user) pairs fan out to the ≤7
+    window-days they serve (the hopping-window replication trick),
+    then ONE distributed dedup + bounded count merges finish.  Raw
+    events never shuffle — only deduped (day, user) pairs."""
+    import pyarrow.parquet as pq_
+    from pathlib import Path
+
+    import ray.data
+    from ray.data.aggregate import Count
+
+    empty = pd.DataFrame({
+        "day": pd.Series([], dtype="datetime64[us]"),
+        "dau": pd.Series([], dtype="int64"),
+        "wau": pd.Series([], dtype="int64"),
+        "stickiness": pd.Series([], dtype="float64")})
+    if pq_.ParquetFile(str(Path(sf_dir) / "events.parquet")) \
+            .metadata.num_rows == 0:
+        return empty
+
+    ds = _pq(sf_dir, "events", ["ts", "user_id"])
+    day_us = 24 * 3_600 * 1_000_000
+
+    def day_pairs(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")),
+                     pa.int64())
+        day = pc.divide(us, pa.scalar(day_us, pa.int64()))
+        t = pa.table({"day": day, "user_id": batch.column("user_id")})
+        return t.group_by(["day", "user_id"]).aggregate([])
+
+    distinct = ds.map_batches(day_pairs, batch_format="pyarrow") \
+        .groupby(["day", "user_id"],
+                 num_partitions=np_ or None).aggregate(
+            Count(alias_name="_c"))
+
+    def fan_partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("day").to_numpy(zero_copy_only=False)
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        # dau partial
+        dau = pa.table({"day": d, "kind": np.zeros(len(d), np.int64),
+                        "user_id": u})
+        # wau fan-out: the (day,user) pair serves windows day..day+6
+        offs = np.arange(DAU_WINDOW_DAYS, dtype=np.int64)
+        wd = (d[:, None] + offs[None, :]).ravel()
+        wu = np.repeat(u, DAU_WINDOW_DAYS)
+        wau = pa.table({"day": wd,
+                        "kind": np.ones(len(wd), np.int64),
+                        "user_id": wu})
+        return pa.concat_tables([dau, wau]) \
+            .group_by(["day", "kind", "user_id"]).aggregate([])
+
+    fanned = distinct.map_batches(fan_partial, batch_format="pyarrow") \
+        .groupby(["day", "kind", "user_id"],
+                 num_partitions=np_ or None).aggregate(
+            Count(alias_name="_c"))
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"day": batch.column("day"),
+                      "kind": batch.column("kind"),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))})
+        return t.group_by(["day", "kind"]).aggregate([("n", "sum")]) \
+            .rename_columns(["day", "kind", "n"])
+
+    merged = final_merge_sums(
+        fanned.map_batches(count_partial, batch_format="pyarrow"),
+        ["day", "kind"], ["n"], np_=np_)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty or "day" not in b.columns:
+            return empty
+        dau = b[b["kind"] == 0].set_index("day")["n"]
+        wau = b[b["kind"] == 1].set_index("day")["n"]
+        # report only days with actual activity (dau rows)
+        days = dau.index.to_numpy(np.int64)
+        days.sort()
+        dv = dau.loc[days].to_numpy(np.int64)
+        wv = wau.loc[days].to_numpy(np.int64)
+        return pd.DataFrame({
+            "day": (days * day_us).astype("datetime64[us]"),
+            "dau": dv, "wau": wv,
+            "stickiness": round_half_up(
+                dv.astype(np.float64) / wv.astype(np.float64), 6)})
+
+    return merged.repartition(1).map_batches(finish,
+                                             batch_format="pandas",
+                                             batch_size=None)
+
+
+EVENTS_DAU_WAU_SQL = f"""
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+  FROM events),
+wau AS (
+  SELECT w.day, count(DISTINCT du.user_id) AS wau
+  FROM (SELECT DISTINCT day FROM du) w
+  JOIN du ON du.day BETWEEN w.day - {DAU_WINDOW_DAYS - 1} AND w.day
+  GROUP BY w.day),
+dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day)
+SELECT make_timestamp(dau.day * 86400000000) AS day,
+       CAST(dau.dau AS BIGINT) AS dau,
+       CAST(wau.wau AS BIGINT) AS wau,
+       round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day
+"""
+
+
 SEASONAL_TOP_K = 10
 
 
@@ -2868,6 +3085,8 @@ def analytics_extra_queries():
         "events_cusum_shift": events_cusum_shift,
         "events_hourly_seasonal_z": events_hourly_seasonal_z,
         "suppliers_hhi_by_parttype": suppliers_hhi_by_parttype,
+        "events_attribution_linear": events_attribution_linear,
+        "events_dau_wau": events_dau_wau,
         "lineitem_discount_slope": lineitem_discount_slope,
         "events_hourly_autocorr": events_hourly_autocorr,
         "events_decay_score": events_decay_score,
@@ -2915,6 +3134,8 @@ def analytics_extra_oracle_sql():
         "events_cusum_shift": EVENTS_CUSUM_SQL,
         "events_hourly_seasonal_z": EVENTS_SEASONAL_Z_SQL,
         "suppliers_hhi_by_parttype": SUPPLIERS_HHI_SQL,
+        "events_attribution_linear": EVENTS_ATTRIBUTION_SQL,
+        "events_dau_wau": EVENTS_DAU_WAU_SQL,
         "lineitem_discount_slope": DISCOUNT_SLOPE_SQL,
         "events_hourly_autocorr": EVENTS_AUTOCORR_SQL,
         "events_decay_score": EVENTS_DECAY_SCORE_SQL,

@@ -30,8 +30,8 @@ def test_expected_families_present():
                   "media_decode_stats", "corpus_curation",
                   "corpus_pipeline", "events_sessions"):
         assert probe in qs
-    assert len(qs) >= 223
-    assert len(entry.oracle_sql()) >= 211
+    assert len(qs) >= 225
+    assert len(entry.oracle_sql()) >= 213
 
 
 def _family(name: str) -> str:
@@ -53,7 +53,7 @@ def test_per_family_floors():
     import collections
     q = collections.Counter(_family(n) for n in entry.queries())
     o = collections.Counter(_family(n) for n in entry.oracle_sql())
-    for fam, (qf, of) in {"cheque": (20, 19), "relational": (110, 108),
+    for fam, (qf, of) in {"cheque": (20, 19), "relational": (112, 110),
                           "text": (56, 55), "vector": (26, 21),
                           "multimodal": (11, 8)}.items():
         assert q[fam] >= qf, f"{fam} queries shrank: {q[fam]} < {qf}"

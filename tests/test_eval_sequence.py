@@ -224,3 +224,43 @@ def test_hopping_users_brute():
     truth = w.groupby("w")["u"].nunique()
     got = df.set_index("window_id")["n_users"].sort_index()
     assert (got == truth.sort_index()).all()
+
+
+def test_attribution_conserves_value():
+    from cheque_ocr_project_ray.relational.analytics_extra import (
+        ATTRIB_WINDOW_US, events_attribution_linear)
+
+    df = events_attribution_linear(SF).to_pandas()
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type", "value"])
+    # total credited == total purchase cents of purchases WITH >=1
+    # touch in window (remainder rule conserves cents exactly)
+    us = ev["ts"].astype("int64")
+    total = 0
+    for uid, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        t = g["ts"].astype("int64").to_numpy()
+        for i in np.flatnonzero((g["event_type"] == "purchase")
+                                .to_numpy()):
+            has_touch = ((t < t[i])
+                         & (t >= t[i] - ATTRIB_WINDOW_US)).any()
+            if has_touch:
+                total += int(round(g["value"].iloc[i] * 100))
+    assert int(round(df["credited_value"].sum() * 100)) == total
+    assert (df["n_credits"] > 0).all()
+
+
+def test_dau_wau_invariants():
+    from cheque_ocr_project_ray.relational.analytics_extra import \
+        events_dau_wau
+
+    df = events_dau_wau(SF).to_pandas()
+    assert (df["wau"] >= df["dau"]).all()
+    assert ((df["stickiness"] > 0) & (df["stickiness"] <= 1.0)).all()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["ts", "user_id"])
+    day = ev["ts"].astype("int64") // (86_400 * 1_000_000)
+    dau = ev.groupby(day)["user_id"].nunique()
+    got = df.set_index(df["day"].astype("int64")
+                       // (86_400 * 1_000_000))["dau"]
+    assert (got.sort_index() == dau.sort_index()).all()
