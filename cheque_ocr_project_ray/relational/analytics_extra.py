@@ -2475,8 +2475,16 @@ def events_attribution_linear(sf_dir: str, np_: int = 0):
         g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
         us = g["ts"].astype("int64").to_numpy()
         types = g["event_type"].to_numpy()
-        cents_all = np.round(g["value"].to_numpy() * 100) \
-            .astype(np.int64)
+        # half-AWAY-from-zero cents — matches the SQL twin's
+        # DECIMAL(18,2) cast (np.round is banker's: 0.125 would
+        # diverge); generator values are non-negative 2-dp, asserted
+        # so the floor-vs-truncating //,% divergence below can't
+        # silently activate on a future corpus (ADVICE r4)
+        v = g["value"].to_numpy(np.float64)
+        cents_all = (np.sign(v)
+                     * np.floor(np.abs(v) * 100.0 + 0.5)).astype(np.int64)
+        assert cents_all.min(initial=0) >= 0, \
+            "negative values need truncating div/mod to match DuckDB"
         is_p = types == "purchase"
         out_t: list = []
         out_c: list = []

@@ -215,7 +215,12 @@ def events_weighted_sample(sf_dir: str, k: int = SAMPLE_K):
     def local(batch: pa.Table) -> pa.Table:
         eid = batch.column("event_id").to_numpy(
             zero_copy_only=False).astype(np.int64)
-        h = (eid * 2654435761) & 0xFFFFFFFF
+        # mask BEFORE multiplying, in uint64: (2^32-1)·2654435761 ≈
+        # 1.14e19 fits uint64 but overflows int64, where numpy would
+        # wrap silently while the SQL twin's BIGINT raises — the
+        # engines would diverge exactly at large-id tiers (ADVICE r4)
+        h = ((eid.astype(np.uint64) % np.uint64(4294967296))
+             * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
         u = (h.astype(np.float64) + 1.0) / 4294967296.0
         w = np.abs(batch.column("value").to_numpy(
             zero_copy_only=False)) + 1.0
@@ -239,7 +244,8 @@ EVENTS_WEIGHTED_SAMPLE_SQL = f"""
 SELECT event_id, user_id, event_type, value, round(skey, 6) AS skey
 FROM (
   SELECT event_id, user_id, event_type, value,
-         -ln((((event_id * 2654435761) & 4294967295) + 1)
+         -ln(((((CAST(event_id AS UBIGINT) % 4294967296)
+                 * 2654435761) & 4294967295) + 1)
              / 4294967296.0) / (abs(value) + 1.0) AS skey
   FROM events
   ORDER BY skey, event_id LIMIT {SAMPLE_K}) t

@@ -224,22 +224,38 @@ def doc_lang_id(sf_dir: str):
                                      batch_format="pyarrow")
 
 
-LANG_ID_SQL = """
-WITH t AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+def _lang_id_sql(extra: str = "") -> tuple[str, str]:
+    """ONE source for the lang-ID heuristic's SQL — marker word lists
+    come from ``analysis.LANG_MARKERS`` and the tie-break CASE is a
+    single literal — so ``LANG_ID_SQL`` and ``LANG_CONFUSION_SQL``
+    cannot silently drift from each other or from ``analysis.lang_id``
+    when the heuristic changes (ADVICE r4).  ``extra`` adds
+    pass-through columns (e.g. ``", lang"``)."""
+    def words(lang: str) -> str:
+        return ", ".join(f"'{w}'" for w in analysis.LANG_MARKERS[lang])
+    ctes = f"""WITH t AS (
+  SELECT doc_id{extra},
+         regexp_split_to_array(trim(text), '\\s+') AS toks
   FROM documents
 ), hits AS (
-  SELECT doc_id,
-         len(list_filter(toks, x -> x IN ('the', 'a', 'of')))  AS en,
-         len(list_filter(toks, x -> x IN ('el', 'la', 'los'))) AS es,
-         len(list_filter(toks, x -> x IN ('le', 'les', 'des'))) AS fr
+  SELECT doc_id{extra},
+         len(list_filter(toks, x -> x IN ({words('en')})))  AS en,
+         len(list_filter(toks, x -> x IN ({words('es')}))) AS es,
+         len(list_filter(toks, x -> x IN ({words('fr')}))) AS fr
   FROM t
-)
-SELECT doc_id,
-       CASE WHEN en = 0 AND es = 0 AND fr = 0 THEN 'und'
+)"""
+    case = """CASE WHEN en = 0 AND es = 0 AND fr = 0 THEN 'und'
             WHEN en >= es AND en >= fr THEN 'en'
             WHEN es >= fr THEN 'es'
-            ELSE 'fr' END AS pred_lang
+            ELSE 'fr' END AS pred_lang"""
+    return ctes, case
+
+
+_LID_CTES, _LID_CASE = _lang_id_sql()
+LANG_ID_SQL = f"""
+{_LID_CTES}
+SELECT doc_id,
+       {_LID_CASE}
 FROM hits
 """
 
@@ -2962,23 +2978,12 @@ def doc_lang_confusion(sf_dir: str):
         ["true_lang", "pred_lang"], ["n"])
 
 
-LANG_CONFUSION_SQL = """
-WITH t AS (
-  SELECT doc_id, lang,
-         regexp_split_to_array(trim(text), '\\s+') AS toks
-  FROM documents
-), hits AS (
-  SELECT doc_id, lang,
-         len(list_filter(toks, x -> x IN ('the', 'a', 'of')))  AS en,
-         len(list_filter(toks, x -> x IN ('el', 'la', 'los'))) AS es,
-         len(list_filter(toks, x -> x IN ('le', 'les', 'des'))) AS fr
-  FROM t
-)
+# built from the SAME snippet as LANG_ID_SQL (see _lang_id_sql)
+_LIDC_CTES, _ = _lang_id_sql(", lang")
+LANG_CONFUSION_SQL = f"""
+{_LIDC_CTES}
 SELECT lang AS true_lang,
-       CASE WHEN en = 0 AND es = 0 AND fr = 0 THEN 'und'
-            WHEN en >= es AND en >= fr THEN 'en'
-            WHEN es >= fr THEN 'es'
-            ELSE 'fr' END AS pred_lang,
+       {_LID_CASE},
        count(*) AS n
 FROM hits
 GROUP BY 1, 2

@@ -1253,6 +1253,10 @@ def embedding_ann_ndcg(sf_dir: str, k: int = 10):
 MMR_K = 5
 MMR_POOL = 50
 MMR_LAMBDA = 0.7
+# the diversity multiplier as ONE shared literal: float(1.0 - 0.7) is
+# 0.30000000000000004, a 1-ulp mismatch vs the SQL twin's round(0.3)
+# that could flip a greedy pick on the 5dp score grid (ADVICE r4)
+MMR_MU = round(1.0 - MMR_LAMBDA, 10)
 
 
 def embedding_mmr_topk(sf_dir: str):
@@ -1292,7 +1296,7 @@ def embedding_mmr_topk(sf_dir: str):
     for rank in range(1, min(MMR_K, n) + 1):
         msim = (sims[:, selected].max(axis=1) if selected
                 else np.zeros(n))
-        score = MMR_LAMBDA * rel - (1.0 - MMR_LAMBDA) * msim
+        score = MMR_LAMBDA * rel - MMR_MU * msim
         score = np.where(remaining, score, -np.inf)
         # argmax with vec_id tie-break (ids ascend within equal score)
         best = int(np.lexsort((ids, -score))[0])
@@ -1305,12 +1309,12 @@ def embedding_mmr_topk(sf_dir: str):
 
 
 def _mmr_sql(k: int = MMR_K, pool: int = MMR_POOL,
-             lam: float = MMR_LAMBDA) -> str:
+             lam: float = MMR_LAMBDA,
+             mu: float = MMR_MU) -> str:
     """Unrolled greedy MMR: step i picks argmax of
     λ·rel − (1−λ)·max(sim to steps 1..i−1) over the remaining pool.
     Cosines are rounded to 5dp before scoring on BOTH sides, so the
     float arithmetic (and therefore the greedy path) is identical."""
-    mu = round(1.0 - lam, 10)
     parts = [f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
            WHERE vec_id = 0),
