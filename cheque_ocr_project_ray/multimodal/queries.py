@@ -166,14 +166,16 @@ def media_bestof_variants(sf_dir: str):
     return _pool(ds, VariantBestOfStage)
 
 
-def media_dedup_exact(sf_dir: str):
+def media_dedup_exact(sf_dir: str, bound: int = 2_000_000):
     """Content-addressed media dedup: one row per DISTINCT payload —
     md5 fingerprint, copy count, and the keeper ref (min media_ref).
     The multimodal twin of the text exact-dedup family: per-batch
-    partials carry (fp, count, min-ref) — never the payloads — and
-    merge via one bounded driver group_by (fingerprint-keyed; a
-    distributed groupby(fp) is the unbounded fallback at corpus
-    scale)."""
+    partials carry (fp, count, min-ref) — never the payloads.  Under
+    ``bound`` they merge via one driver group_by; past it
+    (fingerprint cardinality = distinct payloads, corpus-scale) the
+    merge is a distributed groupby(fp) and the result STAYS a
+    distributed Dataset — the round-5 audit fallback (previously
+    promised in prose only)."""
     import hashlib
 
     import numpy as np
@@ -198,20 +200,25 @@ def media_dedup_exact(sf_dir: str):
         return g.rename_columns(["fp", "n_copies", "keeper_ref"])
 
     from cheque_ocr_project_ray.util import map_pool
-    parts = collect_table(
-        ds.map_batches(partial, batch_format="pyarrow",
-                       batch_size=DEFAULT_MEDIA_BATCH,
-                       concurrency=map_pool(), num_cpus=1)
-        .materialize())
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=DEFAULT_MEDIA_BATCH,
+                              concurrency=map_pool(),
+                              num_cpus=1).materialize()
     empty = pa.table({"fp": pa.array([], pa.string()),
                       "n_copies": pa.array([], pa.int64()),
                       "keeper_ref": pa.array([], pa.string())})
-    if parts is None or parts.num_rows == 0:
-        return _rd.from_arrow(empty)
-    g = parts.group_by("fp").aggregate(
-        [("n_copies", "sum"), ("keeper_ref", "min")])
-    return _rd.from_arrow(g.rename_columns(
-        ["fp", "n_copies", "keeper_ref"]))
+    if parts_ds.count() <= bound:
+        parts = collect_table(parts_ds)
+        if parts is None or parts.num_rows == 0:
+            return _rd.from_arrow(empty)
+        g = parts.group_by("fp").aggregate(
+            [("n_copies", "sum"), ("keeper_ref", "min")])
+        return _rd.from_arrow(g.rename_columns(
+            ["fp", "n_copies", "keeper_ref"]))
+    from ray.data.aggregate import Min, Sum
+    return parts_ds.groupby("fp").aggregate(
+        Sum("n_copies", alias_name="n_copies"),
+        Min("keeper_ref", alias_name="keeper_ref"))
 
 
 def media_integrity_audit(sf_dir: str):

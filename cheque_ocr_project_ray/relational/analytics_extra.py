@@ -846,14 +846,22 @@ GROUP BY 1, 2
 
 
 @_hash_shuffled
-def orders_pareto(sf_dir: str, np_: int = 0):
+def orders_pareto(sf_dir: str, np_: int = 0,
+                  bound: int = 2_000_000):
     """Pareto concentration: the smallest set of top customers whose
     revenue covers ≥50% of the total, with each one's cumulative
-    share.  Per-customer exact cents reduce through the combiner;
-    the sort+cumsum folds over the (customer-bounded) aggregate on
-    the driver.  The coverage cut compares INTEGERS
-    ((cum − own) × 2 < total), so the kept set is bit-deterministic
-    and identical to the DECIMAL oracle's."""
+    share.  Per-customer exact cents reduce through the combiner.
+    Under ``bound`` the sort+cumsum folds over the aggregate on the
+    driver; past it (customer cardinality beyond driver memory) the
+    fallback is a DISTRIBUTED global sort plus a two-phase prefix
+    sum — per-block totals (n_blocks ints) make the exclusive block
+    offsets, each block finishes its own cumsum/cut in a Ray task,
+    and the kept rows return as a Dataset via ``from_arrow_refs``
+    (never through the driver; a uniform revenue distribution keeps
+    ~half the customers, so even the RESULT must stay distributed).
+    The coverage cut compares INTEGERS ((cum − own) × 2 < total), so
+    the kept set is bit-deterministic and identical to the DECIMAL
+    oracle's on both branches."""
     from cheque_ocr_project_ray.util import collect_table
     import ray.data as _rd
 
@@ -865,26 +873,63 @@ def orders_pareto(sf_dir: str, np_: int = 0):
         g = t.group_by("c_custkey").aggregate([("cents", "sum")])
         return g.rename_columns(["c_custkey", "cents"])
 
-    agg = collect_table(final_merge_sums(
+    agg_ds = final_merge_sums(
         ds.map_batches(partial, batch_format="pyarrow"),
-        ["c_custkey"], ["cents"], np_=np_).materialize())
+        ["c_custkey"], ["cents"], np_=np_, bound=bound).materialize()
     empty = pa.table({"c_custkey": pa.array([], pa.int64()),
                       "revenue": pa.array([], pa.float64()),
                       "cum_share": pa.array([], pa.float64())})
-    if agg is None or agg.num_rows == 0:
+    if agg_ds.count() <= bound:
+        agg = collect_table(agg_ds)
+        if agg is None or agg.num_rows == 0:
+            return _rd.from_arrow(empty)
+        cust = agg.column("c_custkey").to_numpy(zero_copy_only=False)
+        cents = agg.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((cust, -cents))
+        cust, cents = cust[order], cents[order]
+        cum = np.cumsum(cents)
+        total = int(cum[-1])
+        keep = (cum - cents) * 2 < total
+        share = round_half_up((cum[keep] / 100.0) / (total / 100.0), 6)
+        return _rd.from_arrow(pa.table({
+            "c_custkey": pa.array(cust[keep], pa.int64()),
+            "revenue": pa.array(cents[keep] / 100.0, pa.float64()),
+            "cum_share": pa.array(share, pa.float64())}))
+    # distributed fallback: sort is the one honest all-to-all here;
+    # the prefix sum needs block ORDER, which the Dataset API does not
+    # expose — the documented raw-task last resort
+    sorted_ds = agg_ds.sort(["cents", "c_custkey"],
+                            descending=[True, False]).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def block_total(t: pa.Table) -> int:
+        return int(pc.sum(t.column("cents")).as_py() or 0)
+
+    sums = ray.get([block_total.remote(r) for r in refs])
+    total = int(sum(sums))
+    if total == 0:
         return _rd.from_arrow(empty)
-    cust = agg.column("c_custkey").to_numpy(zero_copy_only=False)
-    cents = agg.column("cents").to_numpy(zero_copy_only=False)
-    order = np.lexsort((cust, -cents))
-    cust, cents = cust[order], cents[order]
-    cum = np.cumsum(cents)
-    total = int(cum[-1])
-    keep = (cum - cents) * 2 < total
-    share = round_half_up((cum[keep] / 100.0) / (total / 100.0), 6)
-    return _rd.from_arrow(pa.table({
-        "c_custkey": pa.array(cust[keep], pa.int64()),
-        "revenue": pa.array(cents[keep] / 100.0, pa.float64()),
-        "cum_share": pa.array(share, pa.float64())}))
+    offs = np.concatenate([[0], np.cumsum(sums)[:-1]]).astype(np.int64)
+
+    @ray.remote
+    def block_cut(t: pa.Table, off: int, total: int) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return empty
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        cum = off + np.cumsum(cents)
+        keep = (cum - cents) * 2 < total
+        share = round_half_up((cum[keep] / 100.0) / (total / 100.0), 6)
+        return pa.table({
+            "c_custkey": pa.array(
+                t.column("c_custkey").to_numpy(
+                    zero_copy_only=False)[keep], pa.int64()),
+            "revenue": pa.array(cents[keep] / 100.0, pa.float64()),
+            "cum_share": pa.array(share, pa.float64())})
+
+    out_refs = [block_cut.remote(r, int(o), total)
+                for r, o in zip(refs, offs)]
+    return _rd.from_arrow_refs(out_refs)
 
 
 ORDERS_PARETO_SQL = """

@@ -1729,13 +1729,17 @@ SELECT user_id FROM events WHERE event_type = 'error'
 
 
 # --- correlated filter: orders above their customer's average --------
-def orders_above_avg(sf_dir: str, np_: int = 0):
+def orders_above_avg(sf_dir: str, np_: int = 0,
+                     bound: int = 2_000_000):
     """Orders pricier than their own customer's average — the
-    correlated-subquery shape as combiner + broadcast: one pass
-    reduces (customer → n, Σprice), the per-customer mean (rounded to
-    6dp so both engines compare against the identical threshold) is
-    broadcast once, and the orders stream through a vectorized
-    filter.  No self-join shuffle; the fact table is read once."""
+    correlated-subquery shape: one pass reduces
+    (customer → n, Σprice) through the bounded-adaptive merge.  Under
+    ``bound`` the per-customer mean table (rounded to 6dp so both
+    engines compare against the identical threshold) broadcasts into
+    a vectorized filter — no self-join shuffle, the fact table is
+    read once.  Past it (customer cardinality beyond a broadcast) the
+    mean rides back onto the orders stream via the partitioned
+    ``hash_join`` — the honest self-join, round-5 audit fallback."""
     ds = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey",
                                 "o_totalprice"])
 
@@ -1747,30 +1751,51 @@ def orders_above_avg(sf_dir: str, np_: int = 0):
             [("n", "sum"), ("s", "sum")])
         return g.rename_columns(["o_custkey", "n", "s"])
 
-    st = collect_table(final_merge_sums(
+    st_ds = final_merge_sums(
         ds.map_batches(partial, batch_format="pyarrow"),
-        ["o_custkey"], ["n", "s"], np_=np_).materialize())
-    if st is None:  # empty input: source schema, zero rows
-        return ds
-    mean = round_half_up(
-        st.column("s").to_numpy() / st.column("n").to_numpy(), 6)
-    custs = st.column("o_custkey").combine_chunks()
-    stats_ref = ray.put((custs, mean))
+        ["o_custkey"], ["n", "s"], np_=np_, bound=bound).materialize()
+    if st_ds.count() <= bound:
+        st = collect_table(st_ds)
+        if st is None:  # empty input: source schema, zero rows
+            return ds
+        mean = round_half_up(
+            st.column("s").to_numpy() / st.column("n").to_numpy(), 6)
+        custs = st.column("o_custkey").combine_chunks()
+        stats_ref = ray.put((custs, mean))
 
-    class AboveAvg:
-        def __init__(self):
-            self.custs, self.mean = ray.get(stats_ref)
+        class AboveAvg:
+            def __init__(self):
+                self.custs, self.mean = ray.get(stats_ref)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ci = pc.index_in(batch.column("o_custkey"),
-                             value_set=self.custs).to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            keep = batch.column("o_totalprice").to_numpy() \
-                > self.mean[ci]
-            return batch.filter(pa.array(keep))
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ci = pc.index_in(batch.column("o_custkey"),
+                                 value_set=self.custs).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                keep = batch.column("o_totalprice").to_numpy() \
+                    > self.mean[ci]
+                return batch.filter(pa.array(keep))
 
-    return ds.map_batches(AboveAvg, batch_format="pyarrow",
-                          concurrency=(1, map_pool()))
+        return ds.map_batches(AboveAvg, batch_format="pyarrow",
+                              concurrency=(1, map_pool()))
+
+    def to_mean(batch: pa.Table) -> pa.Table:
+        m = round_half_up(batch.column("s").to_numpy(
+            zero_copy_only=False)
+            / batch.column("n").to_numpy(zero_copy_only=False), 6)
+        return pa.table({"o_custkey": batch.column("o_custkey"),
+                         "cust_mean": pa.array(m, pa.float64())})
+
+    means = st_ds.map_batches(to_mean, batch_format="pyarrow")
+    j = hash_join(ds, means, on="o_custkey",
+                  num_partitions=np_ or None)
+
+    def above(batch: pa.Table) -> pa.Table:
+        keep = pa.array(batch.column("o_totalprice").to_numpy()
+                        > batch.column("cust_mean").to_numpy())
+        return batch.filter(keep).select(
+            ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    return j.map_batches(above, batch_format="pyarrow")
 
 
 ORDERS_ABOVE_AVG_SQL = """

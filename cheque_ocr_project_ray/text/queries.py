@@ -2621,14 +2621,16 @@ FROM p
 """
 
 
-def doc_source_dup_rate(sf_dir: str):
+def doc_source_dup_rate(sf_dir: str, bound: int = 2_000_000):
     """Per-source exact-duplicate contamination rate — the dedup
     QA report a curation run ends with.  Pass 1 reduces to
-    (fingerprint, count) partials (bounded-adaptive merge); the >1
-    fingerprint set broadcasts once; pass 2 re-fingerprints and rolls
-    up per source.  At corpus scale with a dup set past broadcast
-    size, swap pass 2's lookup for a hash join on the fingerprint —
-    same semantics, one more exchange."""
+    (fingerprint, count) partials (bounded-adaptive merge) and
+    filters to the >1 fingerprints DISTRIBUTEDLY, so what reaches the
+    driver is proportional to DUPLICATES, never corpus size.  Under
+    ``bound`` the dup set broadcasts into pass 2's vectorized lookup;
+    past it the lookup becomes a LEFT OUTER ``hash_join`` on the
+    fingerprint — the round-5 audit fallback (previously promised in
+    prose only), same semantics, one more exchange."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
@@ -2655,40 +2657,76 @@ def doc_source_dup_rate(sf_dir: str):
         g = t.group_by("fp").aggregate([("n", "sum")])
         return g.rename_columns(["fp", "n"])
 
-    counts = collect_table(
-        final_merge_sums(_read().map_batches(fp_partial,
-                                             batch_format="pyarrow"),
-                         ["fp"], ["n"]).materialize())
-    if counts is None:
-        return pd.DataFrame({"source": pd.Series([], dtype="object"),
-                             "n_docs": pd.Series([], dtype="int64"),
-                             "n_dups": pd.Series([], dtype="int64"),
-                             "dup_rate": pd.Series([], dtype="float64")})
-    dup = counts.filter(pc.greater(counts.column("n"),
-                                   pa.scalar(1, pa.int64())))
-    dup_ref = ray.put(dup.column("fp").combine_chunks())
+    counts_ds = final_merge_sums(
+        _read().map_batches(fp_partial, batch_format="pyarrow"),
+        ["fp"], ["n"], bound=bound).materialize()
+    dup_ds = counts_ds.map_batches(
+        lambda b: b.filter(pc.greater(b.column("n"),
+                                      pa.scalar(1, pa.int64()))),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    empty = pd.DataFrame({"source": pd.Series([], dtype="object"),
+                          "n_docs": pd.Series([], dtype="int64"),
+                          "n_dups": pd.Series([], dtype="int64"),
+                          "dup_rate": pd.Series([], dtype="float64")})
+    if counts_ds.count() == 0:
+        return empty
 
-    class Rollup:
-        def __init__(self):
-            self.dup_fps = ray.get(dup_ref)
+    if dup_ds.count() <= bound:
+        dup = collect_table(dup_ds)
+        dup_fps_arr = dup.column("fp").combine_chunks() \
+            if dup is not None else pa.array([], pa.string())
+        dup_ref = ray.put(dup_fps_arr)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            fps = pa.array(analysis.text_md5(
-                batch.column("text").to_pylist()), pa.string())
-            is_dup = pc.cast(pc.fill_null(
-                pc.is_in(fps, value_set=self.dup_fps), False), pa.int64())
+        class Rollup:
+            def __init__(self):
+                self.dup_fps = ray.get(dup_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                fps = pa.array(analysis.text_md5(
+                    batch.column("text").to_pylist()), pa.string())
+                is_dup = pc.cast(pc.fill_null(
+                    pc.is_in(fps, value_set=self.dup_fps), False),
+                    pa.int64())
+                t = pa.table({"source": batch.column("source"),
+                              "n_docs": pa.array(np.ones(
+                                  batch.num_rows, np.int64)),
+                              "n_dups": is_dup})
+                g = t.group_by("source").aggregate(
+                    [("n_docs", "sum"), ("n_dups", "sum")])
+                return g.rename_columns(["source", "n_docs", "n_dups"])
+
+        agg = final_merge_sums(
+            _read().map_batches(Rollup, batch_format="pyarrow",
+                                concurrency=(1, map_pool())),
+            ["source"], ["n_docs", "n_dups"])
+    else:
+        # dup set past broadcast: LEFT OUTER hash join on fp — a null
+        # count marks a non-duplicate (round-5 audit fallback)
+        from cheque_ocr_project_ray.relational.joins import hash_join
+
+        def with_fp(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "source": batch.column("source"),
+                "fp": pa.array(analysis.text_md5(
+                    batch.column("text").to_pylist()), pa.string())})
+
+        j = hash_join(_read().map_batches(with_fp,
+                                          batch_format="pyarrow"),
+                      dup_ds, on="fp", how="left")
+
+        def rollup_joined(batch: pa.Table) -> pa.Table:
+            is_dup = pc.cast(pc.is_valid(batch.column("n")), pa.int64())
             t = pa.table({"source": batch.column("source"),
-                          "n_docs": pa.array(np.ones(batch.num_rows,
-                                                     np.int64)),
+                          "n_docs": pa.array(np.ones(
+                              batch.num_rows, np.int64)),
                           "n_dups": is_dup})
             g = t.group_by("source").aggregate(
                 [("n_docs", "sum"), ("n_dups", "sum")])
             return g.rename_columns(["source", "n_docs", "n_dups"])
 
-    agg = final_merge_sums(
-        _read().map_batches(Rollup, batch_format="pyarrow",
-                            concurrency=(1, map_pool())),
-        ["source"], ["n_docs", "n_dups"])
+        agg = final_merge_sums(
+            j.map_batches(rollup_joined, batch_format="pyarrow"),
+            ["source"], ["n_docs", "n_dups"])
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
         b["dup_rate"] = round_half_up(
