@@ -223,21 +223,34 @@ def order_priority_revenue(sf_dir: str, np_: int = 0):
                    ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def li_revenue(batch: pa.Table) -> pa.Table:
+        # per-batch combiner on the order key BEFORE the exchange:
+        # lineitem clusters by order, so ~4 lines collapse to one
+        # partial row and the hash join shuffles a quarter of the
+        # stream (r5: the +46% r4 bench mover was this join's fixed
+        # shuffle cost — shrinking its input is the durable fix)
         from cheque_ocr_project_ray.util import money_units
         cents = money_units(batch["l_extendedprice"])
         du = pc.multiply(cents, pc.subtract(
             pa.scalar(100, pa.int64()),
             money_units(batch["l_discount"])))
-        return pa.table({"o_orderkey": batch["l_orderkey"],
-                         "revenue": du})
+        t = pa.table({"o_orderkey": batch["l_orderkey"],
+                      "revenue": du,
+                      "n_lineitems": pa.array(
+                          np.ones(batch.num_rows, np.int64))})
+        g = t.group_by("o_orderkey").aggregate(
+            [("revenue", "sum"), ("n_lineitems", "sum")])
+        return g.rename_columns(["o_orderkey", "revenue",
+                                 "n_lineitems"])
 
     li = lineitem.map_batches(li_revenue, batch_format="pyarrow")
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = hash_join(li, orders, on="o_orderkey")
 
     def partial(batch: pa.Table) -> pa.Table:
+        # partials for the same order across batches each join to the
+        # same priority row, so the final sum is unchanged
         g = batch.group_by("o_orderpriority").aggregate([
-            ("revenue", "sum"), ("revenue", "count")])
+            ("revenue", "sum"), ("n_lineitems", "sum")])
         return g.rename_columns(["o_orderpriority", "revenue", "n_lineitems"])
 
     agg = joined.map_batches(partial, batch_format="pyarrow") \
