@@ -2500,8 +2500,10 @@ def events_attribution_linear(sf_dir: str, np_: int = 0):
     remainder (``cents % n``) — a deterministic rule that keeps the
     per-type sums order-independent (a float value/n split would make
     the distributed sum order-sensitive and break cross-engine
-    equality).  Per-user windows run vectorized (searchsorted) inside
-    ``groupby(user).map_groups``; credits merge via combiner sums."""
+    equality).  Per-user windows run FULLY vectorized: both window
+    edges come from one searchsorted pair over the (ts, event_id)
+    sorted stream and the credit expansion is a repeat/offset arange —
+    no per-purchase Python loop; credits merge via combiner sums."""
     import pyarrow.parquet as pq_
     from pathlib import Path
 
@@ -2531,33 +2533,33 @@ def events_attribution_linear(sf_dir: str, np_: int = 0):
         assert cents_all.min(initial=0) >= 0, \
             "negative values need truncating div/mod to match DuckDB"
         is_p = types == "purchase"
-        out_t: list = []
-        out_c: list = []
         # touches = EVERY event strictly before the purchase within
-        # the window (purchases can be touches for later purchases)
-        for i in np.flatnonzero(is_p):
-            lo = np.searchsorted(us, us[i] - ATTRIB_WINDOW_US,
-                                 side="left")
-            idx = np.arange(lo, i)
-            # strict time order: same-ts earlier-event_id rows count
-            idx = idx[(us[idx] < us[i])]
-            n = len(idx)
-            if n == 0:
-                continue
-            c = int(cents_all[i])
-            base = c // n
-            share = np.full(n, base, np.int64)
-            share[0] += c % n
-            out_t.append(types[idx])
-            out_c.append(share)
-        if not out_t:
+        # the window (purchases can be touches for later purchases).
+        # On the (ts, event_id)-sorted stream the touch set of
+        # purchase i is exactly the index range
+        # [searchsorted(us, us[i]-W), searchsorted(us, us[i])),
+        # so both edges vectorize to one searchsorted pair.
+        pi = np.flatnonzero(is_p)
+        lo = np.searchsorted(us, us[pi] - ATTRIB_WINDOW_US, side="left")
+        hi = np.searchsorted(us, us[pi], side="left")
+        n = hi - lo
+        keep = n > 0
+        pi, lo, n = pi[keep], lo[keep], n[keep]
+        if len(pi) == 0:
             return pd.DataFrame({
                 "event_type": pd.Series([], dtype="object"),
                 "n_credits": pd.Series([], dtype="int64"),
                 "cents": pd.Series([], dtype="int64")})
-        t = np.concatenate(out_t)
-        c = np.concatenate(out_c)
-        df = pd.DataFrame({"event_type": t, "cents": c})
+        cents = cents_all[pi]
+        starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+        total = int(n.sum())
+        # touch index expansion: per-purchase arange(lo, lo+n) packed
+        # into one flat vector via repeat/offset
+        touch = (np.repeat(lo, n)
+                 + np.arange(total, dtype=np.int64) - np.repeat(starts, n))
+        share = np.repeat(cents // n, n)
+        share[starts] += cents % n  # FIRST touch absorbs the remainder
+        df = pd.DataFrame({"event_type": types[touch], "cents": share})
         agg = df.groupby("event_type").agg(
             n_credits=("cents", "size"), cents=("cents", "sum"))
         return agg.reset_index()
