@@ -3130,6 +3130,235 @@ FROM rk WHERE rnk <= {TOP_PARTS_K}
 """
 
 
+@_hash_shuffled
+def events_peak_concurrency(sf_dir: str, np_: int = 0,
+                            gap_minutes: int = 30,
+                            bound: int = 2_000_000):
+    """Peak number of SIMULTANEOUSLY active sessions across all users
+    — the interval-overlap scanline a capacity planner runs.  Gap
+    sessionization (30 min, the ``events_sessions`` definition) runs
+    WITHOUT the one-user-fits-one-group assumption: a session boundary
+    is a pure LAG predicate over the (user, ts)-sorted stream, so the
+    plan is per-batch (user, ts) distinct → ONE distributed sort →
+    per-block vectorized boundary detection with a (last-row,
+    first-row) carry between neighbor blocks (n_blocks tuples through
+    the driver — raw tasks, because the lag needs block ORDER).
+    Duplicate (user, ts) pairs surviving the per-batch distinct are
+    harmless by construction (their lag diff is 0, so they can never
+    open or close a session).  Each session contributes two delta
+    points (+1 at first, −1 at last+1µs); deltas merge via the
+    bounded-adaptive sum.  Under ``bound`` the prefix max folds on the
+    driver; past it (session cardinality beyond driver memory) the
+    fallback is the ``orders_pareto`` two-phase prefix scan: per-block
+    delta totals make exclusive offsets, each block reports its own
+    (max, earliest-t) candidate, and the driver folds n_blocks pairs.
+    Output is one row (peak_concurrency, peak_us)."""
+    from cheque_ocr_project_ray.util import collect_table
+    import ray.data as _rd
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+    gap_us = gap_minutes * 60_000_000
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "us": pc.cast(pc.cast(batch.column("ts"),
+                                            pa.timestamp("us")),
+                                    pa.int64())})
+        return t.group_by(["user_id", "us"]).aggregate([])
+
+    pairs = ds.map_batches(local_distinct, batch_format="pyarrow") \
+        .sort(["user_id", "us"]).materialize()
+    pair_refs = pairs.to_arrow_refs()
+
+    @ray.remote
+    def block_edges(tb: pa.Table):
+        if tb.num_columns == 0 or tb.num_rows == 0:
+            return None
+        u = tb.column("user_id")
+        t = tb.column("us")
+        return (u[0].as_py(), t[0].as_py(),
+                u[-1].as_py(), t[-1].as_py())
+
+    edges = ray.get([block_edges.remote(r) for r in pair_refs])
+    live = [i for i, e in enumerate(edges) if e is not None]
+    # neighbor carry skips empty blocks; sentinel None = stream edge
+    prev_of = {}
+    next_of = {}
+    for a, b in zip(live, live[1:]):
+        prev_of[b] = edges[a][2:]   # (last_user, last_us) of a
+        next_of[a] = edges[b][:2]   # (first_user, first_us) of b
+
+    @ray.remote
+    def block_deltas(tb: pa.Table, prev, nxt, gap: int) -> pa.Table:
+        u = tb.column("user_id").to_numpy(zero_copy_only=False)
+        t = tb.column("us").to_numpy(zero_copy_only=False)
+        pu = np.concatenate(([prev[0] if prev else -1], u[:-1]))
+        pt = np.concatenate(([prev[1] if prev else 0], t[:-1]))
+        nu = np.concatenate((u[1:], [nxt[0] if nxt else -1]))
+        nt = np.concatenate((t[1:], [nxt[1] if nxt else 0]))
+        is_start = (u != pu) | (t - pt > gap)
+        if not prev:
+            is_start[0] = True
+        is_end = (u != nu) | (nt - t > gap)
+        if not nxt:
+            is_end[-1] = True
+        df = pd.DataFrame({
+            "t": np.concatenate((t[is_start], t[is_end] + 1)),
+            "d": np.concatenate(
+                (np.ones(int(is_start.sum()), np.int64),
+                 np.full(int(is_end.sum()), -1, np.int64)))})
+        g = df.groupby("t", as_index=False).agg(d=("d", "sum"))
+        return pa.table({"t": pa.array(g["t"].to_numpy(), pa.int64()),
+                         "d": pa.array(g["d"].to_numpy(), pa.int64())})
+
+    delta_refs = [block_deltas.remote(pair_refs[i],
+                                      prev_of.get(i), next_of.get(i),
+                                      gap_us)
+                  for i in live]
+    if not delta_refs:
+        return pd.DataFrame({
+            "peak_concurrency": pd.Series([], dtype="int64"),
+            "peak_us": pd.Series([], dtype="int64")})
+    pts = _rd.from_arrow_refs(delta_refs)
+    agg_ds = final_merge_sums(pts, ["t"], ["d"], np_=np_,
+                              bound=bound).materialize()
+    empty = pd.DataFrame({
+        "peak_concurrency": pd.Series([], dtype="int64"),
+        "peak_us": pd.Series([], dtype="int64")})
+    if agg_ds.count() <= bound:
+        t = collect_table(agg_ds)
+        if t is None or t.num_rows == 0:
+            return empty
+        ts_ = t.column("t").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        order = np.argsort(ts_)  # keys unique after the merge
+        conc = np.cumsum(d[order])
+        i = int(np.argmax(conc))  # first occurrence = earliest t
+        return pd.DataFrame({"peak_concurrency": [int(conc[i])],
+                             "peak_us": [int(ts_[order][i])]})
+    # distributed fallback: prefix needs block ORDER, which the
+    # Dataset API does not expose — the documented raw-task last resort
+    refs = agg_ds.sort(["t"]).materialize().to_arrow_refs()
+
+    @ray.remote
+    def block_total(tb: pa.Table) -> int:
+        if tb.num_columns == 0 or tb.num_rows == 0:
+            return 0
+        return int(pc.sum(tb.column("d")).as_py() or 0)
+
+    sums = ray.get([block_total.remote(r) for r in refs])
+    offs = np.concatenate([[0], np.cumsum(sums)[:-1]]).astype(np.int64)
+
+    @ray.remote
+    def block_peak(tb: pa.Table, off: int):
+        if tb.num_columns == 0 or tb.num_rows == 0:
+            return None
+        conc = off + np.cumsum(
+            tb.column("d").to_numpy(zero_copy_only=False))
+        i = int(np.argmax(conc))
+        return (int(conc[i]),
+                int(tb.column("t").to_numpy(zero_copy_only=False)[i]))
+
+    cands = [c for c in ray.get([block_peak.remote(r, int(o))
+                                 for r, o in zip(refs, offs)])
+             if c is not None]
+    if not cands:
+        return empty
+    peak = max(c[0] for c in cands)
+    return pd.DataFrame({
+        "peak_concurrency": [peak],
+        "peak_us": [min(c[1] for c in cands if c[0] == peak)]})
+
+
+EVENTS_PEAK_CONCURRENCY_SQL = f"""
+WITH du AS (
+  SELECT DISTINCT user_id, epoch_us(ts) AS us FROM events),
+ordered AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > {30 * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS is_start
+  FROM du WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+sess AS (
+  SELECT user_id, us,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered),
+iv AS (SELECT min(us) AS s, max(us) AS e
+       FROM sess GROUP BY user_id, sid),
+pts AS (SELECT s AS t, 1 AS d FROM iv
+        UNION ALL SELECT e + 1 AS t, -1 AS d FROM iv),
+ag AS (SELECT t, sum(d) AS d FROM pts GROUP BY t),
+run AS (SELECT t, sum(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                 AS conc
+        FROM ag)
+SELECT CAST(conc AS BIGINT) AS peak_concurrency,
+       CAST(t AS BIGINT) AS peak_us
+FROM run ORDER BY conc DESC, t LIMIT 1
+"""
+
+
+@_hash_shuffled
+def customer_cohort_ltv(sf_dir: str, np_: int = 0):
+    """Cohort lifetime-value matrix: customers cohorted by their FIRST
+    order month; revenue and order counts roll up per (cohort month,
+    months-since-first).  The cohort assignment is per-customer-local,
+    so ONE ``groupby(custkey).map_groups`` computes it and emits
+    already-aggregated (cohort, age) partials (same partitioning
+    assumption as sessionization: one customer's orders fit a group);
+    the merged matrix is months²-bounded — class (b).  Cents are exact
+    integers (half-away-from-zero, the ``money_units`` rule), so the
+    grouped revenue matches the DECIMAL oracle bit-for-bit."""
+    ds = _pq(sf_dir, "orders",
+             ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def per_customer(group: pd.DataFrame) -> pd.DataFrame:
+        dt = group["o_orderdate"].astype("datetime64[us]")
+        m = (dt.dt.year * 12 + dt.dt.month - 1).to_numpy(np.int64)
+        p = group["o_totalprice"].to_numpy(np.float64)
+        cents = (np.sign(p)
+                 * np.floor(np.abs(p) * 100.0 + 0.5)).astype(np.int64)
+        cm = int(m.min())
+        df = pd.DataFrame({"cohort_m": cm, "age_months": m - cm,
+                           "cents": cents})
+        return df.groupby(["cohort_m", "age_months"],
+                          as_index=False).agg(
+            cents=("cents", "sum"), n_orders=("cents", "size"))
+
+    partials = ds.groupby("o_custkey", num_partitions=np_).map_groups(
+        per_customer, batch_format="pandas")
+    agg = final_merge_sums(partials, ["cohort_m", "age_months"],
+                           ["cents", "n_orders"], np_=np_)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        y = (b["cohort_m"] // 12).astype("int64")
+        mo = (b["cohort_m"] % 12 + 1).astype("int64")
+        return pd.DataFrame({
+            "cohort_month": (y.astype(str).str.zfill(4) + "-"
+                             + mo.astype(str).str.zfill(2)),
+            "age_months": b["age_months"].astype("int64"),
+            "n_orders": b["n_orders"].astype("int64"),
+            "revenue": b["cents"] / 100.0})
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+CUSTOMER_COHORT_LTV_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS m,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders),
+c AS (SELECT o_custkey, min(m) AS cm FROM o GROUP BY 1)
+SELECT printf('%04d-%02d', cm // 12, cm % 12 + 1) AS cohort_month,
+       CAST(m - cm AS BIGINT) AS age_months,
+       count(*) AS n_orders,
+       CAST(sum(p) AS DOUBLE) AS revenue
+FROM o JOIN c USING (o_custkey)
+GROUP BY cohort_month, age_months
+"""
+
+
 def analytics_extra_queries():
     return {
         "parts_top_per_nation": parts_top_per_nation,
@@ -3176,6 +3405,8 @@ def analytics_extra_queries():
         "events_lag_delta": events_lag_delta,
         "events_quantiles_by_type": events_quantiles_by_type,
         "events_range_join": events_range_join,
+        "events_peak_concurrency": events_peak_concurrency,
+        "customer_cohort_ltv": customer_cohort_ltv,
     }
 
 
@@ -3224,4 +3455,6 @@ def analytics_extra_oracle_sql():
         "events_table_profile": _EVENTS_TABLE_PROFILE_SQL,
         "events_jsonl_roundtrip": _FORMAT_ROLLUP_SQL,
         "events_conversion_window": EVENTS_CONVERSION_SQL,
+        "events_peak_concurrency": EVENTS_PEAK_CONCURRENCY_SQL,
+        "customer_cohort_ltv": CUSTOMER_COHORT_LTV_SQL,
     }

@@ -264,3 +264,30 @@ def test_dau_wau_invariants():
     got = df.set_index(df["day"].astype("int64")
                        // (86_400 * 1_000_000))["dau"]
     assert (got.sort_index() == dau.sort_index()).all()
+
+
+def test_cohort_ltv_conserves_revenue():
+    from cheque_ocr_project_ray.relational.analytics_extra import (
+        customer_cohort_ltv)
+    df = customer_cohort_ltv(SF).to_pandas()
+    orders = pd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_totalprice"])
+    total_cents = int(np.floor(np.abs(orders["o_totalprice"].to_numpy())
+                               * 100.0 + 0.5).sum())
+    assert int(round(df["revenue"].sum() * 100)) == total_cents
+    assert int(df["n_orders"].sum()) == len(orders)
+    assert (df["age_months"] >= 0).all()
+    # every cohort has its month-0 row (the first order defines it)
+    assert (df.groupby("cohort_month")["age_months"].min() == 0).all()
+
+
+def test_peak_concurrency_bounds():
+    from cheque_ocr_project_ray.relational.analytics_extra import (
+        events_peak_concurrency)
+    df = events_peak_concurrency(SF)
+    assert len(df) == 1
+    peak = int(df["peak_concurrency"].iloc[0])
+    n_users = pd.read_parquet(f"{SF}/events.parquet",
+                              columns=["user_id"])["user_id"].nunique()
+    # at most one active session per user at any instant
+    assert 1 <= peak <= n_users

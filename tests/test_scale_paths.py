@@ -184,3 +184,13 @@ def test_media_dedup_distributed(ray_session):
     b = media_dedup_exact(SF001, bound=0).to_pandas().sort_values("fp") \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b[a.columns.tolist()])
+
+def test_peak_concurrency_prefix_scan(ray_session, hc_dir, collect_cap):
+    # bound=0 forces the distributed sort + two-phase block scan; the
+    # driver sees only n_blocks (total, candidate) pairs
+    from cheque_ocr_project_ray.relational.analytics_extra import (
+        EVENTS_PEAK_CONCURRENCY_SQL, events_peak_concurrency)
+    df = events_peak_concurrency(hc_dir, bound=0)
+    _cmp(df, _sql(hc_dir, EVENTS_PEAK_CONCURRENCY_SQL),
+         ["peak_concurrency"])
+    assert max(collect_cap, default=0) <= COLLECT_CAP
