@@ -3130,30 +3130,26 @@ FROM rk WHERE rnk <= {TOP_PARTS_K}
 """
 
 
-@_hash_shuffled
-def events_peak_concurrency(sf_dir: str, np_: int = 0,
-                            gap_minutes: int = 30,
-                            bound: int = 2_000_000):
-    """Peak number of SIMULTANEOUSLY active sessions across all users
-    — the interval-overlap scanline a capacity planner runs.  Gap
-    sessionization (30 min, the ``events_sessions`` definition) runs
-    WITHOUT the one-user-fits-one-group assumption: a session boundary
-    is a pure LAG predicate over the (user, ts)-sorted stream, so the
-    plan is per-batch (user, ts) distinct → ONE distributed sort →
-    per-block vectorized boundary detection with a (last-row,
-    first-row) carry between neighbor blocks (n_blocks tuples through
-    the driver — raw tasks, because the lag needs block ORDER).
-    Duplicate (user, ts) pairs surviving the per-batch distinct are
-    harmless by construction (their lag diff is 0, so they can never
-    open or close a session).  Each session contributes two delta
-    points (+1 at first, −1 at last+1µs); deltas merge via the
-    bounded-adaptive sum.  Under ``bound`` the prefix max folds on the
-    driver; past it (session cardinality beyond driver memory) the
-    fallback is the ``orders_pareto`` two-phase prefix scan: per-block
-    delta totals make exclusive offsets, each block reports its own
-    (max, earliest-t) candidate, and the driver folds n_blocks pairs.
-    Output is one row (peak_concurrency, peak_us)."""
-    from cheque_ocr_project_ray.util import collect_table
+def _session_delta_ds(sf_dir: str, np_: int, gap_minutes: int,
+                      bound: int):
+    """Session-interval delta stream shared by the interval-overlap
+    scanline family (``events_peak_concurrency``,
+    ``events_busy_coverage``): a materialized Dataset of UNIQUE
+    (t, d) rows where d is the net number of sessions opening at
+    microsecond t (+1 at each session's first event, −1 at last+1µs),
+    or None when there are no events.
+
+    Gap sessionization (30 min default, the ``events_sessions``
+    definition) runs WITHOUT the one-user-fits-one-group assumption: a
+    session boundary is a pure LAG predicate over the (user, ts)-
+    sorted stream, so the plan is per-batch (user, ts) distinct → ONE
+    distributed sort → per-block vectorized boundary detection with a
+    (last-row, first-row) carry between neighbor blocks (n_blocks
+    4-tuples through the driver — raw tasks, because the lag needs
+    block ORDER).  Duplicate (user, ts) pairs surviving the per-batch
+    distinct are harmless by construction (their lag diff is 0, so
+    they can never open or close a session).  Deltas merge via the
+    bounded-adaptive sum, staying distributed past ``bound``."""
     import ray.data as _rd
 
     ds = _pq(sf_dir, "events", ["user_id", "ts"])
@@ -3216,15 +3212,33 @@ def events_peak_concurrency(sf_dir: str, np_: int = 0,
                                       gap_us)
                   for i in live]
     if not delta_refs:
-        return pd.DataFrame({
-            "peak_concurrency": pd.Series([], dtype="int64"),
-            "peak_us": pd.Series([], dtype="int64")})
+        return None
     pts = _rd.from_arrow_refs(delta_refs)
-    agg_ds = final_merge_sums(pts, ["t"], ["d"], np_=np_,
-                              bound=bound).materialize()
+    return final_merge_sums(pts, ["t"], ["d"], np_=np_,
+                            bound=bound).materialize()
+
+
+@_hash_shuffled
+def events_peak_concurrency(sf_dir: str, np_: int = 0,
+                            gap_minutes: int = 30,
+                            bound: int = 2_000_000):
+    """Peak number of SIMULTANEOUSLY active sessions across all users
+    — the interval-overlap scanline a capacity planner runs, over the
+    shared :func:`_session_delta_ds` stream (see there for the
+    sort+carry shape).  Under ``bound`` the prefix max folds on the
+    driver; past it (session cardinality beyond driver memory) the
+    fallback is the ``orders_pareto`` two-phase prefix scan: per-block
+    delta totals make exclusive offsets, each block reports its own
+    (max, earliest-t) candidate, and the driver folds n_blocks pairs.
+    Output is one row (peak_concurrency, peak_us)."""
+    from cheque_ocr_project_ray.util import collect_table
+
+    agg_ds = _session_delta_ds(sf_dir, np_, gap_minutes, bound)
     empty = pd.DataFrame({
         "peak_concurrency": pd.Series([], dtype="int64"),
         "peak_us": pd.Series([], dtype="int64")})
+    if agg_ds is None:
+        return empty
     if agg_ds.count() <= bound:
         t = collect_table(agg_ds)
         if t is None or t.num_rows == 0:
@@ -3270,7 +3284,9 @@ def events_peak_concurrency(sf_dir: str, np_: int = 0,
         "peak_us": [min(c[1] for c in cands if c[0] == peak)]})
 
 
-EVENTS_PEAK_CONCURRENCY_SQL = f"""
+# session-interval delta grid — ONE snippet shared by both scanline
+# oracles so the session definition cannot drift between them
+_SESSION_DELTA_CTE = f"""
 WITH du AS (
   SELECT DISTINCT user_id, epoch_us(ts) AS us FROM events),
 ordered AS (
@@ -3288,13 +3304,104 @@ iv AS (SELECT min(us) AS s, max(us) AS e
        FROM sess GROUP BY user_id, sid),
 pts AS (SELECT s AS t, 1 AS d FROM iv
         UNION ALL SELECT e + 1 AS t, -1 AS d FROM iv),
-ag AS (SELECT t, sum(d) AS d FROM pts GROUP BY t),
+ag AS (SELECT t, sum(d) AS d FROM pts GROUP BY t)"""
+
+EVENTS_PEAK_CONCURRENCY_SQL = _SESSION_DELTA_CTE + """,
 run AS (SELECT t, sum(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
                  AS conc
         FROM ag)
 SELECT CAST(conc AS BIGINT) AS peak_concurrency,
        CAST(t AS BIGINT) AS peak_us
 FROM run ORDER BY conc DESC, t LIMIT 1
+"""
+
+
+@_hash_shuffled
+def events_busy_coverage(sf_dir: str, np_: int = 0,
+                         gap_minutes: int = 30,
+                         bound: int = 2_000_000):
+    """Union-of-intervals coverage: total microseconds where AT LEAST
+    one session is active anywhere in the system, and the number of
+    maximal busy intervals — the merged-interval operator, over the
+    shared :func:`_session_delta_ds` stream.  Prev-concurrency at a
+    point is ``conc − d`` (same row), so interval OPENINGS need no
+    lag; the busy span between consecutive points needs the NEXT
+    point's t, which the bounded path reads in one vector shift and
+    the distributed fallback carries between neighbor blocks
+    (n_blocks ints).  The global last point always closes every
+    session (deltas sum to 0), so there is no tail term and every
+    quantity stays an exact integer.  Output: one row
+    (busy_us, n_busy_intervals)."""
+    from cheque_ocr_project_ray.util import collect_table
+
+    agg_ds = _session_delta_ds(sf_dir, np_, gap_minutes, bound)
+    empty = pd.DataFrame({
+        "busy_us": pd.Series([], dtype="int64"),
+        "n_busy_intervals": pd.Series([], dtype="int64")})
+    if agg_ds is None:
+        return empty
+    if agg_ds.count() <= bound:
+        t = collect_table(agg_ds)
+        if t is None or t.num_rows == 0:
+            return empty
+        ts_ = t.column("t").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        order = np.argsort(ts_)  # keys unique after the merge
+        ts_, d = ts_[order], d[order]
+        conc = np.cumsum(d)
+        busy = int(np.sum((ts_[1:] - ts_[:-1])[conc[:-1] > 0]))
+        n_iv = int(np.sum((conc > 0) & (conc - d == 0)))
+        return pd.DataFrame({"busy_us": [busy],
+                             "n_busy_intervals": [n_iv]})
+    # distributed fallback: same two-phase block scan as the peak
+    refs = agg_ds.sort(["t"]).materialize().to_arrow_refs()
+
+    @ray.remote
+    def block_info(tb: pa.Table):
+        if tb.num_columns == 0 or tb.num_rows == 0:
+            return None
+        return (int(pc.sum(tb.column("d")).as_py() or 0),
+                int(tb.column("t")[0].as_py()))
+
+    infos = ray.get([block_info.remote(r) for r in refs])
+    live = [i for i, x in enumerate(infos) if x is not None]
+    if not live:
+        return empty
+    nxt_t = {a: infos[b][1] for a, b in zip(live, live[1:])}
+    offs, run = {}, 0
+    for i in live:
+        offs[i] = run
+        run += infos[i][0]
+
+    @ray.remote
+    def block_busy(tb: pa.Table, off: int, nxt):
+        ts_ = tb.column("t").to_numpy(zero_copy_only=False)
+        d = tb.column("d").to_numpy(zero_copy_only=False)
+        conc = off + np.cumsum(d)
+        busy = int(np.sum((ts_[1:] - ts_[:-1])[conc[:-1] > 0]))
+        if nxt is not None and conc[-1] > 0:
+            busy += int(nxt - ts_[-1])
+        return busy, int(np.sum((conc > 0) & (conc - d == 0)))
+
+    parts = ray.get([block_busy.remote(refs[i], int(offs[i]),
+                                       nxt_t.get(i))
+                     for i in live])
+    return pd.DataFrame({
+        "busy_us": [sum(p[0] for p in parts)],
+        "n_busy_intervals": [sum(p[1] for p in parts)]})
+
+
+EVENTS_BUSY_COVERAGE_SQL = _SESSION_DELTA_CTE + """,
+run AS (SELECT t, d,
+               sum(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                   AS conc,
+               lead(t) OVER (ORDER BY t) AS nt
+        FROM ag)
+SELECT CAST(sum(CASE WHEN conc > 0 THEN nt - t ELSE 0 END)
+            AS BIGINT) AS busy_us,
+       CAST(sum(CASE WHEN conc > 0 AND conc - d = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_busy_intervals
+FROM run
 """
 
 
@@ -3406,6 +3513,7 @@ def analytics_extra_queries():
         "events_quantiles_by_type": events_quantiles_by_type,
         "events_range_join": events_range_join,
         "events_peak_concurrency": events_peak_concurrency,
+        "events_busy_coverage": events_busy_coverage,
         "customer_cohort_ltv": customer_cohort_ltv,
     }
 
@@ -3456,5 +3564,6 @@ def analytics_extra_oracle_sql():
         "events_jsonl_roundtrip": _FORMAT_ROLLUP_SQL,
         "events_conversion_window": EVENTS_CONVERSION_SQL,
         "events_peak_concurrency": EVENTS_PEAK_CONCURRENCY_SQL,
+        "events_busy_coverage": EVENTS_BUSY_COVERAGE_SQL,
         "customer_cohort_ltv": CUSTOMER_COHORT_LTV_SQL,
     }

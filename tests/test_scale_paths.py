@@ -194,3 +194,10 @@ def test_peak_concurrency_prefix_scan(ray_session, hc_dir, collect_cap):
     _cmp(df, _sql(hc_dir, EVENTS_PEAK_CONCURRENCY_SQL),
          ["peak_concurrency"])
     assert max(collect_cap, default=0) <= COLLECT_CAP
+
+def test_busy_coverage_prefix_scan(ray_session, hc_dir, collect_cap):
+    from cheque_ocr_project_ray.relational.analytics_extra import (
+        EVENTS_BUSY_COVERAGE_SQL, events_busy_coverage)
+    df = events_busy_coverage(hc_dir, bound=0)
+    _cmp(df, _sql(hc_dir, EVENTS_BUSY_COVERAGE_SQL), ["busy_us"])
+    assert max(collect_cap, default=0) <= COLLECT_CAP
