@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "doc_bm25_topk",           # two-pass ranked retrieval
     "events_funnel_paths",     # per-user ordered sequence mining
     "embedding_mmr_topk",      # diverse retrieval re-rank (r4)
+    "events_peak_concurrency",  # interval scanline: sort + block scan (r5)
+    "customer_cohort_ltv",     # cohort matrix: map_groups + grid merge (r5)
 ]
 
 
