@@ -3406,36 +3406,78 @@ FROM run
 
 
 @_hash_shuffled
-def customer_cohort_ltv(sf_dir: str, np_: int = 0):
+def customer_cohort_ltv(sf_dir: str, np_: int = 0,
+                        bound: int = 2_000_000):
     """Cohort lifetime-value matrix: customers cohorted by their FIRST
     order month; revenue and order counts roll up per (cohort month,
-    months-since-first).  The cohort assignment is per-customer-local,
-    so ONE ``groupby(custkey).map_groups`` computes it and emits
-    already-aggregated (cohort, age) partials (same partitioning
-    assumption as sessionization: one customer's orders fit a group);
-    the merged matrix is months²-bounded — class (b).  Cents are exact
-    integers (half-away-from-zero, the ``money_units`` rule), so the
-    grouped revenue matches the DECIMAL oracle bit-for-bit."""
+    months-since-first).  NO orders shuffle (the r5 rework — the
+    first cut shuffled the whole fact table through
+    ``groupby(custkey).map_groups``): per-batch combiners reduce to
+    (custkey, month) partial sums, the bounded-adaptive merge yields
+    the |customers|×|months|-bounded grid, and the per-customer
+    cohort month — a min over that grid — is attached back via a
+    broadcast under ``bound`` or a hash join past it (the
+    events_retention shape).  Only the months²-bounded (cohort, age)
+    matrix ever reaches the driver — class (a).  Cents are exact
+    integers (``money_units``), so the grouped revenue matches the
+    DECIMAL oracle bit-for-bit."""
+    from cheque_ocr_project_ray.relational.joins import (broadcast_join,
+                                                         hash_join)
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_min)
     ds = _pq(sf_dir, "orders",
              ["o_custkey", "o_orderdate", "o_totalprice"])
 
-    def per_customer(group: pd.DataFrame) -> pd.DataFrame:
-        dt = group["o_orderdate"].astype("datetime64[us]")
-        m = (dt.dt.year * 12 + dt.dt.month - 1).to_numpy(np.int64)
-        p = group["o_totalprice"].to_numpy(np.float64)
-        cents = (np.sign(p)
-                 * np.floor(np.abs(p) * 100.0 + 0.5)).astype(np.int64)
-        cm = int(m.min())
-        df = pd.DataFrame({"cohort_m": cm, "age_months": m - cm,
-                           "cents": cents})
-        return df.groupby(["cohort_m", "age_months"],
-                          as_index=False).agg(
-            cents=("cents", "sum"), n_orders=("cents", "size"))
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        m = pc.add(pc.multiply(pc.cast(pc.year(d), pa.int64()),
+                               pa.scalar(12)),
+                   pc.subtract(pc.cast(pc.month(d), pa.int64()),
+                               pa.scalar(1)))
+        t = pa.table({"o_custkey": batch.column("o_custkey"), "m": m,
+                      "cents": money_units(batch.column("o_totalprice")),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by(["o_custkey", "m"]).aggregate(
+            [("cents", "sum"), ("n", "sum")])
+        return g.rename_columns(["o_custkey", "m", "cents", "n_orders"])
 
-    partials = ds.groupby("o_custkey", num_partitions=np_).map_groups(
-        per_customer, batch_format="pandas")
-    agg = final_merge_sums(partials, ["cohort_m", "age_months"],
-                           ["cents", "n_orders"], np_=np_)
+    grid = final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey", "m"], ["cents", "n_orders"],
+        np_=np_, bound=bound).materialize()
+    if grid.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "cohort_month": pa.array([], pa.string()),
+            "age_months": pa.array([], pa.int64()),
+            "n_orders": pa.array([], pa.int64()),
+            "revenue": pa.array([], pa.float64())}))
+
+    cohort = final_merge_min(
+        grid.select_columns(["o_custkey", "m"]), ["o_custkey"], ["m"],
+        np_=np_, bound=bound).map_batches(
+        lambda b: b.rename_columns(["o_custkey", "cm"]),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    if cohort.count() <= bound:
+        j = broadcast_join(grid, collect_table(cohort), on="o_custkey")
+    else:
+        j = hash_join(grid, cohort, on="o_custkey",
+                      num_partitions=np_ or None)
+
+    def age_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"cohort_m": batch.column("cm"),
+                      "age_months": pc.subtract(batch.column("m"),
+                                                batch.column("cm")),
+                      "cents": batch.column("cents"),
+                      "n_orders": batch.column("n_orders")})
+        g = t.group_by(["cohort_m", "age_months"]).aggregate(
+            [("cents", "sum"), ("n_orders", "sum")])
+        return g.rename_columns(["cohort_m", "age_months", "cents",
+                                 "n_orders"])
+
+    agg = final_merge_sums(
+        j.map_batches(age_partial, batch_format="pyarrow"),
+        ["cohort_m", "age_months"], ["cents", "n_orders"], np_=np_)
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
         y = (b["cohort_m"] // 12).astype("int64")

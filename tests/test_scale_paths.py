@@ -60,6 +60,10 @@ def hc_dir(tmp_path_factory):
             rng.random(N_USERS) < 0.2, "1-URGENT", "3-MEDIUM")),
         "o_totalprice": pa.array(np.round(rng.uniform(10, 9999, N_USERS), 2),
                                  pa.float64()),
+        "o_orderdate": pa.array(
+            np.datetime64("2023-01-01", "us") + rng.integers(
+                0, 700 * 86_400_000_000, N_USERS)
+            .astype("timedelta64[us]")),
     }), d / "orders.parquet", row_group_size=50_000)
     return str(d)
 
@@ -200,4 +204,15 @@ def test_busy_coverage_prefix_scan(ray_session, hc_dir, collect_cap):
         EVENTS_BUSY_COVERAGE_SQL, events_busy_coverage)
     df = events_busy_coverage(hc_dir, bound=0)
     _cmp(df, _sql(hc_dir, EVENTS_BUSY_COVERAGE_SQL), ["busy_us"])
+    assert max(collect_cap, default=0) <= COLLECT_CAP
+
+
+def test_cohort_ltv_join_path(ray_session, hc_dir, collect_cap):
+    # bound=0 forces distributed grid + cohort merges AND the
+    # hash-join attach; only the months^2 matrix reaches the driver
+    from cheque_ocr_project_ray.relational.analytics_extra import (
+        CUSTOMER_COHORT_LTV_SQL, customer_cohort_ltv)
+    df = customer_cohort_ltv(hc_dir, bound=0).to_pandas()
+    _cmp(df, _sql(hc_dir, CUSTOMER_COHORT_LTV_SQL, ("orders",)),
+         ["cohort_month", "age_months"])
     assert max(collect_cap, default=0) <= COLLECT_CAP
