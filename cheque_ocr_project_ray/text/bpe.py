@@ -36,8 +36,10 @@ from cheque_ocr_project_ray.util import (collect_table, final_merge_sums,
 _WORD_RE = re.compile(r"[a-z]+")
 
 
-def word_counts(docs_ds, np_: int = 0):
-    """documents → Dataset[word, n] (the bounded BPE training table)."""
+def word_counts(docs_ds, np_: int = 0, bound: int = 2_000_000):
+    """documents → Dataset[word, n] (the bounded BPE training table;
+    ``bound`` forwards to the bounded-adaptive merge so vocabulary-
+    rank callers can keep the count table distributed)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         texts = pc.utf8_lower(batch.column("text")).to_pylist()
@@ -54,7 +56,7 @@ def word_counts(docs_ds, np_: int = 0):
 
     return final_merge_sums(
         docs_ds.map_batches(partial, batch_format="pyarrow"),
-        ["word"], ["n"], np_=np_)
+        ["word"], ["n"], np_=np_, bound=bound)
 
 
 def _pair_partials(batch: pa.Table) -> pa.Table:

@@ -24,37 +24,79 @@ def _docs(sf_dir: str):
                                  columns=["doc_id", "text"])
 
 
-def corpus_vocab_coverage(sf_dir: str):
+def corpus_vocab_coverage(sf_dir: str, np_: int = 0,
+                          bound: int = 2_000_000):
     """Vocabulary coverage curve summary: total token mass, vocab
     size, the smallest k whose top-k words cover ≥90% of tokens
     (exact-int test cum·10 ≥ total·9), and the coverage of the top
     100 — the tokenizer-budget sizing numbers.  Word counts reduce
-    distributedly (combiner + bounded-adaptive merge); the cumsum runs
-    over the bounded vocab (the same driver-fold bound as the Zipf
-    fit — vocabulary, not corpus, cardinality)."""
+    distributedly (combiner + bounded-adaptive merge); under ``bound``
+    the cumsum folds over the collected vocab on the driver.  Past it
+    (the r5 vocabulary-rank fallback) the count table stays
+    distributed: one global sort on (n DESC, word) + the two-phase
+    block prefix scan — ``block_prefix_offsets`` gives each block its
+    exclusive rank/mass offsets, each block probes its own k90 hit
+    and rank-100 cum in a Ray task, and the driver folds n_blocks
+    3-tuples.  Exact integer arithmetic end-to-end, so both branches
+    are bit-identical to the SQL window."""
     import numpy as np
     import pandas as pd
+    import ray as _ray
     from cheque_ocr_project_ray.text.bpe import word_counts
-    from cheque_ocr_project_ray.util import collect_table, round_half_up
+    from cheque_ocr_project_ray.util import (block_prefix_offsets,
+                                             collect_table,
+                                             round_half_up)
 
-    t = collect_table(word_counts(_docs(sf_dir)).materialize())
-    if t is None or t.num_rows == 0:
+    wc = word_counts(_docs(sf_dir), np_=np_, bound=bound).materialize()
+    vocab = wc.count()
+    if vocab == 0:
         return pd.DataFrame({"n_tokens": pd.Series([], dtype="int64"),
                              "vocab_size": pd.Series([], dtype="int64"),
                              "k90": pd.Series([], dtype="int64"),
                              "coverage_100": pd.Series([],
                                                        dtype="float64")})
-    df = t.to_pandas().sort_values(["n", "word"],
-                                   ascending=[False, True])
-    n = df["n"].to_numpy()
-    cum = n.cumsum()
-    total = int(cum[-1])
-    k90 = int(np.argmax(cum * 10 >= total * 9)) + 1
-    cov100 = 1.0 if len(cum) < 100 else float(cum[99]) / float(total)
+    if vocab <= bound:
+        t = collect_table(wc)
+        df = t.to_pandas().sort_values(["n", "word"],
+                                       ascending=[False, True])
+        n = df["n"].to_numpy()
+        cum = n.cumsum()
+        total = int(cum[-1])
+        k90 = int(np.argmax(cum * 10 >= total * 9)) + 1
+        cov100 = 1.0 if len(cum) < 100 else float(cum[99]) / float(total)
+        return pd.DataFrame([{
+            "n_tokens": total,
+            "vocab_size": int(len(df)),
+            "k90": k90,
+            "coverage_100": float(round_half_up(cov100, 6))}])
+    # vocabulary past driver memory: distributed rank via sort +
+    # two-phase prefix scan (the orders_pareto shape)
+    refs = wc.sort(["n", "word"], descending=[True, False]) \
+        .materialize().to_arrow_refs()
+    rows, row_off, sums, sum_off = block_prefix_offsets(refs, "n")
+    total = int(sums.sum())
+
+    @_ray.remote
+    def probe(t, roff: int, coff: int, total: int):
+        if t.num_columns == 0 or t.num_rows == 0:
+            return (0, -1)
+        cum = coff + np.cumsum(
+            t.column("n").to_numpy(zero_copy_only=False))
+        hit = np.nonzero(cum * 10 >= total * 9)[0]
+        k90 = int(roff + hit[0] + 1) if len(hit) else 0
+        i = 99 - roff   # global rank 100 lives at local index i
+        c100 = int(cum[i]) if 0 <= i < len(cum) else -1
+        return (k90, c100)
+
+    probes = _ray.get([probe.remote(r, int(ro), int(co), total)
+                       for r, ro, co in zip(refs, row_off, sum_off)])
+    k90 = min(p[0] for p in probes if p[0] > 0)
+    c100 = next((p[1] for p in probes if p[1] >= 0), -1)
+    cov100 = 1.0 if c100 < 0 else float(c100) / float(total)
     return pd.DataFrame([{
         "n_tokens": total,
-        "vocab_size": int(len(df)),
-        "k90": k90,
+        "vocab_size": int(vocab),
+        "k90": int(k90),
         "coverage_100": float(round_half_up(cov100, 6))}])
 
 
@@ -2230,42 +2272,75 @@ SELECT doc_id, dim, weight FROM g WHERE weight <> 0
 """
 
 
-def corpus_zipf_slope(sf_dir: str):
+def corpus_zipf_slope(sf_dir: str, np_: int = 0,
+                      bound: int = 2_000_000):
     """Zipf's-law fit: OLS slope of ln(frequency) on ln(rank) over
     the corpus vocabulary — the classic sanity check that a text
     corpus is natural-language-shaped (slope ≈ −1) rather than
     synthetic or corrupted.  One vocabulary-bounded combiner merge;
-    the regression folds from exact moment sums on the driver,
-    mirroring the SQL formula op-for-op."""
+    under ``bound`` the regression folds from exact moment sums on
+    the driver, mirroring the SQL formula op-for-op.  Past it (the
+    r5 vocabulary-rank fallback): rank needs global order, so the
+    count table sorts distributedly on (n DESC, tok) and each block
+    computes its OLS moment partials (k, Σx, Σy, Σxy, Σx²) from its
+    ``block_prefix_offsets`` rank seed — the driver folds n_blocks
+    5-float rows, never a term."""
     import numpy as np
     import pandas as pd
+    import ray as _ray
 
-    from cheque_ocr_project_ray.util import (collect_table,
+    from cheque_ocr_project_ray.util import (block_prefix_offsets,
+                                             collect_table,
                                              final_merge_sums,
                                              round_half_up)
 
     docs = _docs(sf_dir)
-    ct = collect_table(final_merge_sums(
+    counts = final_merge_sums(
         docs.map_batches(analysis.token_counts, batch_format="pyarrow"),
-        ["tok"], ["n"]).materialize())
-    if ct is None or ct.num_rows == 0:
+        ["tok"], ["n"], np_=np_, bound=bound).materialize()
+    n_terms = counts.count()
+    if n_terms == 0:
         return pd.DataFrame({"n_terms": pd.Series([], dtype="int64"),
                              "slope": pd.Series([], dtype="float64"),
                              "intercept": pd.Series([], dtype="float64")})
-    df = ct.to_pandas()
-    # rank = row_number ordered by (freq DESC, token ASC) — ties get
-    # deterministic distinct ranks in both engines
-    df = df.sort_values(["n", "tok"],
-                        ascending=[False, True]).reset_index(drop=True)
-    x = np.log(np.arange(1, len(df) + 1, dtype=np.float64))
-    y = np.log(df["n"].to_numpy(np.float64))
-    k = float(len(df))
-    sx, sy = x.sum(), y.sum()
-    sxy, sxx = (x * y).sum(), (x * x).sum()
+    if n_terms <= bound:
+        df = collect_table(counts).to_pandas()
+        # rank = row_number ordered by (freq DESC, token ASC) — ties
+        # get deterministic distinct ranks in both engines
+        df = df.sort_values(["n", "tok"],
+                            ascending=[False, True]).reset_index(drop=True)
+        x = np.log(np.arange(1, len(df) + 1, dtype=np.float64))
+        y = np.log(df["n"].to_numpy(np.float64))
+        k = float(len(df))
+        sx, sy = x.sum(), y.sum()
+        sxy, sxx = (x * y).sum(), (x * x).sum()
+    else:
+        refs = counts.sort(["n", "tok"], descending=[True, False]) \
+            .materialize().to_arrow_refs()
+        rows, row_off, _, _ = block_prefix_offsets(refs)
+
+        @_ray.remote
+        def moments(t, roff: int):
+            if t.num_columns == 0 or t.num_rows == 0:
+                return (0.0, 0.0, 0.0, 0.0, 0.0)
+            x = np.log(np.arange(roff + 1, roff + t.num_rows + 1,
+                                 dtype=np.float64))
+            y = np.log(t.column("n").to_numpy(
+                zero_copy_only=False).astype(np.float64))
+            return (float(t.num_rows), float(x.sum()), float(y.sum()),
+                    float((x * y).sum()), float((x * x).sum()))
+
+        parts = _ray.get([moments.remote(r, int(ro))
+                          for r, ro in zip(refs, row_off)])
+        k = sum(p[0] for p in parts)
+        sx = sum(p[1] for p in parts)
+        sy = sum(p[2] for p in parts)
+        sxy = sum(p[3] for p in parts)
+        sxx = sum(p[4] for p in parts)
     slope = (sxy / k - (sx / k) * (sy / k)) \
         / (sxx / k - (sx / k) * (sx / k))
     intercept = sy / k - slope * (sx / k)
-    return pd.DataFrame({"n_terms": [len(df)],
+    return pd.DataFrame({"n_terms": [int(n_terms)],
                          "slope": [float(round_half_up(slope, 6))],
                          "intercept": [float(round_half_up(intercept,
                                                            6))]})
@@ -2352,11 +2427,18 @@ FROM documents
 STOPWORD_K = 20
 
 
-def corpus_stopword_discovery(sf_dir: str):
+def corpus_stopword_discovery(sf_dir: str, np_: int = 0,
+                              bound: int = 2_000_000):
     """Automatic stopword discovery: the STOPWORD_K highest-document-
     frequency terms with df, total tf, and idf — the data-driven
     replacement for hand-curated stopword lists.  One vocabulary-
-    bounded merge; deterministic (df DESC, term ASC) ordering."""
+    bounded merge; deterministic (df DESC, term ASC) ordering.  Past
+    ``bound`` (the r5 vocabulary-rank fallback) the merged count
+    table stays distributed and every block emits only its own top
+    STOPWORD_K candidates — the global winner set is a subset of the
+    K·n_blocks candidate rows (each global top row lives in SOME
+    block and tops it), so the driver re-rank is block-bounded, the
+    standard per-batch-top-k + tiny-global-re-rank shape."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
@@ -2374,9 +2456,20 @@ def corpus_stopword_discovery(sf_dir: str):
                                           ("doc_id", "count")])
         return t.rename_columns(["term", "total_tf", "df"])
 
-    ct = collect_table(final_merge_sums(
+    merged = final_merge_sums(
         docs.map_batches(partial, batch_format="pyarrow"),
-        ["term"], ["total_tf", "df"]).materialize())
+        ["term"], ["total_tf", "df"], np_=np_,
+        bound=bound).materialize()
+    if merged.count() > bound:
+        # term-unique stream: keep only each block's top-K candidates
+        def block_topk(b: pd.DataFrame) -> pd.DataFrame:
+            return b.sort_values(["df", "term"],
+                                 ascending=[False, True]) \
+                .head(STOPWORD_K)
+
+        merged = merged.map_batches(
+            block_topk, batch_format="pandas").materialize()
+    ct = collect_table(merged)
     if ct is None or ct.num_rows == 0:
         return pd.DataFrame({"term": pd.Series([], dtype="object"),
                              "df": pd.Series([], dtype="int64"),

@@ -190,6 +190,37 @@ def collect_table(materialized_ds):
     return pa.concat_tables(parts).combine_chunks()
 
 
+def block_prefix_offsets(refs, sum_col: str | None = None):
+    """Phase ONE of the two-phase prefix scan over a globally sorted
+    Dataset's block refs: per-block row counts (and, optionally, the
+    integer total of ``sum_col``) fold into EXCLUSIVE prefix offsets.
+    The driver sees n_blocks 2-int tuples — never a row.  Phase two
+    is query-specific: each block finishes its own rank/cumsum work
+    in a Ray task seeded with its offsets (the ``orders_pareto``
+    shape, shared by the vocabulary-rank fallbacks).
+
+    Returns ``(rows, row_off, sums, sum_off)`` int64 arrays of length
+    n_blocks (``sums``/``sum_off`` are zeros when ``sum_col`` is
+    None)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    @ray.remote
+    def _stats(t, col):
+        if t.num_columns == 0 or t.num_rows == 0:
+            return (0, 0)
+        s = int(pc.sum(t.column(col)).as_py() or 0) if col else 0
+        return (t.num_rows, s)
+
+    st = ray.get([_stats.remote(r, sum_col) for r in refs])
+    rows = np.array([a for a, _ in st], dtype=np.int64)
+    sums = np.array([b for _, b in st], dtype=np.int64)
+    row_off = np.concatenate([[0], np.cumsum(rows)[:-1]]).astype(np.int64)
+    sum_off = np.concatenate([[0], np.cumsum(sums)[:-1]]).astype(np.int64)
+    return rows, row_off, sums, sum_off
+
+
 def strip_schema_metadata(t):
     """Drop parquet/pandas schema metadata from an Arrow table —
     pandas-written parquet carries a b'pandas' dict that makes the

@@ -216,3 +216,31 @@ def test_cohort_ltv_join_path(ray_session, hc_dir, collect_cap):
     _cmp(df, _sql(hc_dir, CUSTOMER_COHORT_LTV_SQL, ("orders",)),
          ["cohort_month", "age_months"])
     assert max(collect_cap, default=0) <= COLLECT_CAP
+
+
+def test_vocab_coverage_prefix_scan(ray_session, collect_cap):
+    # bound=0 forces the distributed sort + two-phase block probe;
+    # the driver folds n_blocks (k90, cum100) tuples, never a term
+    from cheque_ocr_project_ray.text.queries import (
+        CORPUS_VOCAB_COVERAGE_SQL, corpus_vocab_coverage)
+    df = corpus_vocab_coverage(SF001, bound=0)
+    _cmp(df, _sql(SF001, CORPUS_VOCAB_COVERAGE_SQL, ("documents",)),
+         ["n_tokens"])
+    assert max(collect_cap, default=0) <= COLLECT_CAP
+
+
+def test_zipf_slope_block_moments(ray_session, collect_cap):
+    from cheque_ocr_project_ray.text.queries import (
+        ZIPF_SLOPE_SQL, corpus_zipf_slope)
+    df = corpus_zipf_slope(SF001, bound=0)
+    _cmp(df, _sql(SF001, ZIPF_SLOPE_SQL, ("documents",)), ["n_terms"])
+    assert max(collect_cap, default=0) <= COLLECT_CAP
+
+
+def test_stopword_block_topk(ray_session, collect_cap):
+    from cheque_ocr_project_ray.text.queries import (
+        STOPWORD_DISCOVERY_SQL, corpus_stopword_discovery)
+    df = corpus_stopword_discovery(SF001, bound=0)
+    _cmp(df.reset_index(drop=True),
+         _sql(SF001, STOPWORD_DISCOVERY_SQL, ("documents",)), ["term"])
+    assert max(collect_cap, default=0) <= COLLECT_CAP
