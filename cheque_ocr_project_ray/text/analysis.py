@@ -418,6 +418,23 @@ def token_counts(batch: pa.Table) -> pa.Table:
         .rename_columns(["tok", "n"])
 
 
+def doc_token_pairs(batch: pa.Table) -> pa.Table:
+    """Per-batch (doc_id, tok, tf) over the SAME tokenization as
+    :func:`token_counts` — the probe stream of the LM-scoring join
+    fallback.  Final (not partial) counts: one row is one whole
+    document."""
+    _, flat, parent = _prep(batch)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    t = pa.table({
+        "doc_id": pa.array(ids[parent.astype(np.int64)], pa.int64()),
+        "tok": flat,
+        "tf": pa.array(np.ones(len(flat), np.int64))})
+    return t.group_by(["doc_id", "tok"]).aggregate([("tf", "sum")]) \
+        .rename_columns(["doc_id", "tok", "tf"])
+
+
 def unigram_logprob(batch: pa.Table, vocab: np.ndarray,
                     logp: np.ndarray) -> pa.Table:
     """Mean unigram log-probability per doc against the broadcast
@@ -435,6 +452,33 @@ def unigram_logprob(batch: pa.Table, vocab: np.ndarray,
         "n_tokens": pa.array(n_tokens, pa.int64()),
         "logprob": pa.array(round_half_up(per_doc / n_tokens, 6)),
     })
+
+
+def doc_bigram_pairs(batch: pa.Table) -> pa.Table:
+    """Per-batch (doc_id, bigram, tf) over the SAME bigram formation
+    as :func:`bigram_counts` — the bigram-LM join fallback's probe
+    stream.  Final counts: one row is one whole document."""
+    _, flat, parent = _prep(batch)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "bigram": pa.array([], pa.string()),
+                      "tf": pa.array([], pa.int64())})
+    if len(flat) < 2:
+        return empty
+    bg = pc.binary_join_element_wise(
+        flat.slice(0, len(flat) - 1), flat.slice(1), " ")
+    keep = parent[:-1] == parent[1:]
+    bg = bg.filter(pa.array(keep))
+    if len(bg) == 0:
+        return empty
+    bparent = parent[:-1][keep].astype(np.int64)
+    t = pa.table({"doc_id": pa.array(ids[bparent], pa.int64()),
+                  "bigram": bg,
+                  "tf": pa.array(np.ones(len(bg), np.int64))})
+    return t.group_by(["doc_id", "bigram"]).aggregate([("tf", "sum")]) \
+        .rename_columns(["doc_id", "bigram", "tf"])
 
 
 def bigram_logprob(batch: pa.Table, bvocab: np.ndarray,

@@ -1101,44 +1101,94 @@ FROM k JOIN tot ON k.doc_id = tot.doc_id
 """
 
 
-def doc_unigram_logprob(sf_dir: str):
+def doc_unigram_logprob(sf_dir: str, np_: int = 0,
+                        bound: int = 2_000_000):
     """Mean unigram log-likelihood per doc under the corpus's own
     unigram LM — the classic cheap quality/outlier signal (CCNet-style
     LM filtering, with the corpus itself as the model).  Pass 1
-    reduces to the (bounded) vocabulary through the combiner; the
-    sorted vocab + log-probs broadcast once; pass 2 is a stateless
-    lookup + bincount mean."""
+    reduces to the (bounded) vocabulary through the combiner; under
+    ``bound`` the sorted vocab + log-probs broadcast once and pass 2
+    is a stateless lookup + bincount mean.  Past it (the r5
+    vocabulary-join fallback — a vocabulary beyond driver/actor
+    memory) nothing broadcasts: the (tok, logp) table stays a
+    Dataset, the docs explode to per-doc (doc_id, tok, tf) rows over
+    the SAME tokenization, one token-keyed ``hash_join`` attaches the
+    log-probs, and the per-doc mean reduces back through the
+    doc-keyed merge — two honest shuffles, no driver table."""
     import numpy as np
+    import pyarrow as pa
     import ray
     from cheque_ocr_project_ray.util import (collect_table,
-                                             final_merge_sums, map_pool)
+                                             final_merge_sums, map_pool,
+                                             round_half_up)
 
     docs = _docs(sf_dir)
-    ct = collect_table(final_merge_sums(
+    counts = final_merge_sums(
         docs.map_batches(analysis.token_counts, batch_format="pyarrow"),
-        ["tok"], ["n"]).materialize())
-    if ct is None:
-        import pyarrow as pa
+        ["tok"], ["n"], np_=np_, bound=bound).materialize()
+    vocab_n = counts.count()
+    if vocab_n == 0:
         return ray.data.from_arrow(pa.table({
             "doc_id": pa.array([], pa.int64()),
             "n_tokens": pa.array([], pa.int64()),
             "logprob": pa.array([], pa.float64())}))
-    tok = np.array(ct.column("tok").to_pylist(), dtype=object)
-    n = ct.column("n").to_numpy()
-    order = np.argsort(tok)
-    total = float(n.sum())
-    state_ref = ray.put((tok[order], np.log(n[order] / total)))
+    if vocab_n <= bound:
+        ct = collect_table(counts)
+        tok = np.array(ct.column("tok").to_pylist(), dtype=object)
+        n = ct.column("n").to_numpy()
+        order = np.argsort(tok)
+        total = float(n.sum())
+        state_ref = ray.put((tok[order], np.log(n[order] / total)))
 
-    class Score:
-        def __init__(self):
-            self.vocab, self.logp = ray.get(state_ref)
+        class Score:
+            def __init__(self):
+                self.vocab, self.logp = ray.get(state_ref)
 
-        def __call__(self, batch):
-            return analysis.unigram_logprob(batch, self.vocab,
-                                            self.logp)
+            def __call__(self, batch):
+                return analysis.unigram_logprob(batch, self.vocab,
+                                                self.logp)
 
-    return docs.map_batches(Score, batch_format="pyarrow",
-                            concurrency=(1, map_pool()))
+        return docs.map_batches(Score, batch_format="pyarrow",
+                                concurrency=(1, map_pool()))
+    # vocabulary-join fallback
+    from cheque_ocr_project_ray.relational.joins import hash_join
+    import pyarrow.compute as pc_
+    total = float(counts.sum("n"))
+
+    def with_logp(t: pa.Table) -> pa.Table:
+        lp = np.log(t.column("n").to_numpy(
+            zero_copy_only=False).astype(np.float64) / total)
+        return pa.table({"tok": t.column("tok"),
+                         "logp": pa.array(lp, pa.float64())})
+
+    lm = counts.map_batches(with_logp, batch_format="pyarrow")
+    pairs = docs.map_batches(analysis.doc_token_pairs,
+                             batch_format="pyarrow")
+    j = hash_join(pairs, lm, on="tok", num_partitions=np_ or None)
+
+    def doc_partial(t: pa.Table) -> pa.Table:
+        w = pc_.multiply(pc_.cast(t.column("tf"), pa.float64()),
+                         t.column("logp"))
+        g = pa.table({"doc_id": t.column("doc_id"), "wl": w,
+                      "n_tokens": t.column("tf")}) \
+            .group_by("doc_id").aggregate([("wl", "sum"),
+                                           ("n_tokens", "sum")])
+        return g.rename_columns(["doc_id", "wl", "n_tokens"])
+
+    per_doc = final_merge_sums(
+        j.map_batches(doc_partial, batch_format="pyarrow"),
+        ["doc_id"], ["wl", "n_tokens"], np_=np_, bound=bound)
+
+    def finish(t: pa.Table) -> pa.Table:
+        wl = t.column("wl").to_numpy(zero_copy_only=False)
+        nt = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pc_.cast(t.column("n_tokens"), pa.int64()),
+            "logprob": pa.array(round_half_up(wl / nt, 6),
+                                pa.float64())})
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")
 
 
 UNIGRAM_LOGPROB_SQL = """
@@ -2617,13 +2667,18 @@ LIMIT {HASH_SIM_K}
 JSD_SRC_A, JSD_SRC_B = "src0", "src1"
 
 
-def doc_source_jsd(sf_dir: str):
+def doc_source_jsd(sf_dir: str, np_: int = 0,
+                   bound: int = 2_000_000):
     """Jensen-Shannon divergence between two sources' unigram
     distributions — the corpus-mix drift monitor (are two slices of
     the corpus statistically the same text?).  Per-batch (token,
     count_a, count_b) partials, one bounded vocabulary merge, then a
     vectorized driver fold; counts stay integers until the final
-    probability divisions."""
+    probability divisions.  Past ``bound`` (the r5 vocabulary
+    fallback) the merged table stays distributed: the KL integrand is
+    per-token-local given the two scalar totals, so each block folds
+    its own Σkl partials and the driver sums n_blocks 2-float rows —
+    no sort, no join, no vocab on the driver."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
@@ -2663,23 +2718,46 @@ def doc_source_jsd(sf_dir: str):
         g = t.group_by("tok").aggregate([("na", "sum"), ("nb", "sum")])
         return g.rename_columns(["tok", "na", "nb"])
 
-    t = collect_table(final_merge_sums(
+    merged = final_merge_sums(
         ds.map_batches(partial, batch_format="pyarrow"),
-        ["tok"], ["na", "nb"]).materialize())
-    if t is None or t.num_rows == 0:
+        ["tok"], ["na", "nb"], np_=np_, bound=bound).materialize()
+    n_terms = merged.count()
+    if n_terms == 0:
         return pd.DataFrame({"jsd": pd.Series([], dtype="float64"),
                              "n_tokens_a": pd.Series([], dtype="int64"),
                              "n_tokens_b": pd.Series([], dtype="int64")})
-    na = t.column("na").to_numpy(zero_copy_only=False).astype(np.float64)
-    nb = t.column("nb").to_numpy(zero_copy_only=False).astype(np.float64)
-    ta, tb = na.sum(), nb.sum()
-    pa_ = na / ta
-    pb_ = nb / tb
-    m = (pa_ + pb_) / 2.0
-    with np.errstate(divide="ignore", invalid="ignore"):
-        kl_a = np.where(pa_ > 0, pa_ * np.log(pa_ / m), 0.0)
-        kl_b = np.where(pb_ > 0, pb_ * np.log(pb_ / m), 0.0)
-    jsd = 0.5 * kl_a.sum() + 0.5 * kl_b.sum()
+
+    def _fold(na, nb, ta, tb):
+        pa_ = na / ta
+        pb_ = nb / tb
+        m = (pa_ + pb_) / 2.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            kl_a = np.where(pa_ > 0, pa_ * np.log(pa_ / m), 0.0)
+            kl_b = np.where(pb_ > 0, pb_ * np.log(pb_ / m), 0.0)
+        return 0.5 * kl_a.sum() + 0.5 * kl_b.sum()
+
+    if n_terms <= bound:
+        t = collect_table(merged)
+        na = t.column("na").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        nb = t.column("nb").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ta, tb = na.sum(), nb.sum()
+        jsd = _fold(na, nb, ta, tb)
+    else:
+        ta = float(merged.sum("na"))
+        tb = float(merged.sum("nb"))
+
+        def kl_partial(t: pa.Table) -> pa.Table:
+            na = t.column("na").to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            nb = t.column("nb").to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            return pa.table({"kl": pa.array([_fold(na, nb, ta, tb)],
+                                            pa.float64())})
+
+        jsd = float(merged.map_batches(
+            kl_partial, batch_format="pyarrow").sum("kl"))
     return pd.DataFrame({"jsd": [float(round_half_up(jsd, 6))],
                          "n_tokens_a": [int(ta)],
                          "n_tokens_b": [int(tb)]})

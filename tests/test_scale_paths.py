@@ -244,3 +244,23 @@ def test_stopword_block_topk(ray_session, collect_cap):
     _cmp(df.reset_index(drop=True),
          _sql(SF001, STOPWORD_DISCOVERY_SQL, ("documents",)), ["term"])
     assert max(collect_cap, default=0) <= COLLECT_CAP
+
+
+def test_unigram_logprob_join_path(ray_session, collect_cap):
+    # bound=0 forces the vocabulary-join fallback: (tok, logp) stays
+    # a Dataset, docs explode to (doc_id, tok, tf), hash_join + merge
+    from cheque_ocr_project_ray.text.queries import (
+        UNIGRAM_LOGPROB_SQL, doc_unigram_logprob)
+    df = doc_unigram_logprob(SF001, bound=0).to_pandas()
+    _cmp(df, _sql(SF001, UNIGRAM_LOGPROB_SQL, ("documents",)),
+         ["doc_id"])
+    assert max(collect_cap, default=0) <= COLLECT_CAP
+
+
+def test_source_jsd_block_fold(ray_session, collect_cap):
+    # bound=0: KL partials fold per block; driver sums scalars only
+    from cheque_ocr_project_ray.text.queries import (SOURCE_JSD_SQL,
+                                                     doc_source_jsd)
+    df = doc_source_jsd(SF001, bound=0)
+    _cmp(df, _sql(SF001, SOURCE_JSD_SQL, ("documents",)), ["jsd"])
+    assert max(collect_cap, default=0) <= COLLECT_CAP
