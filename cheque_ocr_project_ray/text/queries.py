@@ -1992,56 +1992,126 @@ LIMIT {HYBRID_K}
 """
 
 
-def doc_bigram_logprob(sf_dir: str):
+def doc_bigram_logprob(sf_dir: str, np_: int = 0,
+                       bound: int = 2_000_000):
     """Mean add-one-smoothed BIGRAM log-likelihood per doc under the
     corpus's own bigram LM — the next rung above unigram LM filtering
     (sequence-aware perplexity, still trained on the corpus itself).
-    Pass 1 reduces to the bounded bigram+unigram vocabularies through
-    the combiner; the per-bigram smoothed scores broadcast once;
-    pass 2 is a stateless lookup + bincount mean."""
+    Pass 1 reduces to the bigram+unigram vocabularies through the
+    combiner; under ``bound`` the per-bigram smoothed scores broadcast
+    once and pass 2 is a stateless lookup + bincount mean.  Past it
+    (the r5 bigram-LM join fallback) nothing broadcasts: c1 attaches
+    to the distributed bigram table via one token-keyed ``hash_join``
+    (w1 split per batch), the smoothed score is row-local given the
+    scalar V, docs explode to per-doc (doc_id, bigram, tf) rows over
+    the SAME bigram formation, a bigram-keyed join attaches the
+    scores, and the per-doc mean reduces through the doc-keyed merge
+    — three honest shuffles, no LM on the driver."""
     import numpy as np
+    import pyarrow as pa
     import ray
     from cheque_ocr_project_ray.util import (collect_table,
-                                             final_merge_sums, map_pool)
+                                             final_merge_sums, map_pool,
+                                             round_half_up)
 
     docs = _docs(sf_dir)
-    uni = collect_table(final_merge_sums(
+    uni_ds = final_merge_sums(
         docs.map_batches(analysis.token_counts, batch_format="pyarrow"),
-        ["tok"], ["n"]).materialize())
-    big = collect_table(final_merge_sums(
+        ["tok"], ["n"], np_=np_, bound=bound).materialize()
+    big_ds = final_merge_sums(
         docs.map_batches(analysis.bigram_counts, batch_format="pyarrow"),
-        ["bigram"], ["n"]).materialize())
-    import pyarrow as pa
-    if uni is None or big is None:
+        ["bigram"], ["n"], np_=np_, bound=bound).materialize()
+    un, bn = uni_ds.count(), big_ds.count()
+    if un == 0 or bn == 0:
         return ray.data.from_arrow(pa.table({
             "doc_id": pa.array([], pa.int64()),
             "n_bigrams": pa.array([], pa.int64()),
             "logprob": pa.array([], pa.float64())}))
-    utok = np.array(uni.column("tok").to_pylist(), dtype=object)
-    ucnt = uni.column("n").to_numpy()
-    uorder = np.argsort(utok)
-    utok, ucnt = utok[uorder], ucnt[uorder]
-    vsize = float(len(utok))
-    bg = np.array(big.column("bigram").to_pylist(), dtype=object)
-    bcnt = big.column("n").to_numpy()
-    border = np.argsort(bg)
-    bg, bcnt = bg[border], bcnt[border]
-    w1 = np.array([b.split(" ", 1)[0] for b in bg], dtype=object)
-    c1 = ucnt[np.searchsorted(utok, w1)]
-    # ln((c2 + 1) / (c1 + V)) — op order mirrors the SQL expression
-    score = np.log((bcnt + 1) / (c1 + vsize))
-    state_ref = ray.put((bg, score))
+    vsize = float(un)
+    if un <= bound and bn <= bound:
+        uni = collect_table(uni_ds)
+        big = collect_table(big_ds)
+        utok = np.array(uni.column("tok").to_pylist(), dtype=object)
+        ucnt = uni.column("n").to_numpy()
+        uorder = np.argsort(utok)
+        utok, ucnt = utok[uorder], ucnt[uorder]
+        bg = np.array(big.column("bigram").to_pylist(), dtype=object)
+        bcnt = big.column("n").to_numpy()
+        border = np.argsort(bg)
+        bg, bcnt = bg[border], bcnt[border]
+        w1 = np.array([b.split(" ", 1)[0] for b in bg], dtype=object)
+        c1 = ucnt[np.searchsorted(utok, w1)]
+        # ln((c2 + 1) / (c1 + V)) — op order mirrors the SQL expression
+        score = np.log((bcnt + 1) / (c1 + vsize))
+        state_ref = ray.put((bg, score))
 
-    class Score:
-        def __init__(self):
-            self.bvocab, self.bscore = ray.get(state_ref)
+        class Score:
+            def __init__(self):
+                self.bvocab, self.bscore = ray.get(state_ref)
 
-        def __call__(self, batch):
-            return analysis.bigram_logprob(batch, self.bvocab,
-                                           self.bscore)
+            def __call__(self, batch):
+                return analysis.bigram_logprob(batch, self.bvocab,
+                                               self.bscore)
 
-    return docs.map_batches(Score, batch_format="pyarrow",
-                            concurrency=(1, map_pool()))
+        return docs.map_batches(Score, batch_format="pyarrow",
+                                concurrency=(1, map_pool()))
+    # bigram-LM join fallback
+    from cheque_ocr_project_ray.relational.joins import hash_join
+    import pyarrow.compute as pc_
+
+    def with_w1(t: pa.Table) -> pa.Table:
+        w1 = pc_.list_element(
+            pc_.split_pattern(t.column("bigram"), " ", max_splits=1), 0)
+        return pa.table({"bigram": t.column("bigram"),
+                         "c2": pc_.cast(t.column("n"), pa.int64()),
+                         "tok": w1})
+
+    def as_c1(t: pa.Table) -> pa.Table:
+        return pa.table({"tok": t.column("tok"),
+                         "c1": pc_.cast(t.column("n"), pa.int64())})
+
+    jb = hash_join(big_ds.map_batches(with_w1, batch_format="pyarrow"),
+                   uni_ds.map_batches(as_c1, batch_format="pyarrow"),
+                   on="tok", num_partitions=np_ or None)
+
+    def with_score(t: pa.Table) -> pa.Table:
+        c2 = t.column("c2").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        c1 = t.column("c1").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "bigram": t.column("bigram"),
+            "score": pa.array(np.log((c2 + 1) / (c1 + vsize)),
+                              pa.float64())})
+
+    lm = jb.map_batches(with_score, batch_format="pyarrow")
+    pairs = docs.map_batches(analysis.doc_bigram_pairs,
+                             batch_format="pyarrow")
+    j = hash_join(pairs, lm, on="bigram", num_partitions=np_ or None)
+
+    def doc_partial(t: pa.Table) -> pa.Table:
+        w = pc_.multiply(pc_.cast(t.column("tf"), pa.float64()),
+                         t.column("score"))
+        g = pa.table({"doc_id": t.column("doc_id"), "wl": w,
+                      "n_bigrams": t.column("tf")}) \
+            .group_by("doc_id").aggregate([("wl", "sum"),
+                                           ("n_bigrams", "sum")])
+        return g.rename_columns(["doc_id", "wl", "n_bigrams"])
+
+    per_doc = final_merge_sums(
+        j.map_batches(doc_partial, batch_format="pyarrow"),
+        ["doc_id"], ["wl", "n_bigrams"], np_=np_, bound=bound)
+
+    def finish(t: pa.Table) -> pa.Table:
+        wl = t.column("wl").to_numpy(zero_copy_only=False)
+        nb = t.column("n_bigrams").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_bigrams": pc_.cast(t.column("n_bigrams"), pa.int64()),
+            "logprob": pa.array(round_half_up(wl / nb, 6),
+                                pa.float64())})
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")
 
 
 BIGRAM_LOGPROB_SQL = """

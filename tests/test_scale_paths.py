@@ -257,6 +257,18 @@ def test_unigram_logprob_join_path(ray_session, collect_cap):
     assert max(collect_cap, default=0) <= COLLECT_CAP
 
 
+def test_bigram_logprob_join_path(ray_session, collect_cap):
+    # bound=0 forces the bigram-LM join fallback: c1 via token-keyed
+    # join, scores via bigram-keyed join, per-doc merge — no LM on
+    # the driver
+    from cheque_ocr_project_ray.text.queries import (BIGRAM_LOGPROB_SQL,
+                                                     doc_bigram_logprob)
+    df = doc_bigram_logprob(SF001, bound=0).to_pandas()
+    _cmp(df, _sql(SF001, BIGRAM_LOGPROB_SQL, ("documents",)),
+         ["doc_id"])
+    assert max(collect_cap, default=0) <= COLLECT_CAP
+
+
 def test_source_jsd_block_fold(ray_session, collect_cap):
     # bound=0: KL partials fold per block; driver sums scalars only
     from cheque_ocr_project_ray.text.queries import (SOURCE_JSD_SQL,
