@@ -9,11 +9,11 @@ Scale shape (all three):
   partial stream is small, distributed groupby beyond the bound) —
   the corpus itself is never shuffled.
 - Document-frequency / IDF tables are VOCABULARY-sized, not
-  corpus-sized; they broadcast once via ``ray.put`` and every scoring
-  actor reads them zero-copy.  At 100 TB, cap the vocabulary with a
-  ``min_df`` floor (rare-term tail) before broadcasting; the scoring
-  join degrades gracefully to a distributed hash join if a vocabulary
-  ever outgrows the object store.
+  corpus-sized; under the adaptive bound they broadcast once via
+  ``ray.put`` and every scoring actor reads them zero-copy.  Past the
+  bound (a vocabulary beyond the object store) the scoring joins run
+  as term-keyed distributed hash joins (``_tfidf_topk_join`` /
+  ``_normalized_postings_join``) — implemented, bound=0-tested.
 - Decontamination broadcasts the BENCHMARK shingle set (benchmarks
   are tiny by definition) and streams the corpus through a membership
   filter — the canonical decontam shape (e.g. GPT-3 appendix C /
@@ -65,24 +65,56 @@ def _df_partials(batch: pa.Table) -> pa.Table:
     return g.rename_columns(["term", "df"])
 
 
-def doc_frequency(docs_ds, np_: int = 0):
+def doc_frequency(docs_ds, np_: int = 0, bound: int = 2_000_000):
     """Corpus document frequency per term (combiner partials +
     bounded-adaptive merge)."""
     partials = docs_ds.map_batches(_df_partials, batch_format="pyarrow")
-    return final_merge_sums(partials, ["term"], ["df"], np_=np_)
+    return final_merge_sums(partials, ["term"], ["df"], np_=np_,
+                            bound=bound)
 
 
-def tfidf_topk(docs_ds, k: int = TFIDF_K, np_: int = 0):
+def _idf_dataset(df_ds, n_docs: int):
+    """(term, idf) as a DATASET — the smooth idf is row-local given
+    the scalar doc count, so the vocabulary never leaves the
+    cluster."""
+    def with_idf(t: pa.Table) -> pa.Table:
+        idf = np.log((1.0 + n_docs)
+                     / (1.0 + t.column("df").to_numpy(
+                         zero_copy_only=False))) + 1.0
+        return pa.table({"term": t.column("term"),
+                         "idf": pa.array(idf, pa.float64())})
+
+    return df_ds.map_batches(with_idf, batch_format="pyarrow")
+
+
+def tfidf_topk(docs_ds, k: int = TFIDF_K, np_: int = 0,
+               bound: int = 2_000_000):
     """Top-k TF-IDF terms per document (smooth idf:
     ln((1+N)/(1+df)) + 1, sklearn's convention), deterministic
     tie-break by term.
 
     Two passes over the pruned (doc_id, text) columns: pass 1 reduces
-    document frequencies; pass 2 scores per-doc terms against the
-    broadcast IDF table and takes the per-row top-k locally — no
-    shuffle of per-term rows at any point."""
-    df_t = collect_table(doc_frequency(docs_ds, np_=np_).materialize())
+    document frequencies; under ``bound`` pass 2 scores per-doc terms
+    against the broadcast IDF table and takes the per-row top-k
+    locally — no shuffle of per-term rows at any point.  Past it (the
+    r5 vocabulary-join fallback) the IDF table stays a Dataset: docs
+    explode to (doc_id, term, tf), one term-keyed ``hash_join``
+    attaches idf, and the per-doc top-k runs in a doc-keyed
+    ``groupby().map_groups`` — two honest shuffles, no vocab on the
+    driver."""
+    df_ds = doc_frequency(docs_ds, np_=np_, bound=bound).materialize()
     n_docs = docs_ds.count()
+    nv = df_ds.count()
+    if nv == 0:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "tfidf": pa.array([], pa.float64()),
+            "rnk": pa.array([], pa.int64())}))
+    if nv > bound:
+        return _tfidf_topk_join(docs_ds, df_ds, n_docs, k, np_)
+    df_t = collect_table(df_ds)
     vocab = df_t.column("term").combine_chunks()
     idf = np.log((1.0 + n_docs)
                  / (1.0 + df_t.column("df").to_numpy())) + 1.0
@@ -125,6 +157,47 @@ def tfidf_topk(docs_ds, k: int = TFIDF_K, np_: int = 0):
     return docs_ds.map_batches(ScoreTopK,
                                concurrency=(2, map_pool()),
                                batch_format="pyarrow")
+
+
+def _tfidf_topk_join(docs_ds, df_ds, n_docs: int, k: int, np_: int):
+    """tfidf_topk's past-bound path: term-keyed idf join + doc-keyed
+    grouped top-k.  Split out so the broadcast path above stays the
+    measured common case."""
+    from cheque_ocr_project_ray.relational.joins import hash_join
+
+    pairs = docs_ds.map_batches(_pair_counts, batch_format="pyarrow")
+    j = hash_join(pairs, _idf_dataset(df_ds, n_docs), on="term",
+                  num_partitions=np_ or None)
+
+    def scored(t: pa.Table) -> pa.Table:
+        tfidf = t.column("tf").to_numpy(
+            zero_copy_only=False).astype(np.float64) \
+            * t.column("idf").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "term": t.column("term"),
+                         "tf": pc.cast(t.column("tf"), pa.int64()),
+                         "tfidf": pa.array(tfidf, pa.float64())})
+
+    def topk_group(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("doc_id", "ascending"),
+                              ("tfidf", "descending"),
+                              ("term", "ascending")])
+        s = group.take(order)
+        doc = s.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.arange(len(doc))
+        seg_start = np.r_[True, doc[1:] != doc[:-1]]
+        rnk = pos - np.maximum.accumulate(
+            np.where(seg_start, pos, 0)) + 1
+        s = s.append_column("rnk", pa.array(rnk.astype(np.int64)))
+        s = s.filter(pa.array(rnk <= k))
+        return s.set_column(
+            s.schema.get_field_index("tfidf"), "tfidf",
+            pa.array(round_half_up(s.column("tfidf").to_numpy(), 4)))
+
+    return j.map_batches(scored, batch_format="pyarrow") \
+        .groupby("doc_id", num_partitions=np_ or None) \
+        .map_groups(topk_group, batch_format="pyarrow")
 
 
 def _posting_partials(batch: pa.Table) -> pa.Table:
@@ -268,7 +341,8 @@ PAIRS_THRESHOLD = 0.5
 
 
 def tfidf_pairs(docs_ds, df_cap: int = PAIRS_DF_CAP,
-                threshold: float = PAIRS_THRESHOLD, np_: int = 0):
+                threshold: float = PAIRS_THRESHOLD, np_: int = 0,
+                bound: int = 2_000_000):
     """Sparse TF-IDF cosine doc-doc similarity pairs — the
     all-pairs-similar-documents join, DF-capped so it scales.
 
@@ -281,18 +355,29 @@ def tfidf_pairs(docs_ds, df_cap: int = PAIRS_DF_CAP,
     contribute near-zero IDF weight anyway — never explode the join.
 
     Scale shape: pass 1 reduces exact DFs (combiner + bounded merge);
-    the capped-vocab IDF table broadcasts once (same convention as
-    :func:`tfidf_topk`; swap for a term-partitioned hash join when the
-    rare-term vocabulary outgrows a broadcast).  Pass 2 emits
-    L2-normalized postings (norms are exact per batch — docs are whole
-    rows), ``groupby(term)`` generates within-posting pair products,
-    and the per-pair dot reduces through ``final_merge_sums``.
-    Emitted: (doc_a, doc_b, cos) with ``round(cos, 5) ≥ threshold``,
-    the rounded-compare convention shared with ``ann_range_search``."""
-    df_t = collect_table(doc_frequency(docs_ds, np_=np_).materialize())
+    under ``bound`` the capped-vocab IDF table broadcasts once (same
+    convention as :func:`tfidf_topk`) and pass 2 emits L2-normalized
+    postings locally (norms are exact per batch — docs are whole
+    rows).  Past it (the r5 term-partitioned fallback the docstring
+    used to promise) the capped IDF table stays a Dataset: a
+    term-keyed ``hash_join`` attaches idf (the inner join IS the
+    df-cap filter), per-doc squared norms reduce through the
+    doc-keyed merge, and a doc-keyed join divides them back in.
+    Either way ``groupby(term)`` then generates within-posting pair
+    products and the per-pair dot reduces through
+    ``final_merge_sums``.  Emitted: (doc_a, doc_b, cos) with
+    ``round(cos, 5) ≥ threshold``, the rounded-compare convention
+    shared with ``ann_range_search``."""
+    df_ds = doc_frequency(docs_ds, np_=np_, bound=bound).materialize()
     n_docs = docs_ds.count()
-    if df_t is None or df_t.num_rows == 0:
+    nv = df_ds.count()
+    if nv == 0:
         return ray.data.from_arrow(_EMPTY_DOC_PAIRS)
+    if nv > bound:
+        posts = _normalized_postings_join(docs_ds, df_ds, n_docs,
+                                          df_cap, np_, bound)
+        return _pairs_from_postings(posts, threshold, np_, bound)
+    df_t = collect_table(df_ds)
     df_t = df_t.filter(pc.less_equal(df_t.column("df"),
                                      pa.scalar(df_cap)))
     vocab = df_t.column("term").combine_chunks()
@@ -331,7 +416,14 @@ def tfidf_pairs(docs_ds, df_cap: int = PAIRS_DF_CAP,
     posts = docs_ds.map_batches(NormalizedPostings,
                                 concurrency=(2, map_pool()),
                                 batch_format="pyarrow")
+    return _pairs_from_postings(posts, threshold, np_, bound)
 
+
+def _pairs_from_postings(posts, threshold: float, np_: int,
+                         bound: int = 2_000_000):
+    """Shared tail of :func:`tfidf_pairs`: within-posting pair
+    products via ``groupby(term)``, per-pair dot reduction, threshold
+    + deterministic ordering."""
     def pair_gen(group: pa.Table) -> pa.Table:
         d = group.column("doc_id").to_numpy(
             zero_copy_only=False).astype(np.int64)
@@ -345,7 +437,8 @@ def tfidf_pairs(docs_ds, df_cap: int = PAIRS_DF_CAP,
 
     pairs = posts.groupby("term").map_groups(pair_gen,
                                              batch_format="pyarrow")
-    agg = final_merge_sums(pairs, ["doc_a", "doc_b"], ["dot"], np_=np_)
+    agg = final_merge_sums(pairs, ["doc_a", "doc_b"], ["dot"],
+                           np_=np_, bound=bound)
 
     def shape(batch: pa.Table) -> pa.Table:
         cos = round_half_up(batch.column("dot").to_numpy(
@@ -367,6 +460,63 @@ def tfidf_pairs(docs_ds, df_cap: int = PAIRS_DF_CAP,
     if out.count() == 0:
         return _EMPTY_DOC_PAIRS
     return out
+
+
+def _normalized_postings_join(docs_ds, df_ds, n_docs: int,
+                              df_cap: int, np_: int,
+                              bound: int = 2_000_000):
+    """tfidf_pairs' past-bound postings: the capped (term, idf) table
+    stays a Dataset.  The term-keyed INNER join both attaches idf and
+    enforces the df-cap; per-doc squared norms reduce through the
+    doc-keyed merge and a second doc-keyed join divides them back
+    in."""
+    from cheque_ocr_project_ray.relational.joins import hash_join
+
+    def capped(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less_equal(t.column("df"),
+                                      pa.scalar(df_cap)))
+
+    idf_ds = _idf_dataset(df_ds.map_batches(capped,
+                                            batch_format="pyarrow"),
+                          n_docs)
+    pairs = docs_ds.map_batches(_pair_counts, batch_format="pyarrow")
+    jw = hash_join(pairs, idf_ds, on="term",
+                   num_partitions=np_ or None)
+
+    def weighted(t: pa.Table) -> pa.Table:
+        w = t.column("tf").to_numpy(
+            zero_copy_only=False).astype(np.float64) \
+            * t.column("idf").to_numpy(zero_copy_only=False)
+        return pa.table({"term": t.column("term"),
+                         "doc_id": pc.cast(t.column("doc_id"),
+                                           pa.int64()),
+                         "w": pa.array(w, pa.float64())})
+
+    wtbl = jw.map_batches(weighted, batch_format="pyarrow") \
+        .materialize()
+
+    def sq_partial(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        g = pa.table({"doc_id": t.column("doc_id"),
+                      "sq": pa.array(w * w, pa.float64())}) \
+            .group_by("doc_id").aggregate([("sq", "sum")])
+        return g.rename_columns(["doc_id", "sq"])
+
+    norms = final_merge_sums(
+        wtbl.map_batches(sq_partial, batch_format="pyarrow"),
+        ["doc_id"], ["sq"], np_=np_, bound=bound)
+    jn = hash_join(wtbl, norms, on="doc_id",
+                   num_partitions=np_ or None)
+
+    def normalized(t: pa.Table) -> pa.Table:
+        wn = t.column("w").to_numpy(zero_copy_only=False) \
+            / np.sqrt(t.column("sq").to_numpy(zero_copy_only=False))
+        return pa.table({"term": t.column("term"),
+                         "doc_id": pc.cast(t.column("doc_id"),
+                                           pa.int64()),
+                         "wn": pa.array(wn, pa.float64())})
+
+    return jn.map_batches(normalized, batch_format="pyarrow")
 
 
 _EMPTY_DOC_PAIRS = pa.table({"doc_a": pa.array([], pa.int64()),

@@ -762,11 +762,13 @@ def _shingle_ctes(k: int) -> str:
 )"""
 
 
-def doc_tfidf_topk(sf_dir: str):
+def doc_tfidf_topk(sf_dir: str, np_: int = 0,
+                   bound: int = 2_000_000):
     """Top-3 TF-IDF terms per doc (smooth sklearn idf), deterministic
     term tie-break; DF pass merges bounded-adaptively, the IDF table
-    broadcasts once."""
-    return index.tfidf_topk(_docs(sf_dir))
+    broadcasts once under ``bound`` and becomes a term-keyed hash
+    join + doc-keyed grouped top-k past it."""
+    return index.tfidf_topk(_docs(sf_dir), np_=np_, bound=bound)
 
 
 TFIDF_SQL = f"""
@@ -798,11 +800,13 @@ FROM scored WHERE rnk <= {index.TFIDF_K}
 """
 
 
-def doc_tfidf_pairs(sf_dir: str):
+def doc_tfidf_pairs(sf_dir: str, np_: int = 0,
+                    bound: int = 2_000_000):
     """All-pairs similar documents by TF-IDF cosine in the DF-capped
     term space — the sparse similarity join (see
-    :func:`index.tfidf_pairs` for the bounded per-term pair shape)."""
-    return index.tfidf_pairs(_docs(sf_dir))
+    :func:`index.tfidf_pairs` for the bounded per-term pair shape and
+    the past-``bound`` term-partitioned join postings)."""
+    return index.tfidf_pairs(_docs(sf_dir), np_=np_, bound=bound)
 
 
 TFIDF_PAIRS_SQL = f"""

@@ -257,6 +257,30 @@ def test_unigram_logprob_join_path(ray_session, collect_cap):
     assert max(collect_cap, default=0) <= COLLECT_CAP
 
 
+def test_tfidf_topk_join_path(ray_session, collect_cap):
+    # bound=0: IDF stays a Dataset — term-keyed hash_join + doc-keyed
+    # grouped top-k; no vocab on the driver
+    from cheque_ocr_project_ray.text.queries import (TFIDF_SQL,
+                                                     doc_tfidf_topk)
+    df = doc_tfidf_topk(SF001, bound=0).to_pandas()
+    _cmp(df, _sql(SF001, TFIDF_SQL, ("documents",)),
+         ["doc_id", "rnk"])
+    assert max(collect_cap, default=0) <= COLLECT_CAP
+
+
+def test_tfidf_pairs_join_path(ray_session, collect_cap):
+    # bound=0: capped IDF join is the df-cap filter, norms reduce
+    # through the doc-keyed merge, postings stay distributed
+    from cheque_ocr_project_ray.text.queries import (TFIDF_PAIRS_SQL,
+                                                     doc_tfidf_pairs)
+    # Dataset and pyarrow.Table (the typed-empty return) both expose
+    # to_pandas
+    df = doc_tfidf_pairs(SF001, bound=0).to_pandas()
+    _cmp(df, _sql(SF001, TFIDF_PAIRS_SQL, ("documents",)),
+         ["doc_a", "doc_b"])
+    assert max(collect_cap, default=0) <= COLLECT_CAP
+
+
 def test_bigram_logprob_join_path(ray_session, collect_cap):
     # bound=0 forces the bigram-LM join fallback: c1 via token-keyed
     # join, scores via bigram-keyed join, per-doc merge — no LM on
