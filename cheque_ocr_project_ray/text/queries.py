@@ -3273,6 +3273,93 @@ GROUP BY 1, 2
 """
 
 
+def corpus_hapax_ratio(sf_dir: str, np_: int = 0,
+                       bound: int = 2_000_000):
+    """Hapax-legomena ratio per source: the fraction of each source's
+    vocabulary occurring exactly ONCE in that source — the
+    lexical-diversity / noise diagnostic (OCR junk and random strings
+    spike the hapax share; templated boilerplate collapses it).
+    100-TB shape: per-batch (source, tok, n) combiner partials merge
+    through the bounded-adaptive ``final_merge_sums`` (vocabulary ×
+    sources keys — distributed groupby past ``bound``); the merged
+    per-key counts then reduce per (source, block), so the driver
+    only ever folds a sources × n_blocks grid (class b).  Same
+    whitespace tokenization as the rest of the corpus family
+    (``analysis._prep``)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_sums,
+                                             round_half_up)
+
+    docs = ray.data.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"),
+        columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, flat, parent = analysis._prep(batch)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        src = batch.column("source").combine_chunks().take(
+            pa.array(parent, pa.int64()))
+        t = pa.table({"source": src, "tok": flat,
+                      "n": pa.array(np.ones(len(flat), np.int64))})
+        return t.group_by(["source", "tok"]).aggregate([("n", "sum")]) \
+            .rename_columns(["source", "tok", "n"])
+
+    counts = final_merge_sums(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["source", "tok"], ["n"], np_=np_, bound=bound)
+
+    def roll(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "source": batch.column("source"),
+            "n_hapax": pc.cast(pc.equal(batch.column("n"), 1),
+                               pa.int64()),
+            "n_terms": pa.array(np.ones(batch.num_rows, np.int64))})
+        return t.group_by("source").aggregate(
+            [("n_hapax", "sum"), ("n_terms", "sum")]) \
+            .rename_columns(["source", "n_hapax", "n_terms"])
+
+    agg = collect_table(final_merge_sums(
+        counts.map_batches(roll, batch_format="pyarrow"),
+        ["source"], ["n_hapax", "n_terms"], np_=np_).materialize())
+    if agg is None or agg.num_rows == 0:
+        return pd.DataFrame({
+            "source": pd.Series([], dtype="object"),
+            "n_terms": pd.Series([], dtype="int64"),
+            "n_hapax": pd.Series([], dtype="int64"),
+            "hapax_ratio": pd.Series([], dtype="float64")})
+    df = agg.to_pandas().sort_values("source").reset_index(drop=True)
+    return pd.DataFrame({
+        "source": df["source"],
+        "n_terms": df["n_terms"].astype(np.int64),
+        "n_hapax": df["n_hapax"].astype(np.int64),
+        "hapax_ratio": round_half_up(
+            df["n_hapax"].to_numpy(np.float64)
+            / df["n_terms"].to_numpy(np.float64), 6)})
+
+
+HAPAX_RATIO_SQL = """
+WITH w AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+c AS (SELECT source, tok, count(*) AS n FROM w GROUP BY source, tok)
+SELECT source,
+       count(*) AS n_terms,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hapax,
+       round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS hapax_ratio
+FROM c GROUP BY source ORDER BY source
+"""
+
+
 def text_queries() -> dict[str, Callable]:
     return {
         "doc_token_stats": doc_token_stats,
@@ -3329,6 +3416,7 @@ def text_queries() -> dict[str, Callable]:
         "doc_feature_hashing": doc_feature_hashing,
         "doc_hash_similarity": doc_hash_similarity,
         "corpus_zipf_slope": corpus_zipf_slope,
+        "corpus_hapax_ratio": corpus_hapax_ratio,
         "doc_charset_profile": doc_charset_profile,
         "corpus_stopword_discovery": corpus_stopword_discovery,
     }
@@ -3387,6 +3475,7 @@ def text_oracle_sql() -> dict[str, str]:
         "doc_feature_hashing": FEATURE_HASHING_SQL,
         "doc_hash_similarity": HASH_SIMILARITY_SQL,
         "corpus_zipf_slope": ZIPF_SLOPE_SQL,
+        "corpus_hapax_ratio": HAPAX_RATIO_SQL,
         "doc_charset_profile": CHARSET_PROFILE_SQL,
         "corpus_stopword_discovery": STOPWORD_DISCOVERY_SQL,
         "doc_quality_filter_p75": QUALITY_FILTER_P75_SQL.format(

@@ -1351,8 +1351,92 @@ FROM sel ORDER BY rnk""")
     return "".join(parts)
 
 
+N_HIST_PROBES = 64
+
+
+def embedding_cosine_histogram(sf_dir: str):
+    """Pairwise-cosine geometry histogram: the distribution of
+    cosine(v, p) between EVERY corpus vector and a deterministic probe
+    set (the ``N_HIST_PROBES`` lowest vec_ids), bucketed into width-0.1
+    bins — the corpus-geometry diagnostic that catches collapsed or
+    anisotropic embedding spaces (mode collapse, hubness) before ANN
+    recall degrades.  100-TB shape: the probe matrix broadcasts once
+    (``ray.put``), each block does ONE GEMM + bincount, and the merge
+    is a ≤21-bin grid of per-block partials (class-b bounded domain —
+    nothing pair-scale ever leaves a worker).  Self-pairs are
+    excluded; cosines round to 5dp on both engines before binning
+    (the established cross-engine float grid)."""
+    import ray as _ray
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_sums, map_pool,
+                                             round_half_up)
+
+    t = pq.read_table(str(Path(sf_dir) / "embeddings.parquet"),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", N_HIST_PROBES)])
+    qids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False),
+                      dtype=np.int64)
+    qm = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+    qm = qm / np.where(qn == 0, 1, qn)[:, None]
+    q_ref = _ray.put((qids, qm))
+
+    class _HistPartial:
+        def __init__(self):
+            self.qids, self.q = _ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = ann._table_matrix(batch)
+            norms = np.linalg.norm(m, axis=1)
+            mn = m / np.where(norms == 0, 1, norms)[:, None]
+            cos = round_half_up(mn @ self.q.T, 5)        # (n, |P|)
+            ids = batch.column("vec_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            valid = ids[:, None] != self.qids[None, :]   # drop self-pairs
+            bins = np.clip(np.floor(cos * 10.0), -10, 9).astype(np.int64)
+            counts = np.bincount((bins[valid] + 10).ravel(), minlength=20)
+            keep = counts > 0
+            return pa.table({
+                "bin": pa.array(np.arange(-10, 10)[keep], pa.int64()),
+                "n_pairs": pa.array(counts[keep], pa.int64())})
+
+    parts = _emb(sf_dir).map_batches(_HistPartial, batch_format="pyarrow",
+                                     concurrency=(1, map_pool()))
+    merged = collect_table(
+        final_merge_sums(parts, ["bin"], ["n_pairs"]).materialize())
+    if merged is None or merged.num_rows == 0:
+        return pd.DataFrame({"bin_lo": pd.Series([], dtype="float64"),
+                             "n_pairs": pd.Series([], dtype="int64")})
+    df = merged.to_pandas().sort_values("bin").reset_index(drop=True)
+    return pd.DataFrame({
+        "bin_lo": round_half_up(df["bin"].to_numpy(np.float64) / 10.0, 1),
+        "n_pairs": df["n_pairs"].astype(np.int64)})
+
+
+COSINE_HISTOGRAM_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_HIST_PROBES}
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), p AS (
+  SELECT CAST(floor(round(list_cosine_similarity(e.v, q.qv), 5) * 10)
+              AS INTEGER) AS b
+  FROM e, q WHERE e.vec_id <> q.qid
+), c AS (
+  SELECT CASE WHEN b > 9 THEN 9 WHEN b < -10 THEN -10 ELSE b END AS b2,
+         count(*) AS n
+  FROM p GROUP BY 1
+)
+SELECT round(CAST(b2 AS DOUBLE) / 10.0, 1) AS bin_lo,
+       CAST(sum(n) AS BIGINT) AS n_pairs
+FROM c GROUP BY b2 ORDER BY bin_lo
+"""
+
+
 def vector_queries() -> dict[str, Callable]:
     return {
+        "embedding_cosine_histogram": embedding_cosine_histogram,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_knn_join": ann_knn_join,
         "ann_range_search": ann_range_search,
@@ -1384,6 +1468,7 @@ def vector_queries() -> dict[str, Callable]:
 
 def vector_oracle_sql() -> dict[str, str]:
     return {
+        "embedding_cosine_histogram": COSINE_HISTOGRAM_SQL,
         "ann_cosine_topk": ANN_TOPK_SQL,
         "ann_knn_join": KNN_JOIN_SQL,
         "ann_range_search": RANGE_SEARCH_SQL,

@@ -300,3 +300,14 @@ def test_source_jsd_block_fold(ray_session, collect_cap):
     df = doc_source_jsd(SF001, bound=0)
     _cmp(df, _sql(SF001, SOURCE_JSD_SQL, ("documents",)), ["jsd"])
     assert max(collect_cap, default=0) <= COLLECT_CAP
+
+
+def test_hapax_ratio_distributed(ray_session, collect_cap):
+    # bound=0 forces BOTH merges distributed: the (source, tok)
+    # vocabulary counts and the per-(source, block) rollup; the
+    # driver only collects the sources-bounded final grid
+    from cheque_ocr_project_ray.text.queries import (HAPAX_RATIO_SQL,
+                                                     corpus_hapax_ratio)
+    df = corpus_hapax_ratio(SF001, bound=0)
+    _cmp(df, _sql(SF001, HAPAX_RATIO_SQL, ("documents",)), ["source"])
+    assert max(collect_cap, default=0) <= COLLECT_CAP

@@ -309,3 +309,18 @@ def test_embedding_outliers_flags_planted_vector(tmp_path):
         assert out.loc[label, "n"] == 21
         assert out.loc[label, "n_outliers"] == 1
         assert out.loc[label, "max_dist"] > OUTLIER_TAU
+
+
+def test_cosine_histogram_mass_and_bins():
+    """The histogram conserves pair mass exactly (N x P minus the P
+    self-pairs) and every bin sits on the 0.1 grid within [-1, 0.9]."""
+    from cheque_ocr_project_ray.vector.queries import (
+        N_HIST_PROBES, embedding_cosine_histogram)
+    sf = "/root/testdata/sf0.001"
+    n = pq.read_metadata(sf + "/embeddings.parquet").num_rows
+    df = embedding_cosine_histogram(sf)
+    assert int(df["n_pairs"].sum()) == n * N_HIST_PROBES - N_HIST_PROBES
+    lo = df["bin_lo"].to_numpy()
+    assert ((lo >= -1.0 - 1e-9) & (lo <= 0.9 + 1e-9)).all()
+    assert np.allclose(np.round(lo * 10), lo * 10)
+    assert (df["n_pairs"] > 0).all()
