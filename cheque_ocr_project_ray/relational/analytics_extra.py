@@ -3508,8 +3508,83 @@ GROUP BY cohort_month, age_months
 """
 
 
+def orders_rolling_aov(sf_dir: str, np_: int = 0):
+    """Monthly revenue / order count with average-order-value and a
+    3-month trailing revenue mean — the rolling-window KPI series over
+    an AGGREGATED time grid (``events_user_rolling`` windows per user;
+    this windows over the calendar itself).  100-TB shape: per-batch
+    (month, n, cents) combiner partials, one months-bounded merge
+    (class b), then the window fold runs on the ≤|months| grid — the
+    fact stream never sorts.  Exact-int cents end-to-end; both engines
+    divide the same int window sums by the same float denominators."""
+    from cheque_ocr_project_ray.util import collect_table
+
+    ds = _pq(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("o_orderdate").cast(pa.timestamp("us"))
+        ym = pc.add(pc.multiply(pc.year(ts), 100), pc.month(ts))
+        t = pa.table({"ym": pc.cast(ym, pa.int64()),
+                      "n_orders": pa.array(
+                          np.ones(batch.num_rows, np.int64)),
+                      "cents": money_units(batch.column("o_totalprice"))})
+        g = t.group_by("ym").aggregate([("n_orders", "sum"),
+                                        ("cents", "sum")])
+        return g.rename_columns(["ym", "n_orders", "cents"])
+
+    agg = collect_table(final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["ym"], ["n_orders", "cents"], np_=np_).materialize())
+    if agg is None or agg.num_rows == 0:
+        return pd.DataFrame({"ym": pd.Series([], dtype="int64"),
+                             "n_orders": pd.Series([], dtype="int64"),
+                             "revenue": pd.Series([], dtype="float64"),
+                             "aov": pd.Series([], dtype="float64"),
+                             "roll3_revenue": pd.Series([],
+                                                        dtype="float64")})
+    df = agg.to_pandas().sort_values("ym").reset_index(drop=True)
+    cents = df["cents"].to_numpy(np.int64)
+    n = df["n_orders"].to_numpy(np.int64)
+    cum = np.concatenate([[0], np.cumsum(cents)])
+    idx = np.arange(len(cents))
+    lo = np.maximum(idx - 2, 0)
+    cw = cum[idx + 1] - cum[lo]            # trailing ≤3-row window sum
+    mw = idx - lo + 1
+    return pd.DataFrame({
+        "ym": df["ym"].astype(np.int64),
+        "n_orders": n,
+        "revenue": round_half_up(cents / 100.0, 2),
+        "aov": round_half_up(cents / (100.0 * n), 4),
+        "roll3_revenue": round_half_up(cw / (100.0 * mw), 4)})
+
+
+ORDERS_ROLLING_AOV_SQL = """
+WITH m AS (
+  SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+         count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+             AS cents
+  FROM orders GROUP BY ym),
+w AS (
+  SELECT ym, n_orders, cents,
+         sum(cents) OVER (ORDER BY ym
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS cw,
+         count(*) OVER (ORDER BY ym
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS mw
+  FROM m)
+SELECT ym, n_orders,
+       round(cents / 100.0, 2) AS revenue,
+       round(cents / (100.0 * n_orders), 4) AS aov,
+       round(cw / (100.0 * mw), 4) AS roll3_revenue
+FROM w ORDER BY ym
+"""
+
+
 def analytics_extra_queries():
     return {
+        "orders_rolling_aov": orders_rolling_aov,
         "parts_top_per_nation": parts_top_per_nation,
         "events_funnel_paths": events_funnel_paths,
         "events_user_overlap": events_user_overlap,
@@ -3562,6 +3637,7 @@ def analytics_extra_queries():
 
 def analytics_extra_oracle_sql():
     return {
+        "orders_rolling_aov": ORDERS_ROLLING_AOV_SQL,
         "parts_top_per_nation": TOP_PARTS_SQL,
         "events_funnel_paths": EVENTS_FUNNEL_PATHS_SQL,
         "events_user_overlap": EVENTS_USER_OVERLAP_SQL,

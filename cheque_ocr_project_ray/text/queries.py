@@ -3158,6 +3158,67 @@ def dedup_cluster_sizes(sf_dir: str):
         ["cluster_size"], ["n_clusters"])
 
 
+def dedup_degree_histogram(sf_dir: str):
+    """Near-dup graph degree distribution: (degree, n_docs) over the
+    n-gram-Jaccard pair graph — the hub diagnostic run BEFORE
+    transitive dedup (a fat-tailed degree histogram predicts template
+    storms whose connected components would swallow half the corpus).
+    Each pair credits BOTH endpoints; per-doc degrees reduce through
+    the bounded-adaptive merge, then the histogram is a second merge
+    over the degree domain (bounded by the pair source's bucket
+    caps).  Nothing adjacency-shaped ever reaches the driver."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from cheque_ocr_project_ray.util import collect_table, final_merge_sums
+
+    pairs = dedup.ngram_jaccard_pairs(_docs(sf_dir), shingle_k=2,
+                                      threshold=0.5)
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        ids = np.concatenate([
+            batch.column("doc_a").to_numpy(zero_copy_only=False),
+            batch.column("doc_b").to_numpy(zero_copy_only=False)])
+        t = pa.table({"doc_id": pa.array(ids.astype(np.int64)),
+                      "degree": pa.array(np.ones(len(ids), np.int64))})
+        return t.group_by("doc_id").aggregate([("degree", "sum")]) \
+            .rename_columns(["doc_id", "degree"])
+
+    degs = final_merge_sums(
+        pairs.map_batches(deg_partial, batch_format="pyarrow"),
+        ["doc_id"], ["degree"])
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"degree": batch.column("degree"),
+                      "n_docs": pa.array(
+                          np.ones(batch.num_rows, np.int64))})
+        return t.group_by("degree").aggregate([("n_docs", "sum")]) \
+            .rename_columns(["degree", "n_docs"])
+
+    hist = collect_table(final_merge_sums(
+        degs.map_batches(hist_partial, batch_format="pyarrow"),
+        ["degree"], ["n_docs"]).materialize())
+    if hist is None or hist.num_rows == 0:
+        return pd.DataFrame({"degree": pd.Series([], dtype="int64"),
+                             "n_docs": pd.Series([], dtype="int64")})
+    df = hist.to_pandas().sort_values("degree").reset_index(drop=True)
+    return pd.DataFrame({"degree": df["degree"].astype(np.int64),
+                         "n_docs": df["n_docs"].astype(np.int64)})
+
+
+DEGREE_HISTOGRAM_SQL = f"""
+SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+  FROM (
+    SELECT unnest([doc_a, doc_b]) AS doc_id
+    FROM ({_jaccard_pairs_sql(2, 0.5)})
+  ) GROUP BY doc_id
+) GROUP BY degree ORDER BY degree
+"""
+
+
 CLUSTER_SIZES_SQL = f"""
 SELECT size AS cluster_size,
        CAST(count(*) AS BIGINT) AS n_clusters
@@ -3373,6 +3434,7 @@ def text_queries() -> dict[str, Callable]:
         "doc_lang_confusion": doc_lang_confusion,
         "dedup_triangles": dedup_triangles,
         "dedup_cluster_sizes": dedup_cluster_sizes,
+        "dedup_degree_histogram": dedup_degree_histogram,
         "corpus_dedup_savings": corpus_dedup_savings,
         "doc_fingerprint": doc_fingerprint,
         "doc_bpe_tokens": doc_bpe_tokens,
@@ -3434,6 +3496,7 @@ def text_oracle_sql() -> dict[str, str]:
         "doc_lang_confusion": LANG_CONFUSION_SQL,
         "dedup_triangles": _triangles_sql(),
         "dedup_cluster_sizes": CLUSTER_SIZES_SQL,
+        "dedup_degree_histogram": DEGREE_HISTOGRAM_SQL,
         "corpus_dedup_savings": DEDUP_SAVINGS_SQL,
         "doc_fingerprint": FINGERPRINT_SQL,
         "doc_bpe_tokens": BPE_TOKENS_SQL,

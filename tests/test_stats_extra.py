@@ -296,3 +296,34 @@ def test_events_hourly_autocorr_alternating_series(tmp_path):
     dense = np.array([30, 10, 30, 10, 0, 10, 30, 10, 30, 10], float)
     ref = np.corrcoef(dense[:-1], dense[1:])[0, 1]
     assert abs(out["autocorr"].iloc[0] - ref) < 1e-6
+
+
+def test_rolling_aov_planted_window(tmp_path, ray_session):
+    """Three known months: the 3-month trailing mean must fold exact
+    int cents with the widening-window edge (1-, 2-, then 3-row)."""
+    from cheque_ocr_project_ray.relational.analytics_extra import \
+        orders_rolling_aov
+    df = pd.DataFrame({
+        "o_orderdate": pd.to_datetime(
+            ["2024-01-10", "2024-01-20", "2024-02-05", "2024-03-01"]),
+        "o_totalprice": [100.0, 200.0, 50.0, 10.0]})
+    df.to_parquet(tmp_path / "orders.parquet")
+    out = orders_rolling_aov(str(tmp_path))
+    assert out["ym"].tolist() == [202401, 202402, 202403]
+    assert out["n_orders"].tolist() == [2, 1, 1]
+    assert out["revenue"].tolist() == [300.0, 50.0, 10.0]
+    assert out["aov"].tolist() == [150.0, 50.0, 10.0]
+    # widening window: 300/1, (300+50)/2, (300+50+10)/3
+    assert out["roll3_revenue"].tolist() == [300.0, 175.0, 120.0]
+
+
+def test_degree_histogram_handshake(ray_session):
+    """Sum(degree x n_docs) == 2 x |pairs| (handshake lemma) against
+    the SAME pair source the histogram consumes."""
+    from cheque_ocr_project_ray.text.queries import (
+        dedup_degree_histogram, dedup_ngram_jaccard)
+    sf = "/root/testdata/sf0.001"
+    hist = dedup_degree_histogram(sf)
+    n_pairs = dedup_ngram_jaccard(sf).count()
+    assert int((hist["degree"] * hist["n_docs"]).sum()) == 2 * n_pairs
+    assert (hist["degree"] > 0).all() and (hist["n_docs"] > 0).all()
