@@ -3404,6 +3404,132 @@ def corpus_hapax_ratio(sf_dir: str, np_: int = 0,
             / df["n_terms"].to_numpy(np.float64), 6)})
 
 
+def corpus_source_overlap(sf_dir: str, np_: int = 0,
+                          bound: int = 2_000_000):
+    """Vocabulary-overlap matrix between sources: for every source
+    pair, the intersection / union / Jaccard of their DISTINCT word
+    sets — the corpus-mixing diagnostic (two "different" crawls with
+    0.9 vocabulary Jaccard are one source for mixture-weighting
+    purposes).  100-TB shape: distinct (source, tok) rows reduce
+    through the bounded-adaptive min-merge, the pair counts come from
+    a token-keyed partitioned ``hash_join`` of that stream with
+    itself (per-token fan-out ≤ |sources|², never a vocabulary
+    broadcast), and everything the driver touches is the |sources|²
+    grid (class b)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cheque_ocr_project_ray.relational.joins import hash_join
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_min,
+                                             final_merge_sums,
+                                             round_half_up)
+
+    docs = ray.data.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"),
+        columns=["source", "text"])
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        _, flat, parent = analysis._prep(batch)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        src = batch.column("source").combine_chunks().take(
+            pa.array(parent, pa.int64()))
+        t = pa.table({"source": src, "tok": flat,
+                      "one": pa.array(np.ones(len(flat), np.int64))})
+        return t.group_by(["source", "tok"]).aggregate([("one", "min")]) \
+            .rename_columns(["source", "tok", "one"])
+
+    distinct = final_merge_min(
+        docs.map_batches(distinct_partial, batch_format="pyarrow"),
+        ["source", "tok"], ["one"], np_=np_, bound=bound)
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"source": batch.column("source"),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))})
+        return t.group_by("source").aggregate([("n", "sum")]) \
+            .rename_columns(["source", "n"])
+
+    sizes = collect_table(final_merge_sums(
+        distinct.map_batches(size_partial, batch_format="pyarrow"),
+        ["source"], ["n"], np_=np_).materialize())
+    empty = pd.DataFrame({
+        "source_a": pd.Series([], dtype="object"),
+        "source_b": pd.Series([], dtype="object"),
+        "inter": pd.Series([], dtype="int64"),
+        "uni": pd.Series([], dtype="int64"),
+        "jaccard": pd.Series([], dtype="float64")})
+    if sizes is None or sizes.num_rows == 0:
+        return empty
+
+    def side(name: str):
+        return distinct.map_batches(
+            lambda b, n=name: pa.table({"tok": b.column("tok"),
+                                        n: b.column("source")}),
+            batch_format="pyarrow")
+
+    joined = hash_join(side("source_a"), side("source_b"), on="tok",
+                       num_partitions=np_ or None)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch.column("source_a"),
+                       batch.column("source_b"))
+        b = batch.filter(keep)
+        t = pa.table({"source_a": b.column("source_a"),
+                      "source_b": b.column("source_b"),
+                      "inter": pa.array(np.ones(b.num_rows, np.int64))})
+        return t.group_by(["source_a", "source_b"]) \
+            .aggregate([("inter", "sum")]) \
+            .rename_columns(["source_a", "source_b", "inter"])
+
+    pairs = collect_table(final_merge_sums(
+        joined.map_batches(pair_partial, batch_format="pyarrow"),
+        ["source_a", "source_b"], ["inter"], np_=np_).materialize())
+    if pairs is None or pairs.num_rows == 0:
+        return empty
+    df = pairs.to_pandas().sort_values(["source_a", "source_b"]) \
+        .reset_index(drop=True)
+    nmap = dict(zip(sizes.column("source").to_pylist(),
+                    sizes.column("n").to_pylist()))
+    na = df["source_a"].map(nmap).to_numpy(np.int64)
+    nb = df["source_b"].map(nmap).to_numpy(np.int64)
+    inter = df["inter"].to_numpy(np.int64)
+    uni = na + nb - inter
+    return pd.DataFrame({
+        "source_a": df["source_a"],
+        "source_b": df["source_b"],
+        "inter": inter,
+        "uni": uni,
+        "jaccard": round_half_up(inter * 1.0 / uni, 6)})
+
+
+SOURCE_OVERLAP_SQL = """
+WITH w AS (
+  SELECT DISTINCT source, tok FROM (
+    SELECT source,
+           unnest(list_filter(regexp_split_to_array(trim(text),
+                                                    '\\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents)),
+s AS (SELECT source, count(*) AS n FROM w GROUP BY source),
+i AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*) AS inter
+  FROM w a JOIN w b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT source_a, source_b,
+       CAST(inter AS BIGINT) AS inter,
+       CAST(na.n + nb.n - inter AS BIGINT) AS uni,
+       round(inter * 1.0 / (na.n + nb.n - inter), 6) AS jaccard
+FROM i
+JOIN s na ON na.source = source_a
+JOIN s nb ON nb.source = source_b
+ORDER BY source_a, source_b
+"""
+
+
 HAPAX_RATIO_SQL = """
 WITH w AS (
   SELECT source,
@@ -3479,6 +3605,7 @@ def text_queries() -> dict[str, Callable]:
         "doc_hash_similarity": doc_hash_similarity,
         "corpus_zipf_slope": corpus_zipf_slope,
         "corpus_hapax_ratio": corpus_hapax_ratio,
+        "corpus_source_overlap": corpus_source_overlap,
         "doc_charset_profile": doc_charset_profile,
         "corpus_stopword_discovery": corpus_stopword_discovery,
     }
@@ -3539,6 +3666,7 @@ def text_oracle_sql() -> dict[str, str]:
         "doc_hash_similarity": HASH_SIMILARITY_SQL,
         "corpus_zipf_slope": ZIPF_SLOPE_SQL,
         "corpus_hapax_ratio": HAPAX_RATIO_SQL,
+        "corpus_source_overlap": SOURCE_OVERLAP_SQL,
         "doc_charset_profile": CHARSET_PROFILE_SQL,
         "corpus_stopword_discovery": STOPWORD_DISCOVERY_SQL,
         "doc_quality_filter_p75": QUALITY_FILTER_P75_SQL.format(

@@ -311,3 +311,16 @@ def test_hapax_ratio_distributed(ray_session, collect_cap):
     df = corpus_hapax_ratio(SF001, bound=0)
     _cmp(df, _sql(SF001, HAPAX_RATIO_SQL, ("documents",)), ["source"])
     assert max(collect_cap, default=0) <= COLLECT_CAP
+
+
+def test_source_overlap_join_path(ray_session, collect_cap):
+    # bound=0 forces the distinct (source, tok) min-merge through its
+    # distributed branch; the pair counts always come from the
+    # token-keyed hash self-join, so the driver only ever folds the
+    # |sources|^2 grid and the per-source size vector
+    from cheque_ocr_project_ray.text.queries import (SOURCE_OVERLAP_SQL,
+                                                     corpus_source_overlap)
+    df = corpus_source_overlap(SF001, bound=0)
+    _cmp(df, _sql(SF001, SOURCE_OVERLAP_SQL, ("documents",)),
+         ["source_a", "source_b"])
+    assert max(collect_cap, default=0) <= COLLECT_CAP
