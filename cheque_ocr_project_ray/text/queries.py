@@ -3547,6 +3547,272 @@ FROM c GROUP BY source ORDER BY source
 """
 
 
+PMI_K = 25
+PMI_MIN_C12 = 5
+
+
+def corpus_pmi_bigrams(sf_dir: str, np_: int = 0,
+                       bound: int = 2_000_000):
+    """Top-k collocations by pointwise mutual information with a
+    min-count floor — the classic collocation extractor (Church &
+    Hanks 1990's association ratio) that count-ranked
+    :func:`corpus_top_bigrams` cannot express: PMI surfaces
+    *associated* pairs (observed co-occurrence over the independence
+    expectation), not merely frequent ones.  Unigram and bigram
+    vocabularies reduce through the combiner + bounded-adaptive
+    merge; the two scalar masses are distributed sums.  Under
+    ``bound`` the c1/c2 attach is one driver searchsorted pair; past
+    it nothing broadcasts: w1/w2 split per batch and two token-keyed
+    ``hash_join``s attach the unigram counts, the PMI is row-local
+    given the scalars, and the global top-k is per-block top-k + a
+    K·n_blocks driver re-rank (every global winner tops its own
+    block).  Both engines rank the 6dp-ROUNDED pmi (ties break on
+    the unique bigram), so the k-cut is cross-engine stable."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_sums,
+                                             round_half_up)
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({
+            "bigram": pd.Series([], dtype="object"),
+            "c12": pd.Series([], dtype="int64"),
+            "pmi": pd.Series([], dtype="float64")})
+
+    docs = _docs(sf_dir)
+    uni_ds = final_merge_sums(
+        docs.map_batches(analysis.token_counts, batch_format="pyarrow"),
+        ["tok"], ["n"], np_=np_, bound=bound).materialize()
+    big_ds = final_merge_sums(
+        docs.map_batches(analysis.bigram_counts, batch_format="pyarrow"),
+        ["bigram"], ["n"], np_=np_, bound=bound).materialize()
+    un, bn = uni_ds.count(), big_ds.count()
+    if un == 0 or bn == 0:
+        return _empty()
+    nt = float(uni_ds.sum("n"))
+    nb = float(big_ds.sum("n"))
+
+    def floor_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("n"), PMI_MIN_C12))
+
+    big_f = big_ds.map_batches(floor_filter, batch_format="pyarrow")
+
+    if un <= bound and bn <= bound:
+        uni = collect_table(uni_ds)
+        big = collect_table(big_f.materialize())
+        if big is None or big.num_rows == 0:
+            return _empty()
+        utok = np.array(uni.column("tok").to_pylist(), dtype=object)
+        ucnt = uni.column("n").to_numpy().astype(np.float64)
+        uorder = np.argsort(utok)
+        utok, ucnt = utok[uorder], ucnt[uorder]
+        bg = np.array(big.column("bigram").to_pylist(), dtype=object)
+        c12 = big.column("n").to_numpy().astype(np.float64)
+        # tokens contain no whitespace, so the one-split halves ARE
+        # the unigrams
+        w1 = np.array([b.split(" ", 1)[0] for b in bg], dtype=object)
+        w2 = np.array([b.split(" ", 1)[1] for b in bg], dtype=object)
+        c1 = ucnt[np.searchsorted(utok, w1)]
+        c2 = ucnt[np.searchsorted(utok, w2)]
+        # op order mirrors the SQL: ln((c12/nb) * (nt/c1) * (nt/c2))
+        pmi = round_half_up(np.log((c12 / nb) * (nt / c1) * (nt / c2)),
+                            6)
+        order = np.lexsort((bg, -pmi))[:PMI_K]
+        return pd.DataFrame({"bigram": bg[order],
+                             "c12": c12[order].astype(np.int64),
+                             "pmi": pmi[order]})
+
+    # join fallback: two token-keyed attaches, nothing vocabulary-
+    # scale touches the driver
+    from cheque_ocr_project_ray.relational.joins import hash_join
+
+    def with_w1(t: pa.Table) -> pa.Table:
+        halves = pc.split_pattern(t.column("bigram"), " ", max_splits=1)
+        return pa.table({"bigram": t.column("bigram"),
+                         "c12": pc.cast(t.column("n"), pa.int64()),
+                         "tok": pc.list_element(halves, 0),
+                         "w2": pc.list_element(halves, 1)})
+
+    def as_count(name):
+        def conv(t: pa.Table) -> pa.Table:
+            return pa.table({"tok": t.column("tok"),
+                             name: pc.cast(t.column("n"), pa.int64())})
+        return conv
+
+    j1 = hash_join(big_f.map_batches(with_w1, batch_format="pyarrow"),
+                   uni_ds.map_batches(as_count("c1"),
+                                      batch_format="pyarrow"),
+                   on="tok", num_partitions=np_ or None)
+
+    def rekey_w2(t: pa.Table) -> pa.Table:
+        return pa.table({"bigram": t.column("bigram"),
+                         "c12": t.column("c12"),
+                         "c1": t.column("c1"),
+                         "tok": t.column("w2")})
+
+    j2 = hash_join(j1.map_batches(rekey_w2, batch_format="pyarrow"),
+                   uni_ds.map_batches(as_count("c2"),
+                                      batch_format="pyarrow"),
+                   on="tok", num_partitions=np_ or None)
+
+    def score_topk(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty:
+            return _empty()
+        c12 = b["c12"].to_numpy(np.float64)
+        c1 = b["c1"].to_numpy(np.float64)
+        c2 = b["c2"].to_numpy(np.float64)
+        pmi = round_half_up(np.log((c12 / nb) * (nt / c1) * (nt / c2)),
+                            6)
+        out = pd.DataFrame({"bigram": b["bigram"],
+                            "c12": b["c12"].astype("int64"),
+                            "pmi": pmi})
+        return out.sort_values(["pmi", "bigram"],
+                               ascending=[False, True]).head(PMI_K)
+
+    cand = j2.map_batches(score_topk,
+                          batch_format="pandas").materialize()
+    ct = collect_table(cand)
+    if ct is None or ct.num_rows == 0:
+        return _empty()
+    df = ct.to_pandas().sort_values(
+        ["pmi", "bigram"], ascending=[False, True]).head(PMI_K)
+    return pd.DataFrame({"bigram": df["bigram"].to_numpy(),
+                         "c12": df["c12"].to_numpy(),
+                         "pmi": df["pmi"].to_numpy()})
+
+
+PMI_BIGRAMS_SQL = f"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), w AS (SELECT unnest(toks) AS tok FROM t),
+uc AS (SELECT tok, count(*) AS c FROM w GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS nt FROM uc),
+b AS (
+  SELECT unnest(list_transform(toks[1:len(toks)-1],
+                               (x, i) -> x || ' ' || toks[i + 1]))
+             AS bigram
+  FROM t
+), bc AS (SELECT bigram, count(*) AS c12 FROM b GROUP BY bigram),
+btot AS (SELECT CAST(sum(c12) AS DOUBLE) AS nb FROM bc),
+s AS (
+  SELECT bigram, c12,
+         round(ln((c12 / nb) * (nt / u1.c) * (nt / u2.c)), 6) AS pmi
+  FROM bc, tot, btot
+  JOIN uc u1 ON u1.tok = split_part(bc.bigram, ' ', 1)
+  JOIN uc u2 ON u2.tok = split_part(bc.bigram, ' ', 2)
+  WHERE c12 >= {PMI_MIN_C12}
+)
+SELECT bigram, CAST(c12 AS BIGINT) AS c12, pmi
+FROM s ORDER BY pmi DESC, bigram LIMIT {PMI_K}
+"""
+
+
+BURST_K = 25
+BURST_MIN_DF = 5
+
+
+def corpus_burstiness(sf_dir: str, np_: int = 0,
+                      bound: int = 2_000_000):
+    """Top-k bursty terms by the Church–Gale variance-to-mean ratio
+    of per-document tf among the documents that CONTAIN the term —
+    the lexical statistic that separates topical content words (one
+    doc mentions them many times) from function words (evenly
+    sprinkled), which raw frequency and idf both miss.  Per-term
+    (df, Σtf, Σtf²) moments are additive, so they reduce through the
+    combiner + bounded-adaptive merge; the VMR is row-local, and the
+    global top-k is per-block top-k + a K·n_blocks driver re-rank —
+    scale-safe by construction at ANY vocabulary size (no collect of
+    the merged table is ever needed).  Both engines rank the
+    6dp-ROUNDED vmr (ties break on the unique term)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_sums,
+                                             round_half_up)
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({
+            "tok": pd.Series([], dtype="object"),
+            "df": pd.Series([], dtype="int64"),
+            "total_tf": pd.Series([], dtype="int64"),
+            "vmr": pd.Series([], dtype="float64")})
+
+    def moments(batch: pa.Table) -> pa.Table:
+        t = analysis.doc_token_pairs(batch)
+        tf = t.column("tf").to_numpy(zero_copy_only=False)
+        m = pa.table({"tok": t.column("tok"),
+                      "df": pa.array(np.ones(len(t), np.int64)),
+                      "s1": pa.array(tf),
+                      "s2": pa.array(tf * tf)})
+        return m.group_by("tok").aggregate([("df", "sum"),
+                                            ("s1", "sum"),
+                                            ("s2", "sum")]) \
+            .rename_columns(["tok", "df", "s1", "s2"])
+
+    merged = final_merge_sums(
+        _docs(sf_dir).map_batches(moments, batch_format="pyarrow"),
+        ["tok"], ["df", "s1", "s2"], np_=np_, bound=bound)
+
+    def score_topk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["df"] >= BURST_MIN_DF]
+        if b.empty:
+            return _empty()
+        df = b["df"].to_numpy(np.float64)
+        s1 = b["s1"].to_numpy(np.float64)
+        s2 = b["s2"].to_numpy(np.float64)
+        # op order mirrors the SQL: (s2/df - (s1/df)*(s1/df)) / (s1/df)
+        vmr = round_half_up(
+            (s2 / df - (s1 / df) * (s1 / df)) / (s1 / df), 6)
+        out = pd.DataFrame({"tok": b["tok"],
+                            "df": b["df"].astype("int64"),
+                            "total_tf": b["s1"].astype("int64"),
+                            "vmr": vmr})
+        return out.sort_values(["vmr", "tok"],
+                               ascending=[False, True]).head(BURST_K)
+
+    cand = merged.map_batches(score_topk,
+                              batch_format="pandas").materialize()
+    ct = collect_table(cand)
+    if ct is None or ct.num_rows == 0:
+        return _empty()
+    df = ct.to_pandas().sort_values(
+        ["vmr", "tok"], ascending=[False, True]).head(BURST_K)
+    return pd.DataFrame({"tok": df["tok"].to_numpy(),
+                         "df": df["df"].to_numpy(),
+                         "total_tf": df["total_tf"].to_numpy(),
+                         "vmr": df["vmr"].to_numpy()})
+
+
+BURSTINESS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), w AS (
+  SELECT doc_id, unnest(toks) AS tok FROM t
+), dtf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM w GROUP BY doc_id, tok
+), c AS (
+  SELECT tok, CAST(count(*) AS DOUBLE) AS df,
+         CAST(sum(tf) AS DOUBLE) AS s1,
+         CAST(sum(tf * tf) AS DOUBLE) AS s2,
+         CAST(count(*) AS BIGINT) AS df_i,
+         CAST(sum(tf) AS BIGINT) AS s1_i
+  FROM dtf GROUP BY tok
+)
+SELECT tok, df_i AS df, s1_i AS total_tf,
+       round((s2 / df - (s1 / df) * (s1 / df)) / (s1 / df), 6) AS vmr
+FROM c WHERE df_i >= {BURST_MIN_DF}
+ORDER BY vmr DESC, tok LIMIT {BURST_K}
+"""
+
+
 def text_queries() -> dict[str, Callable]:
     return {
         "doc_token_stats": doc_token_stats,
@@ -3605,6 +3871,8 @@ def text_queries() -> dict[str, Callable]:
         "doc_hash_similarity": doc_hash_similarity,
         "corpus_zipf_slope": corpus_zipf_slope,
         "corpus_hapax_ratio": corpus_hapax_ratio,
+        "corpus_pmi_bigrams": corpus_pmi_bigrams,
+        "corpus_burstiness": corpus_burstiness,
         "corpus_source_overlap": corpus_source_overlap,
         "doc_charset_profile": doc_charset_profile,
         "corpus_stopword_discovery": corpus_stopword_discovery,
@@ -3666,6 +3934,8 @@ def text_oracle_sql() -> dict[str, str]:
         "doc_hash_similarity": HASH_SIMILARITY_SQL,
         "corpus_zipf_slope": ZIPF_SLOPE_SQL,
         "corpus_hapax_ratio": HAPAX_RATIO_SQL,
+        "corpus_pmi_bigrams": PMI_BIGRAMS_SQL,
+        "corpus_burstiness": BURSTINESS_SQL,
         "corpus_source_overlap": SOURCE_OVERLAP_SQL,
         "doc_charset_profile": CHARSET_PROFILE_SQL,
         "corpus_stopword_discovery": STOPWORD_DISCOVERY_SQL,

@@ -324,3 +324,24 @@ def test_source_overlap_join_path(ray_session, collect_cap):
     _cmp(df, _sql(SF001, SOURCE_OVERLAP_SQL, ("documents",)),
          ["source_a", "source_b"])
     assert max(collect_cap, default=0) <= COLLECT_CAP
+
+
+def test_pmi_bigrams_join_path(ray_session, collect_cap):
+    # bound=0 forces BOTH vocabulary merges distributed and the
+    # c1/c2 attach through the two token-keyed hash joins; the
+    # driver only re-ranks the K*n_blocks per-block top-k candidates
+    from cheque_ocr_project_ray.text.queries import (PMI_BIGRAMS_SQL,
+                                                     corpus_pmi_bigrams)
+    df = corpus_pmi_bigrams(SF001, bound=0)
+    _cmp(df, _sql(SF001, PMI_BIGRAMS_SQL, ("documents",)), ["bigram"])
+    assert max(collect_cap, default=0) <= COLLECT_CAP
+
+
+def test_burstiness_block_topk(ray_session, collect_cap):
+    # bound=0 forces the per-term moment merge distributed; the VMR
+    # is row-local and the driver only re-ranks block top-k rows
+    from cheque_ocr_project_ray.text.queries import (BURSTINESS_SQL,
+                                                     corpus_burstiness)
+    df = corpus_burstiness(SF001, bound=0)
+    _cmp(df, _sql(SF001, BURSTINESS_SQL, ("documents",)), ["tok"])
+    assert max(collect_cap, default=0) <= COLLECT_CAP
