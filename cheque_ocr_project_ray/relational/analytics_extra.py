@@ -3508,6 +3508,196 @@ GROUP BY cohort_month, age_months
 """
 
 
+# composite (custkey, month) key multiplier for the prev-month
+# presence self-join: absolute month numbers (year*12 + month - 1)
+# stay < 2^21 for any calendar date, so custkey << 21 never collides
+_GROWTH_MK = 1 << 21
+
+
+def orders_growth_accounting(sf_dir: str, np_: int = 0,
+                             bound: int = 2_000_000):
+    """Monthly growth accounting: every active customer-month is
+    exactly one of NEW (first-ever active month), RETAINED (also
+    active the month before) or RESURRECTED (returning after a gap),
+    and CHURNED(m) = active(m-1) − retained(m) — the
+    new/retained/resurrected/churned decomposition every
+    subscription/marketplace dashboard runs.  The orders fact stream
+    never shuffles: per-batch distinct (custkey, month) partials
+    reduce through the bounded-adaptive merge to the
+    |customers|×|months|-bounded activity grid; the per-customer
+    first month is a min over that grid.  Under ``bound`` the
+    classification is one driver numpy pass over the collected grid;
+    past it nothing is collected: the prev-month presence flag comes
+    from a composite-key LEFT hash self-join of the grid against
+    itself shifted one month, the first month attaches via a
+    custkey-keyed hash join, the class is row-local, and per-(month,
+    class) counts reduce through the months-bounded merge — the
+    driver only ever folds the |months| grid (class a+b).  All-int
+    output, so the DuckDB twin matches bit-for-bit."""
+    from cheque_ocr_project_ray.relational.joins import hash_join
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_min)
+
+    ds = _pq(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        m = pc.add(pc.multiply(pc.cast(pc.year(d), pa.int64()),
+                               pa.scalar(12)),
+                   pc.subtract(pc.cast(pc.month(d), pa.int64()),
+                               pa.scalar(1)))
+        t = pa.table({"o_custkey": batch.column("o_custkey"), "m": m,
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))})
+        return t.group_by(["o_custkey", "m"]).aggregate([("n", "sum")]) \
+            .rename_columns(["o_custkey", "m", "n"])
+
+    grid = final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey", "m"], ["n"], np_=np_, bound=bound) \
+        .select_columns(["o_custkey", "m"]).materialize()
+
+    def _finish(per_month: pd.DataFrame) -> pd.DataFrame:
+        g = per_month.groupby("m", as_index=False)[
+            ["new_c", "retained_c", "resurrected_c"]].sum() \
+            .sort_values("m").reset_index(drop=True)
+        active = (g["new_c"] + g["retained_c"]
+                  + g["resurrected_c"]).to_numpy(np.int64)
+        prev_active = dict(zip(g["m"].to_numpy(np.int64), active))
+        churn = np.array([prev_active.get(m - 1, 0)
+                          for m in g["m"].to_numpy(np.int64)],
+                         np.int64) - g["retained_c"].to_numpy(np.int64)
+        y = (g["m"] // 12).astype("int64")
+        mo = (g["m"] % 12 + 1).astype("int64")
+        return pd.DataFrame({
+            "month": (y.astype(str).str.zfill(4) + "-"
+                      + mo.astype(str).str.zfill(2)),
+            "new_c": g["new_c"].astype("int64"),
+            "retained_c": g["retained_c"].astype("int64"),
+            "resurrected_c": g["resurrected_c"].astype("int64"),
+            "churned_c": churn,
+            "active": active})
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({
+            "month": pd.Series([], dtype="object"),
+            "new_c": pd.Series([], dtype="int64"),
+            "retained_c": pd.Series([], dtype="int64"),
+            "resurrected_c": pd.Series([], dtype="int64"),
+            "churned_c": pd.Series([], dtype="int64"),
+            "active": pd.Series([], dtype="int64")})
+
+    n_pairs = grid.count()
+    if n_pairs == 0:
+        return _empty()
+    if n_pairs <= bound:
+        gt = collect_table(grid)
+        c = gt.column("o_custkey").to_numpy()
+        m = gt.column("m").to_numpy()
+        key = c * _GROWTH_MK + m
+        present = np.sort(key)
+        idx = np.searchsorted(present, key - 1)
+        prev = (idx < len(present)) & (present[np.clip(
+            idx, 0, len(present) - 1)] == key - 1)
+        order = np.lexsort((m, c))
+        fm_sorted = pd.Series(m[order]).groupby(
+            pd.Series(c[order])).transform("min").to_numpy()
+        fm = np.empty_like(fm_sorted)
+        fm[order] = fm_sorted
+        is_new = m == fm
+        per_month = pd.DataFrame({
+            "m": m,
+            "new_c": is_new.astype(np.int64),
+            "retained_c": (~is_new & prev).astype(np.int64),
+            "resurrected_c": (~is_new & ~prev).astype(np.int64)})
+        return _finish(per_month)
+
+    # distributed path: nothing customer-scale touches the driver
+    first = final_merge_min(grid, ["o_custkey"], ["m"], np_=np_,
+                            bound=bound).map_batches(
+        lambda b: b.rename_columns(["o_custkey", "fm"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def with_key(t: pa.Table) -> pa.Table:
+        k = pc.add(pc.multiply(t.column("o_custkey"),
+                               pa.scalar(_GROWTH_MK)), t.column("m"))
+        return pa.table({"o_custkey": t.column("o_custkey"),
+                         "m": t.column("m"), "k": k})
+
+    def as_prev(t: pa.Table) -> pa.Table:
+        k = pc.add(pc.add(pc.multiply(t.column("o_custkey"),
+                                      pa.scalar(_GROWTH_MK)),
+                          t.column("m")), pa.scalar(1))
+        return pa.table({
+            "k": k,
+            "prev_flag": pa.array(np.ones(t.num_rows, np.int64))})
+
+    j1 = hash_join(grid.map_batches(with_key, batch_format="pyarrow"),
+                   grid.map_batches(as_prev, batch_format="pyarrow"),
+                   on="k", how="left", num_partitions=np_ or None)
+    j2 = hash_join(j1, first, on="o_custkey",
+                   num_partitions=np_ or None)
+
+    def cls_partial(t: pa.Table) -> pa.Table:
+        m = t.column("m").to_numpy(zero_copy_only=False)
+        fm = t.column("fm").to_numpy(zero_copy_only=False)
+        prev = t.column("prev_flag").to_numpy(zero_copy_only=False)
+        prev = ~np.isnan(prev.astype(np.float64)) \
+            if prev.dtype != np.int64 else prev == 1
+        is_new = m == fm
+        g = pa.table({
+            "m": pa.array(m),
+            "new_c": pa.array(is_new.astype(np.int64)),
+            "retained_c": pa.array((~is_new & prev).astype(np.int64)),
+            "resurrected_c": pa.array(
+                (~is_new & ~prev).astype(np.int64))}) \
+            .group_by("m").aggregate([("new_c", "sum"),
+                                      ("retained_c", "sum"),
+                                      ("resurrected_c", "sum")])
+        return g.rename_columns(["m", "new_c", "retained_c",
+                                 "resurrected_c"])
+
+    agg = collect_table(final_merge_sums(
+        j2.map_batches(cls_partial, batch_format="pyarrow"),
+        ["m"], ["new_c", "retained_c", "resurrected_c"],
+        np_=np_).materialize())
+    if agg is None or agg.num_rows == 0:
+        return _empty()
+    return _finish(agg.to_pandas())
+
+
+ORDERS_GROWTH_SQL = """
+WITH a AS (
+  SELECT DISTINCT o_custkey AS c,
+         (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS m
+  FROM orders
+), f AS (SELECT c, min(m) AS fm FROM a GROUP BY c),
+cls AS (
+  SELECT a.m,
+         CASE WHEN a.m = f.fm THEN 0
+              WHEN p.c IS NOT NULL THEN 1 ELSE 2 END AS k
+  FROM a
+  JOIN f ON f.c = a.c
+  LEFT JOIN a p ON p.c = a.c AND p.m = a.m - 1
+), g AS (
+  SELECT m,
+         CAST(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_c,
+         CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS retained_c,
+         CAST(sum(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS resurrected_c
+  FROM cls GROUP BY m
+)
+SELECT printf('%04d-%02d', g.m // 12, g.m % 12 + 1) AS month,
+       g.new_c, g.retained_c, g.resurrected_c,
+       CAST(coalesce(pg.new_c + pg.retained_c + pg.resurrected_c, 0)
+            - g.retained_c AS BIGINT) AS churned_c,
+       g.new_c + g.retained_c + g.resurrected_c AS active
+FROM g LEFT JOIN g pg ON pg.m = g.m - 1
+ORDER BY month
+"""
+
+
 def orders_rolling_aov(sf_dir: str, np_: int = 0):
     """Monthly revenue / order count with average-order-value and a
     3-month trailing revenue mean — the rolling-window KPI series over
@@ -3632,6 +3822,7 @@ def analytics_extra_queries():
         "events_peak_concurrency": events_peak_concurrency,
         "events_busy_coverage": events_busy_coverage,
         "customer_cohort_ltv": customer_cohort_ltv,
+        "orders_growth_accounting": orders_growth_accounting,
     }
 
 
@@ -3684,4 +3875,5 @@ def analytics_extra_oracle_sql():
         "events_peak_concurrency": EVENTS_PEAK_CONCURRENCY_SQL,
         "events_busy_coverage": EVENTS_BUSY_COVERAGE_SQL,
         "customer_cohort_ltv": CUSTOMER_COHORT_LTV_SQL,
+        "orders_growth_accounting": ORDERS_GROWTH_SQL,
     }

@@ -345,3 +345,15 @@ def test_burstiness_block_topk(ray_session, collect_cap):
     df = corpus_burstiness(SF001, bound=0)
     _cmp(df, _sql(SF001, BURSTINESS_SQL, ("documents",)), ["tok"])
     assert max(collect_cap, default=0) <= COLLECT_CAP
+
+
+def test_growth_accounting_join_path(ray_session, hc_dir, collect_cap):
+    # bound=0 forces the activity-grid merge distributed, the
+    # prev-month flag through the composite-key LEFT hash self-join
+    # and the first-month attach through the custkey-keyed join; the
+    # driver folds only the |months| class grid
+    from cheque_ocr_project_ray.relational.analytics_extra import (
+        ORDERS_GROWTH_SQL, orders_growth_accounting)
+    df = orders_growth_accounting(hc_dir, bound=0)
+    _cmp(df, _sql(hc_dir, ORDERS_GROWTH_SQL, ("orders",)), ["month"])
+    assert max(collect_cap, default=0) <= COLLECT_CAP
