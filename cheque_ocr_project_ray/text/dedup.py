@@ -690,3 +690,135 @@ def ngram_jaccard_pairs(docs_ds, shingle_k: int = 2,
     looser blocking)."""
     return minhash_dedup_pairs(docs_ds, num_perm=32, bands=16,
                                shingle_k=shingle_k, threshold=threshold)
+
+
+def _verify_containment(blob_a, blob_b) -> np.ndarray:
+    """RAW (unrounded) containment |A∩B| / min(|A|, |B|) per pair
+    from serialized shingle blobs — the asymmetric overlap measure:
+    1.0 whenever the smaller shingle set is a subset of the larger,
+    however different the sizes (Jaccard on the same pair → tiny)."""
+    cont = np.empty(len(blob_a), dtype=np.float64)
+    for i, (ba, bb) in enumerate(zip(blob_a, blob_b)):
+        sa = np.frombuffer(ba, dtype=np.int64)
+        sb = np.frombuffer(bb, dtype=np.int64)
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        m = min(sa.size, sb.size)
+        cont[i] = inter / m if m else 1.0
+    return cont
+
+
+def containment_dedup_pairs(docs_ds, shingle_k: int = 3,
+                            min_shared: int = 3, max_df: int = 50,
+                            threshold: float = 0.3,
+                            broadcast_limit: int = 2_000_000,
+                            broadcast_doc_limit: int = 250_000,
+                            bound: int = 5_000_000):
+    """Subset/quote near-dup by shingle CONTAINMENT: for candidate
+    pairs from the winnowing-fingerprint blocking (shared >=
+    ``min_shared`` fps under the ``max_df`` stopword-gram cap — the
+    same candidates as :func:`winnow_dedup_pairs`, so the SQL oracle
+    re-derives them identically), keep pairs whose exact word-k-gram
+    containment |A∩B| / min(|A|, |B|) >= ``threshold``.  This is the
+    asymmetric duplication Jaccard structurally MISSES: a short doc
+    quoted whole inside a long one has containment 1.0 but Jaccard
+    ~|small|/|large|, below any sane Jaccard cut.  Verification is
+    the same adaptive shape as the MinHash path: bounded candidates →
+    blob dict broadcast + actor-pool verify; otherwise a fully
+    distributed double hash join against the per-doc shingle blobs.
+    The raw ratio is threshold-compared on BOTH engines (the output
+    column is then 4dp-rounded), so the keep set is cross-engine
+    exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from cheque_ocr_project_ray.util import (collect_table, map_pool,
+                                             round_half_up)
+
+    cand = winnow_dedup_pairs(docs_ds, min_shared=min_shared,
+                              max_df=max_df, bound=bound) \
+        .select_columns(["doc_a", "doc_b"]).materialize()
+    n_cand = cand.count()
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "containment": pa.array([], pa.float64())})
+    if n_cand == 0:
+        return ray.data.from_arrow(empty)
+
+    ids = None
+    if n_cand <= broadcast_limit:
+        cand_t = collect_table(cand)
+        ids = pc.unique(pa.concat_arrays([
+            cand_t.column("doc_a").combine_chunks(),
+            cand_t.column("doc_b").combine_chunks()]))
+        if len(ids) > broadcast_doc_limit:
+            ids = None  # too many blobs for the driver → join path
+
+    if ids is not None:
+        def only_candidates(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.is_in(batch.column("doc_id"), value_set=ids))
+
+        blobs = collect_table(
+            shingle_blobs(
+                docs_ds.map_batches(only_candidates,
+                                    batch_format="pyarrow"),
+                shingle_k).materialize())
+        blob_by_id = dict(zip(blobs.column("doc_id").to_pylist(),
+                              blobs.column("shingle_blob").to_pylist()))
+        blob_ref = ray.put(blob_by_id)
+
+        class _Verify:
+            def __init__(self):
+                self.blobs = ray.get(blob_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                a = batch.column("doc_a").to_pylist()
+                b = batch.column("doc_b").to_pylist()
+                cont = _verify_containment(
+                    [self.blobs[x] for x in a],
+                    [self.blobs[y] for y in b])
+                keep = cont >= threshold
+                return pa.table({
+                    "doc_a": pa.array(np.asarray(a)[keep]),
+                    "doc_b": pa.array(np.asarray(b)[keep]),
+                    "containment": pa.array(
+                        round_half_up(cont[keep], 4), pa.float64()),
+                })
+
+        verified = ray.data.from_arrow(cand_t) \
+            .map_batches(_Verify, batch_format="pyarrow",
+                         batch_size=4096,
+                         concurrency=(1, map_pool())).materialize()
+        if verified.count() == 0:
+            return ray.data.from_arrow(empty)
+        return verified.sort(["doc_a", "doc_b"])
+
+    from cheque_ocr_project_ray.relational.joins import hash_join
+
+    sh = shingle_blobs(docs_ds, shingle_k)
+
+    def rename(side: str):
+        def fn(batch):
+            return batch.rename_columns([f"doc_{side}", f"blob_{side}"])
+        return fn
+
+    j = hash_join(cand, sh.map_batches(rename("a"),
+                                       batch_format="pyarrow"),
+                  on="doc_a")
+    j = hash_join(j, sh.map_batches(rename("b"),
+                                    batch_format="pyarrow"),
+                  on="doc_b")
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        cont = _verify_containment(list(batch["blob_a"]),
+                                   list(batch["blob_b"]))
+        keep = cont >= threshold
+        return pd.DataFrame({
+            "doc_a": batch["doc_a"][keep],
+            "doc_b": batch["doc_b"][keep],
+            "containment": round_half_up(cont[keep], 4)})
+
+    return j.map_batches(verify, batch_format="pandas") \
+        .sort(["doc_a", "doc_b"])

@@ -3547,6 +3547,52 @@ FROM c GROUP BY source ORDER BY source
 """
 
 
+CONTAINMENT_TAU = 0.3
+
+
+def dedup_containment(sf_dir: str):
+    """Subset/quote near-dup pairs by shingle containment
+    |A∩B| / min(|A|, |B|) >= {tau} over the winnow-fingerprint
+    candidates (same blocking as ``dedup_winnow``, so the oracle
+    re-derives the candidate set identically and equality checks the
+    verify math, not blocking recall) — the asymmetric duplication
+    Jaccard structurally misses."""
+    return dedup.containment_dedup_pairs(_docs(sf_dir), shingle_k=3,
+                                         min_shared=3, max_df=50,
+                                         threshold=CONTAINMENT_TAU)
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH wn AS ({WINNOW_SQL}),
+wf AS (
+  SELECT * FROM wn
+  WHERE fp IN (SELECT fp FROM wn GROUP BY fp HAVING count(*) <= 50)
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM wf a JOIN wf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 3
+), {_shingle_ctes(3)}, sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND a.g = b.g
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       round(coalesce(i.i, 0) * 1.0 / least(na.n, nb.n), 4)
+           AS containment
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes na ON na.doc_id = c.doc_a
+JOIN sizes nb ON nb.doc_id = c.doc_b
+WHERE coalesce(i.i, 0) * 1.0 / least(na.n, nb.n)
+      >= {CONTAINMENT_TAU}
+ORDER BY c.doc_a, c.doc_b
+"""
+
+
 PMI_K = 25
 PMI_MIN_C12 = 5
 
@@ -3873,6 +3919,7 @@ def text_queries() -> dict[str, Callable]:
         "corpus_hapax_ratio": corpus_hapax_ratio,
         "corpus_pmi_bigrams": corpus_pmi_bigrams,
         "corpus_burstiness": corpus_burstiness,
+        "dedup_containment": dedup_containment,
         "corpus_source_overlap": corpus_source_overlap,
         "doc_charset_profile": doc_charset_profile,
         "corpus_stopword_discovery": corpus_stopword_discovery,
@@ -3936,6 +3983,7 @@ def text_oracle_sql() -> dict[str, str]:
         "corpus_hapax_ratio": HAPAX_RATIO_SQL,
         "corpus_pmi_bigrams": PMI_BIGRAMS_SQL,
         "corpus_burstiness": BURSTINESS_SQL,
+        "dedup_containment": DEDUP_CONTAINMENT_SQL,
         "corpus_source_overlap": SOURCE_OVERLAP_SQL,
         "doc_charset_profile": CHARSET_PROFILE_SQL,
         "corpus_stopword_discovery": STOPWORD_DISCOVERY_SQL,

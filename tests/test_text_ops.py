@@ -381,3 +381,32 @@ def test_doc_code_score_flags_and_density(tmp_path):
     ref["n_docs"] = ref["n_docs"].astype("int64")
     ref["n_code_like"] = ref["n_code_like"].astype("int64")
     pd.testing.assert_frame_equal(out, ref)
+
+
+def test_containment_catches_subset_jaccard_misses():
+    """A short doc quoted verbatim inside a much longer one has
+    containment 1.0 but tiny Jaccard; both verify paths (broadcast
+    and double hash join, forced with broadcast_doc_limit=0) must
+    agree and find the planted pair."""
+    short = make_text()                       # whole BASE text
+    filler = " ".join(f"tok{i} pad{i} filler{i}" for i in range(120))
+    rows = [
+        {"doc_id": 0, "text": short},
+        {"doc_id": 1, "text": short + " " + filler},   # contains doc 0
+        {"doc_id": 2, "text": " ".join(f"other{i}" for i in range(60))},
+    ]
+    got = dedup.containment_dedup_pairs(
+        docs_ds(rows), min_shared=1, threshold=0.9) \
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert list(got["doc_a"]) == [0] and list(got["doc_b"]) == [1]
+    assert got["containment"].iloc[0] == 1.0
+    # the same pair is invisible to Jaccard at any sane threshold
+    jac = dedup.minhash_dedup_pairs(docs_ds(rows), shingle_k=3,
+                                    threshold=0.5).to_pandas()
+    assert len(jac) == 0 or not (
+        ((jac["doc_a"] == 0) & (jac["doc_b"] == 1)).any())
+    dist = dedup.containment_dedup_pairs(
+        docs_ds(rows), min_shared=1, threshold=0.9,
+        broadcast_doc_limit=0) \
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, dist)
