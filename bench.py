@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "embedding_mmr_topk",      # diverse retrieval re-rank (r4)
     "events_peak_concurrency",  # interval scanline: sort + block scan (r5)
     "customer_cohort_ltv",     # cohort matrix: map_groups + grid merge (r5)
+    "orders_growth_accounting",  # activity grid + prev-month self-join (r5)
+    "dedup_containment",       # winnow blocking + adaptive containment verify (r5)
 ]
 
 

@@ -2681,9 +2681,13 @@ def events_dau_wau(sf_dir: str, np_: int = 0):
             return empty
         dau = b[b["kind"] == 0].set_index("day")["n"]
         wau = b[b["kind"] == 1].set_index("day")["n"]
-        # report only days with actual activity (dau rows)
-        days = dau.index.to_numpy(np.int64)
-        days.sort()
+        # report only days with actual activity (dau rows).
+        # np.sort COPY, not in-place .sort(): Index.to_numpy returns a
+        # VIEW of the index buffer when dtypes match, and sorting it
+        # in place scrambles dau's index under .loc — which days hit
+        # it depended on the merged block's row order (CPU-count-
+        # dependent), the round-5 parallelism-dependent-values bug
+        days = np.sort(dau.index.to_numpy(np.int64))
         dv = dau.loc[days].to_numpy(np.int64)
         wv = wau.loc[days].to_numpy(np.int64)
         return pd.DataFrame({
