@@ -3776,6 +3776,144 @@ FROM w ORDER BY ym
 """
 
 
+def _empty_interarrival() -> pd.DataFrame:
+    return pd.DataFrame({
+        "week_bucket": pd.Series([], dtype="int64"),
+        "n_gaps": pd.Series([], dtype="int64"),
+        "sum_gap_days": pd.Series([], dtype="int64"),
+        "avg_gap_days": pd.Series([], dtype="float64")})
+
+
+@_hash_shuffled
+def orders_interarrival(sf_dir: str, np_: int = 0,
+                        bound: int = 2_000_000):
+    """Customer repeat-purchase cadence: gaps in days between
+    consecutive DISTINCT order dates per customer, rolled into a
+    weekly-bucket histogram with exact gap-day sums — the
+    inter-arrival profile behind reorder forecasting and churn-window
+    tuning (the per-user twin is ``events_lag_delta``; this is the
+    per-customer ORDER-grain version with a bounded grid output).
+
+    100-TB shape: the orders fact stream never shuffles — per-batch
+    distinct (custkey, epoch-day) partials reduce through the
+    bounded-adaptive merge to the activity grid.  Under ``bound`` the
+    gaps fold in one driver lexsort+diff pass; past it the grid sorts
+    ONCE distributedly on (custkey, day) and every block diffs
+    vectorized with a last-row neighbor carry (the
+    ``_session_delta_ds`` scanline shape — n_blocks 2-tuples through
+    the driver, never a row), per-block week-bucket partials reducing
+    through the weeks-bounded merge (class a+b).  All-int histogram
+    columns; the mean derives from the exact ints on both engines.
+    """
+    import ray.data as _rd
+    from cheque_ocr_project_ray.util import collect_table
+
+    ds = _pq(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch.column("o_orderdate"),
+                             pa.timestamp("us")), pa.int64())
+        day = pc.divide(us, pa.scalar(_DAY_US, pa.int64()))
+        t = pa.table({"c": batch.column("o_custkey"), "d": day,
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))})
+        return t.group_by(["c", "d"]).aggregate([("n", "sum")]) \
+            .rename_columns(["c", "d", "n"])
+
+    grid = final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["c", "d"], ["n"], np_=np_, bound=bound) \
+        .select_columns(["c", "d"]).materialize()
+
+    def _finish(bt: pd.DataFrame) -> pd.DataFrame:
+        bt = bt.sort_values("week_bucket").reset_index(drop=True)
+        return pd.DataFrame({
+            "week_bucket": bt["week_bucket"].astype("int64"),
+            "n_gaps": bt["n_gaps"].astype("int64"),
+            "sum_gap_days": bt["sum_gap_days"].astype("int64"),
+            "avg_gap_days": round_half_up(
+                bt["sum_gap_days"].to_numpy(np.float64)
+                / bt["n_gaps"].to_numpy(np.float64), 4)})
+
+    if grid.count() <= bound:
+        gt = collect_table(grid)
+        if gt is None:
+            return _empty_interarrival()
+        c = gt.column("c").to_numpy()
+        d = gt.column("d").to_numpy()
+        order = np.lexsort((d, c))
+        cs, dv = c[order], d[order]
+        same = cs[1:] == cs[:-1]
+        gaps = (dv[1:] - dv[:-1])[same]
+        if len(gaps) == 0:
+            return _empty_interarrival()
+        bt = pd.DataFrame({"week_bucket": gaps // 7, "gap": gaps}) \
+            .groupby("week_bucket", as_index=False) \
+            .agg(n_gaps=("gap", "size"), sum_gap_days=("gap", "sum"))
+        return _finish(bt)
+
+    # distributed path: one sort, per-block diff with neighbor carry
+    refs = grid.sort(["c", "d"]).materialize().to_arrow_refs()
+
+    @ray.remote
+    def block_last(tb: pa.Table):
+        if tb.num_columns == 0 or tb.num_rows == 0:
+            return None
+        return (tb.column("c")[-1].as_py(), tb.column("d")[-1].as_py())
+
+    lasts = ray.get([block_last.remote(r) for r in refs])
+    live = [i for i, e in enumerate(lasts) if e is not None]
+    prev_of = {b: lasts[a] for a, b in zip(live, live[1:])}
+
+    @ray.remote
+    def block_gaps(tb: pa.Table, prev) -> pa.Table:
+        c = tb.column("c").to_numpy(zero_copy_only=False)
+        d = tb.column("d").to_numpy(zero_copy_only=False)
+        pc_ = np.concatenate(([prev[0] if prev else -1], c[:-1]))
+        pd_ = np.concatenate(([prev[1] if prev else 0], d[:-1]))
+        same = c == pc_
+        gaps = (d - pd_)[same]
+        df = pd.DataFrame({"week_bucket": gaps // 7, "gap": gaps}) \
+            .groupby("week_bucket", as_index=False) \
+            .agg(n_gaps=("gap", "size"), sum_gap_days=("gap", "sum"))
+        return pa.table({
+            "week_bucket": pa.array(df["week_bucket"].to_numpy(),
+                                    pa.int64()),
+            "n_gaps": pa.array(df["n_gaps"].to_numpy(), pa.int64()),
+            "sum_gap_days": pa.array(df["sum_gap_days"].to_numpy(),
+                                     pa.int64())})
+
+    part_refs = [block_gaps.remote(refs[i], prev_of.get(i))
+                 for i in live]
+    if not part_refs:
+        return _empty_interarrival()
+    merged = collect_table(final_merge_sums(
+        _rd.from_arrow_refs(part_refs), ["week_bucket"],
+        ["n_gaps", "sum_gap_days"], np_=np_, bound=bound)
+        .materialize())
+    if merged is None or merged.num_rows == 0:
+        return _empty_interarrival()
+    return _finish(merged.to_pandas())
+
+
+ORDERS_INTERARRIVAL_SQL = """
+WITH d AS (
+  SELECT DISTINCT o_custkey AS c,
+         date_diff('day', DATE '1970-01-01',
+                   CAST(o_orderdate AS DATE)) AS dt
+  FROM orders
+), g AS (
+  SELECT dt - lag(dt) OVER (PARTITION BY c ORDER BY dt) AS gap
+  FROM d
+)
+SELECT CAST(gap // 7 AS BIGINT) AS week_bucket,
+       count(*) AS n_gaps,
+       CAST(sum(gap) AS BIGINT) AS sum_gap_days,
+       round(sum(gap) / (1.0 * count(*)), 4) AS avg_gap_days
+FROM g WHERE gap IS NOT NULL
+GROUP BY week_bucket ORDER BY week_bucket
+"""
+
+
 def analytics_extra_queries():
     return {
         "orders_rolling_aov": orders_rolling_aov,
@@ -3827,6 +3965,7 @@ def analytics_extra_queries():
         "events_busy_coverage": events_busy_coverage,
         "customer_cohort_ltv": customer_cohort_ltv,
         "orders_growth_accounting": orders_growth_accounting,
+        "orders_interarrival": orders_interarrival,
     }
 
 
@@ -3880,4 +4019,5 @@ def analytics_extra_oracle_sql():
         "events_busy_coverage": EVENTS_BUSY_COVERAGE_SQL,
         "customer_cohort_ltv": CUSTOMER_COHORT_LTV_SQL,
         "orders_growth_accounting": ORDERS_GROWTH_SQL,
+        "orders_interarrival": ORDERS_INTERARRIVAL_SQL,
     }

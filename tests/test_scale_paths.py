@@ -357,3 +357,15 @@ def test_growth_accounting_join_path(ray_session, hc_dir, collect_cap):
     df = orders_growth_accounting(hc_dir, bound=0)
     _cmp(df, _sql(hc_dir, ORDERS_GROWTH_SQL, ("orders",)), ["month"])
     assert max(collect_cap, default=0) <= COLLECT_CAP
+
+
+def test_interarrival_sorted_carry(ray_session, hc_dir, collect_cap):
+    # bound=0 forces the activity grid distributed end-to-end: one
+    # sort on (custkey, day), per-block diff with last-row neighbor
+    # carry; the driver folds only the weeks-bounded bucket grid
+    from cheque_ocr_project_ray.relational.analytics_extra import (
+        ORDERS_INTERARRIVAL_SQL, orders_interarrival)
+    df = orders_interarrival(hc_dir, bound=0)
+    _cmp(df, _sql(hc_dir, ORDERS_INTERARRIVAL_SQL, ("orders",)),
+         ["week_bucket"])
+    assert max(collect_cap, default=0) <= COLLECT_CAP

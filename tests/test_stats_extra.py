@@ -327,3 +327,21 @@ def test_degree_histogram_handshake(ray_session):
     n_pairs = dedup_ngram_jaccard(sf).count()
     assert int((hist["degree"] * hist["n_docs"]).sum()) == 2 * n_pairs
     assert (hist["degree"] > 0).all() and (hist["n_docs"] > 0).all()
+
+
+def test_interarrival_planted_gaps(tmp_path, ray_session):
+    """Known gaps: 3, 7, 14 days (duplicate same-day order ignored);
+    single-order customers contribute nothing."""
+    from cheque_ocr_project_ray.relational.analytics_extra import \
+        orders_interarrival
+    df = pd.DataFrame({
+        "o_custkey": [1, 1, 1, 1, 1, 2],
+        "o_orderdate": pd.to_datetime(
+            ["2024-01-01", "2024-01-04", "2024-01-11", "2024-01-11",
+             "2024-01-25", "2024-06-01"])})
+    df.to_parquet(tmp_path / "orders.parquet")
+    out = orders_interarrival(str(tmp_path))
+    assert out["week_bucket"].tolist() == [0, 1, 2]
+    assert out["n_gaps"].tolist() == [1, 1, 1]
+    assert out["sum_gap_days"].tolist() == [3, 7, 14]
+    assert out["avg_gap_days"].tolist() == [3.0, 7.0, 14.0]
