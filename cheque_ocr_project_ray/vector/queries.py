@@ -178,6 +178,78 @@ FROM n GROUP BY label
 """
 
 
+def embedding_dim_stats(sf_dir: str):
+    """Per-DIMENSION profile of the embedding space (mean, population
+    std, min, max per coordinate) — the dead-dimension / scale-drift
+    detector run before indexing or quantizing a new embedding batch
+    (a dim with ~zero std carries no signal; a dim whose range dwarfs
+    the others poisons unnormalized L2 search).  One pass: each block
+    contributes a (dim, n, Σx, Σx², min, max) partial — 6 numbers per
+    dimension — and the driver folds the dim×n_blocks grid (class b,
+    same shape as ``embedding_norm_stats``).  Both engines compute
+    std from the same Σx²/n − mean² moment identity (the
+    ``embedding_covariance`` convention), so 6dp rounding absorbs
+    only float-sum ORDER noise, not algorithm differences."""
+    import pyarrow as pa
+    from cheque_ocr_project_ray.util import collect_table, round_half_up
+    from cheque_ocr_project_ray.vector.ann import _table_matrix
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _table_matrix(batch)
+        d = m.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "n": pa.array(np.full(d, len(m), np.int64)),
+            "s": pa.array(m.sum(axis=0), pa.float64()),
+            "s2": pa.array((m * m).sum(axis=0), pa.float64()),
+            "mn": pa.array(m.min(axis=0), pa.float64()),
+            "mx": pa.array(m.max(axis=0), pa.float64())})
+
+    parts = collect_table(
+        _emb(sf_dir).map_batches(partial, batch_format="pyarrow")
+        .materialize())
+    if parts is None:
+        return pd.DataFrame({
+            "dim": pd.Series([], dtype="int64"),
+            "n_vals": pd.Series([], dtype="int64"),
+            "avg_val": pd.Series([], dtype="float64"),
+            "std_val": pd.Series([], dtype="float64"),
+            "min_val": pd.Series([], dtype="float64"),
+            "max_val": pd.Series([], dtype="float64")})
+    g = parts.group_by("dim").aggregate(
+        [("n", "sum"), ("s", "sum"), ("s2", "sum"),
+         ("mn", "min"), ("mx", "max")])
+    df = g.to_pandas().sort_values("dim").reset_index(drop=True)
+    n = df["n_sum"].to_numpy(np.float64)
+    mean = df["s_sum"].to_numpy(np.float64) / n
+    var = np.maximum(df["s2_sum"].to_numpy(np.float64) / n
+                     - mean * mean, 0.0)
+    return pd.DataFrame({
+        "dim": df["dim"].astype("int64"),
+        "n_vals": df["n_sum"].astype("int64"),
+        "avg_val": round_half_up(mean, 6),
+        "std_val": round_half_up(np.sqrt(var), 6),
+        "min_val": round_half_up(df["mn_min"].to_numpy(np.float64), 6),
+        "max_val": round_half_up(df["mx_max"].to_numpy(np.float64), 6)})
+
+
+EMBEDDING_DIM_STATS_SQL = """
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+d AS (
+  SELECT unnest(list_transform(v, (x, i) -> struct_pack(i := i,
+                                                        x := x))) AS u
+  FROM e)
+SELECT CAST(u.i - 1 AS BIGINT) AS dim, count(*) AS n_vals,
+       round(sum(u.x) / count(*), 6) AS avg_val,
+       round(sqrt(greatest(sum(u.x * u.x) / count(*)
+             - (sum(u.x) / count(*)) * (sum(u.x) / count(*)), 0)), 6)
+           AS std_val,
+       round(min(u.x), 6) AS min_val,
+       round(max(u.x), 6) AS max_val
+FROM d GROUP BY dim ORDER BY dim
+"""
+
+
 def embedding_covariance(sf_dir: str):
     """Full dimension×dimension covariance matrix of the embedding
     space (upper triangle, long form) — the PCA / whitening
@@ -1443,6 +1515,7 @@ def vector_queries() -> dict[str, Callable]:
         "ann_filtered_topk": ann_filtered_topk,
         "ann_recall_eval": ann_recall_eval,
         "embedding_covariance": embedding_covariance,
+        "embedding_dim_stats": embedding_dim_stats,
         "embedding_pca_top": embedding_pca_top,
         "embedding_pca_scores": embedding_pca_scores,
         "embedding_norm_stats": embedding_norm_stats,
@@ -1474,6 +1547,7 @@ def vector_oracle_sql() -> dict[str, str]:
         "ann_range_search": RANGE_SEARCH_SQL,
         "ann_filtered_topk": ANN_FILTERED_SQL,
         "embedding_covariance": EMBEDDING_COVARIANCE_SQL,
+        "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,
         "embedding_pca_top": _pca_sql(),
         "embedding_pca_scores": _pca_scores_sql(),
         "embedding_norm_stats": NORM_STATS_SQL,

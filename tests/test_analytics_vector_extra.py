@@ -203,3 +203,27 @@ def test_ann_recall_eval_bounds():
     assert ((out["recall_at_10"] >= 0) & (out["recall_at_10"] <= 1)).all()
     # both approximate paths must find at least part of the true top-10
     assert (out["recall_at_10"] > 0).any()
+
+
+def test_embedding_dim_stats_planted(tmp_path, ray_session):
+    """Known per-dimension moments: dim0 mean 3 / var 8/3, dim1
+    mean 12 / var 8 — std via the same moment identity both engines
+    use."""
+    import math
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from cheque_ocr_project_ray.vector.queries import embedding_dim_stats
+    vecs = [[1.0, 10.0], [3.0, 10.0], [5.0, 16.0]]
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 1], pa.int32())}),
+        tmp_path / "embeddings.parquet")
+    out = embedding_dim_stats(str(tmp_path))
+    assert out["dim"].tolist() == [0, 1]
+    assert out["n_vals"].tolist() == [3, 3]
+    assert out["avg_val"].tolist() == [3.0, 12.0]
+    assert out["min_val"].tolist() == [1.0, 10.0]
+    assert out["max_val"].tolist() == [5.0, 16.0]
+    assert abs(out["std_val"][0] - math.sqrt(8.0 / 3.0)) < 1e-6
+    assert abs(out["std_val"][1] - math.sqrt(8.0)) < 1e-6
