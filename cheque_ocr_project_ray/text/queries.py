@@ -1308,6 +1308,106 @@ ORDER BY d.doc_id
 """
 
 
+def doc_readability(sf_dir: str):
+    """Per-source Flesch-reading-ease profile — the audience-level /
+    formality signal quality pipelines mix with Gopher rules when
+    balancing a pretraining corpus.  Three RE2 counts per doc, all
+    vectorized (``pc.count_substring_regex``): letter runs (words),
+    terminal-punctuation runs (sentences, floored at 1), vowel-group
+    runs (the classic syllable proxy).  Per-source partial sums fold
+    on the driver (sources are a bounded domain, class b); the per-doc
+    score expression is IDENTICAL on both engines, so 4dp rounding
+    absorbs only float-sum order noise."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cheque_ocr_project_ray.util import collect_table, round_half_up
+
+    ds = ray.data.read_parquet(str(Path(sf_dir) / "documents.parquet"),
+                               columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text")
+        w = pc.cast(pc.count_substring_regex(txt, pattern="[A-Za-z]+"),
+                    pa.int64())
+        s = pc.max_element_wise(
+            pc.cast(pc.count_substring_regex(txt, pattern="[.!?]+"),
+                    pa.int64()),
+            pa.scalar(1, pa.int64()))
+        syl = pc.cast(
+            pc.count_substring_regex(txt, pattern="[aeiouyAEIOUY]+"),
+            pa.int64())
+        t = pa.table({"source": batch.column("source"),
+                      "w": w, "s": s, "syl": syl}) \
+            .filter(pc.greater(w, 0))
+        wn = t.column("w").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        sn = t.column("s").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        yn = t.column("syl").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        wps = wn / sn
+        spw = yn / wn
+        score = 206.835 - 1.015 * wps - 84.6 * spw
+        out = pa.table({
+            "source": t.column("source"),
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+            "wps": pa.array(wps, pa.float64()),
+            "spw": pa.array(spw, pa.float64()),
+            "score": pa.array(score, pa.float64())})
+        return out.group_by("source").aggregate(
+            [("n", "sum"), ("wps", "sum"), ("spw", "sum"),
+             ("score", "sum")]) \
+            .rename_columns(["source", "n", "wps", "spw", "score"])
+
+    parts = collect_table(
+        ds.map_batches(partial, batch_format="pyarrow").materialize())
+    if parts is None:
+        return pd.DataFrame({
+            "source": pd.Series([], dtype="object"),
+            "n_docs": pd.Series([], dtype="int64"),
+            "words_per_sentence": pd.Series([], dtype="float64"),
+            "syllables_per_word": pd.Series([], dtype="float64"),
+            "flesch": pd.Series([], dtype="float64")})
+    g = parts.group_by("source").aggregate(
+        [("n", "sum"), ("wps", "sum"), ("spw", "sum"),
+         ("score", "sum")])
+    df = g.to_pandas().sort_values("source").reset_index(drop=True)
+    n = df["n_sum"].to_numpy(np.float64)
+    return pd.DataFrame({
+        "source": df["source"],
+        "n_docs": df["n_sum"].astype("int64"),
+        "words_per_sentence": round_half_up(
+            df["wps_sum"].to_numpy(np.float64) / n, 4),
+        "syllables_per_word": round_half_up(
+            df["spw_sum"].to_numpy(np.float64) / n, 4),
+        "flesch": round_half_up(
+            df["score_sum"].to_numpy(np.float64) / n, 4)})
+
+
+DOC_READABILITY_SQL = """
+WITH d AS (
+  SELECT source,
+         len(regexp_extract_all(text, '[A-Za-z]+')) AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+         len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS syl
+  FROM documents
+), f AS (
+  SELECT source, w::DOUBLE / s AS wps, syl::DOUBLE / w AS spw,
+         206.835 - 1.015 * (w::DOUBLE / s)
+                 - 84.6 * (syl::DOUBLE / w) AS score
+  FROM d WHERE w > 0
+)
+SELECT source, count(*) AS n_docs,
+       round(sum(wps) / count(*), 4) AS words_per_sentence,
+       round(sum(spw) / count(*), 4) AS syllables_per_word,
+       round(sum(score) / count(*), 4) AS flesch
+FROM f GROUP BY source ORDER BY source
+"""
+
+
 def corpus_mix_sample(sf_dir: str):
     """Deterministic per-source mixture sampling (data mixing): keep
     each doc with a per-source quota decided by a stable doc_id hash —
@@ -3892,6 +3992,7 @@ def text_queries() -> dict[str, Callable]:
         "dedup_canonical": dedup_canonical,
         "dedup_incremental": dedup_incremental,
         "doc_char_entropy": doc_char_entropy,
+        "doc_readability": doc_readability,
         "doc_tfidf_pairs": doc_tfidf_pairs,
         "doc_ngram_novelty": doc_ngram_novelty,
         "doc_quality_percentile": doc_quality_percentile,
@@ -3960,6 +4061,7 @@ def text_oracle_sql() -> dict[str, str]:
         "dedup_canonical": _dedup_canonical_sql(),
         "dedup_incremental": DEDUP_INCREMENTAL_SQL,
         "doc_char_entropy": CHAR_ENTROPY_SQL,
+        "doc_readability": DOC_READABILITY_SQL,
         "doc_tfidf_pairs": TFIDF_PAIRS_SQL,
         "doc_ngram_novelty": _ngram_novelty_sql(),
         "doc_simhash": doc_simhash_sql(),

@@ -410,3 +410,26 @@ def test_containment_catches_subset_jaccard_misses():
         broadcast_doc_limit=0) \
         .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, dist)
+
+
+def test_doc_readability_planted(tmp_path, ray_session):
+    """Hand-counted doc: 'The cat sat. It ran!' = 5 words, 2
+    sentences, 5 vowel groups -> wps 2.5, spw 1.0, flesch
+    206.835 - 1.015*2.5 - 84.6*1.0 = 119.6975; a zero-word doc is
+    dropped, a no-punctuation doc floors sentences at 1."""
+    import pandas as pd
+    from cheque_ocr_project_ray.text.queries import doc_readability
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "source": ["a", "a", "b"],
+        "text": ["The cat sat. It ran!", "123 456 !!!", "go go"],
+        "lang": ["en"] * 3, "n_chars": [20, 11, 5]})
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = doc_readability(str(tmp_path))
+    a = out[out["source"] == "a"].iloc[0]
+    assert a["n_docs"] == 1                      # zero-word doc dropped
+    assert a["words_per_sentence"] == 2.5
+    assert a["syllables_per_word"] == 1.0
+    assert a["flesch"] == 119.6975
+    b = out[out["source"] == "b"].iloc[0]
+    assert b["words_per_sentence"] == 2.0        # sentence floor = 1
