@@ -24,7 +24,8 @@ import ray
 from cheque_ocr_project_ray.relational.queries import _hash_shuffled, _pq
 from cheque_ocr_project_ray.relational.tpch_extra import (_DAY_US,
                                                           _ts_col_us)
-from cheque_ocr_project_ray.util import (final_merge_sums, money_units,
+from cheque_ocr_project_ray.util import (block_prefix_offsets,
+                                         final_merge_sums, money_units,
                                          round_half_up)
 
 BIN_WIDTH = 50.0
@@ -3895,6 +3896,181 @@ def orders_interarrival(sf_dir: str, np_: int = 0,
     return _finish(merged.to_pandas())
 
 
+def _empty_deciles() -> pd.DataFrame:
+    return pd.DataFrame({
+        "decile": pd.Series([], dtype="int64"),
+        "n_customers": pd.Series([], dtype="int64"),
+        "min_bal": pd.Series([], dtype="float64"),
+        "max_bal": pd.Series([], dtype="float64"),
+        "revenue": pd.Series([], dtype="float64"),
+        "n_orders": pd.Series([], dtype="int64")})
+
+
+@_hash_shuffled
+def customer_balance_deciles(sf_dir: str, np_: int = 0,
+                             bound: int = 2_000_000):
+    """Customer-equity decile table: customers ranked by account
+    balance (ties broken by custkey, so the cut is deterministic on
+    both engines), split into ten equal-population bands with
+    ``decile = ((rank−1)·10) // n`` — the same integer formula in the
+    SQL twin, NOT ``ntile`` (whose tie placement is engine-defined) —
+    then each band's population, balance range, and exact-cents order
+    revenue.  The who-funds-the-business curve that pairs with
+    ``orders_pareto``'s concentration cut.
+
+    100-TB shape: global rank needs ONE distributed sort of the
+    customer dimension; under ``bound`` the rank+join folds on the
+    driver, past it the ``orders_pareto`` two-phase scan assigns
+    per-block deciles from exclusive row offsets (n_blocks ints on
+    the driver), per-customer revenue reduces through the
+    bounded-adaptive merge, a custkey-keyed LEFT hash join attaches
+    it, and only the 10×n_blocks partial grid reaches the driver
+    (class a+b).  Balances and revenue travel as exact integer cents."""
+    import ray.data as _rd
+    from cheque_ocr_project_ray.relational.joins import hash_join
+    from cheque_ocr_project_ray.util import collect_table
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch.column("c_custkey"),
+            "bal_cents": money_units(batch.column("c_acctbal"))})
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "cents": money_units(batch.column("o_totalprice")),
+            "n_orders": pa.array(np.ones(batch.num_rows, np.int64))})
+        return t.group_by("o_custkey").aggregate(
+            [("cents", "sum"), ("n_orders", "sum")]) \
+            .rename_columns(["o_custkey", "cents", "n_orders"])
+
+    cents_ds = cust.map_batches(cust_partial,
+                                batch_format="pyarrow").materialize()
+    rev_ds = final_merge_sums(
+        orders.map_batches(rev_partial, batch_format="pyarrow"),
+        ["o_custkey"], ["cents", "n_orders"], np_=np_,
+        bound=bound).materialize()
+
+    def _finish(grid: pd.DataFrame) -> pd.DataFrame:
+        g = grid.groupby("decile", as_index=False).agg(
+            n_customers=("n_customers", "sum"),
+            min_c=("min_c", "min"), max_c=("max_c", "max"),
+            cents=("cents", "sum"), n_orders=("n_orders", "sum")) \
+            .sort_values("decile").reset_index(drop=True)
+        return pd.DataFrame({
+            "decile": g["decile"].astype("int64"),
+            "n_customers": g["n_customers"].astype("int64"),
+            "min_bal": g["min_c"].to_numpy(np.int64) / 100.0,
+            "max_bal": g["max_c"].to_numpy(np.int64) / 100.0,
+            "revenue": g["cents"].to_numpy(np.int64) / 100.0,
+            "n_orders": g["n_orders"].astype("int64")})
+
+    n_cust = cents_ds.count()
+    if n_cust == 0:
+        return _empty_deciles()
+    if n_cust <= bound:
+        ct = collect_table(cents_ds)
+        rt = collect_table(rev_ds)
+        ck = ct.column("o_custkey").to_numpy(zero_copy_only=False)
+        cb = ct.column("bal_cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ck, cb))
+        ck, cb = ck[order], cb[order]
+        dec = (np.arange(n_cust, dtype=np.int64) * 10) // n_cust
+        df = pd.DataFrame({"o_custkey": ck, "decile": dec,
+                           "min_c": cb, "max_c": cb})
+        if rt is not None and rt.num_rows:
+            rdf = rt.to_pandas()
+            df = df.merge(rdf, on="o_custkey", how="left")
+            df["cents"] = df["cents"].fillna(0).astype(np.int64)
+            df["n_orders"] = df["n_orders"].fillna(0).astype(np.int64)
+        else:
+            df["cents"] = np.int64(0)
+            df["n_orders"] = np.int64(0)
+        df["n_customers"] = np.int64(1)
+        return _finish(df)
+
+    # distributed: one sort, per-block decile from exclusive offsets
+    refs = cents_ds.sort(["bal_cents", "o_custkey"]) \
+        .materialize().to_arrow_refs()
+    rows, row_off, _, _ = block_prefix_offsets(refs)
+
+    @ray.remote
+    def block_deciles(t: pa.Table, off: int, n: int) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "decile": pa.array([], pa.int64()),
+                             "bal_cents": pa.array([], pa.int64())})
+        dec = ((off + np.arange(t.num_rows, dtype=np.int64)) * 10) // n
+        return pa.table({"o_custkey": t.column("o_custkey"),
+                         "decile": pa.array(dec, pa.int64()),
+                         "bal_cents": t.column("bal_cents")})
+
+    dec_ds = _rd.from_arrow_refs(
+        [block_deciles.remote(r, int(o), int(n_cust))
+         for r, o in zip(refs, row_off)])
+    joined = hash_join(dec_ds, rev_ds, on="o_custkey", how="left",
+                       num_partitions=np_ or None)
+
+    def grid_partial(t: pa.Table) -> pa.Table:
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        nord = t.column("n_orders").to_numpy(zero_copy_only=False)
+        cents = np.nan_to_num(cents.astype(np.float64)).astype(np.int64)
+        nord = np.nan_to_num(nord.astype(np.float64)).astype(np.int64)
+        g = pa.table({
+            "decile": t.column("decile"),
+            "n_customers": pa.array(np.ones(t.num_rows, np.int64)),
+            "min_c": t.column("bal_cents"),
+            "max_c": t.column("bal_cents"),
+            "cents": pa.array(cents, pa.int64()),
+            "n_orders": pa.array(nord, pa.int64())}) \
+            .group_by("decile").aggregate(
+                [("n_customers", "sum"), ("min_c", "min"),
+                 ("max_c", "max"), ("cents", "sum"),
+                 ("n_orders", "sum")])
+        return g.rename_columns(["decile", "n_customers", "min_c",
+                                 "max_c", "cents", "n_orders"])
+
+    grid = collect_table(
+        joined.map_batches(grid_partial, batch_format="pyarrow")
+        .materialize())
+    if grid is None or grid.num_rows == 0:
+        return _empty_deciles()
+    return _finish(grid.to_pandas())
+
+
+CUSTOMER_BALANCE_DECILES_SQL = """
+WITH r AS (
+  SELECT c_custkey, c_acctbal,
+         row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn,
+         count(*) OVER () AS n
+  FROM customer
+), d AS (
+  SELECT c_custkey, c_acctbal,
+         CAST(((rn - 1) * 10) // n AS BIGINT) AS decile
+  FROM r
+), o AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+              AS BIGINT) AS cents,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT decile,
+       count(*) AS n_customers,
+       CAST(min(CAST(d.c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)
+           / 100.0 AS min_bal,
+       CAST(max(CAST(d.c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)
+           / 100.0 AS max_bal,
+       coalesce(sum(o.cents), 0) / 100.0 AS revenue,
+       CAST(coalesce(sum(o.n_orders), 0) AS BIGINT) AS n_orders
+FROM d LEFT JOIN o ON o.o_custkey = d.c_custkey
+GROUP BY decile ORDER BY decile
+"""
+
+
 ORDERS_INTERARRIVAL_SQL = """
 WITH d AS (
   SELECT DISTINCT o_custkey AS c,
@@ -3966,6 +4142,7 @@ def analytics_extra_queries():
         "customer_cohort_ltv": customer_cohort_ltv,
         "orders_growth_accounting": orders_growth_accounting,
         "orders_interarrival": orders_interarrival,
+        "customer_balance_deciles": customer_balance_deciles,
     }
 
 
@@ -4020,4 +4197,5 @@ def analytics_extra_oracle_sql():
         "customer_cohort_ltv": CUSTOMER_COHORT_LTV_SQL,
         "orders_growth_accounting": ORDERS_GROWTH_SQL,
         "orders_interarrival": ORDERS_INTERARRIVAL_SQL,
+        "customer_balance_deciles": CUSTOMER_BALANCE_DECILES_SQL,
     }

@@ -369,3 +369,15 @@ def test_interarrival_sorted_carry(ray_session, hc_dir, collect_cap):
     _cmp(df, _sql(hc_dir, ORDERS_INTERARRIVAL_SQL, ("orders",)),
          ["week_bucket"])
     assert max(collect_cap, default=0) <= COLLECT_CAP
+
+
+def test_balance_deciles_two_phase(ray_session, hc_dir, collect_cap):
+    # bound=0 forces the distributed sort + per-block decile
+    # assignment from exclusive row offsets, revenue attached via the
+    # custkey-keyed LEFT hash join; the driver folds 10 x n_blocks
+    from cheque_ocr_project_ray.relational.analytics_extra import (
+        CUSTOMER_BALANCE_DECILES_SQL, customer_balance_deciles)
+    df = customer_balance_deciles(hc_dir, bound=0)
+    _cmp(df, _sql(hc_dir, CUSTOMER_BALANCE_DECILES_SQL,
+                  ("customer", "orders")), ["decile"])
+    assert max(collect_cap, default=0) <= COLLECT_CAP
