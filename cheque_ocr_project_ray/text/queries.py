@@ -1308,6 +1308,88 @@ ORDER BY d.doc_id
 """
 
 
+def doc_length_quantiles(sf_dir: str, np_: int = 0):
+    """Per-language document-length quantiles (p25/p50/p75/p95) for
+    corpus curation dashboards, computed EXACTLY — the discrete
+    "element at 1-based position floor((n−1)·q)+1 of the sorted
+    multiset" definition, spelled out identically in the SQL twin so
+    neither engine's built-in percentile interpolation is in play.
+    The corpus is never sorted: lengths are small integers, so
+    per-batch (lang, n_chars) counts reduce through the
+    bounded-adaptive merge and the quantile pick is one
+    cumsum+searchsorted per language over the count grid (class b:
+    langs × distinct lengths).  All-int output, bit-deterministic."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_sums)
+
+    ds = ray.data.read_parquet(str(Path(sf_dir) / "documents.parquet"),
+                               columns=["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"lang": batch.column("lang"),
+                      "L": batch.column("n_chars"),
+                      "k": pa.array(np.ones(batch.num_rows, np.int64))})
+        return t.group_by(["lang", "L"]).aggregate([("k", "sum")]) \
+            .rename_columns(["lang", "L", "k"])
+
+    grid = collect_table(final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "L"], ["k"], np_=np_).materialize())
+    if grid is None or grid.num_rows == 0:
+        return pd.DataFrame({
+            "lang": pd.Series([], dtype="object"),
+            "n_docs": pd.Series([], dtype="int64"),
+            "p25": pd.Series([], dtype="int64"),
+            "p50": pd.Series([], dtype="int64"),
+            "p75": pd.Series([], dtype="int64"),
+            "p95": pd.Series([], dtype="int64")})
+    df = grid.to_pandas().sort_values(["lang", "L"])
+    rows = []
+    for lang, g in df.groupby("lang", sort=True):
+        k = g["k"].to_numpy(np.int64)
+        lv = g["L"].to_numpy(np.int64)
+        cum = np.cumsum(k)
+        n = int(cum[-1])
+
+        def pick(p: int) -> int:
+            pos = (n - 1) * p // 100 + 1
+            return int(lv[np.searchsorted(cum, pos)])
+
+        rows.append({"lang": lang, "n_docs": n, "p25": pick(25),
+                     "p50": pick(50), "p75": pick(75),
+                     "p95": pick(95)})
+    out = pd.DataFrame(rows).reset_index(drop=True)
+    for c in ("n_docs", "p25", "p50", "p75", "p95"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+DOC_LENGTH_QUANTILES_SQL = """
+WITH c AS (
+  SELECT lang, n_chars, count(*) AS k FROM documents GROUP BY 1, 2
+), w AS (
+  SELECT lang, n_chars, k,
+         sum(k) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+         sum(k) OVER (PARTITION BY lang) AS n
+  FROM c
+)
+SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(min(CASE WHEN cum >= ((n - 1) * 25) // 100 + 1
+                     THEN n_chars END) AS BIGINT) AS p25,
+       CAST(min(CASE WHEN cum >= ((n - 1) * 50) // 100 + 1
+                     THEN n_chars END) AS BIGINT) AS p50,
+       CAST(min(CASE WHEN cum >= ((n - 1) * 75) // 100 + 1
+                     THEN n_chars END) AS BIGINT) AS p75,
+       CAST(min(CASE WHEN cum >= ((n - 1) * 95) // 100 + 1
+                     THEN n_chars END) AS BIGINT) AS p95
+FROM w GROUP BY lang ORDER BY lang
+"""
+
+
 def doc_readability(sf_dir: str):
     """Per-source Flesch-reading-ease profile — the audience-level /
     formality signal quality pipelines mix with Gopher rules when
@@ -3993,6 +4075,7 @@ def text_queries() -> dict[str, Callable]:
         "dedup_incremental": dedup_incremental,
         "doc_char_entropy": doc_char_entropy,
         "doc_readability": doc_readability,
+        "doc_length_quantiles": doc_length_quantiles,
         "doc_tfidf_pairs": doc_tfidf_pairs,
         "doc_ngram_novelty": doc_ngram_novelty,
         "doc_quality_percentile": doc_quality_percentile,
@@ -4062,6 +4145,7 @@ def text_oracle_sql() -> dict[str, str]:
         "dedup_incremental": DEDUP_INCREMENTAL_SQL,
         "doc_char_entropy": CHAR_ENTROPY_SQL,
         "doc_readability": DOC_READABILITY_SQL,
+        "doc_length_quantiles": DOC_LENGTH_QUANTILES_SQL,
         "doc_tfidf_pairs": TFIDF_PAIRS_SQL,
         "doc_ngram_novelty": _ngram_novelty_sql(),
         "doc_simhash": doc_simhash_sql(),

@@ -433,3 +433,19 @@ def test_doc_readability_planted(tmp_path, ray_session):
     assert a["flesch"] == 119.6975
     b = out[out["source"] == "b"].iloc[0]
     assert b["words_per_sentence"] == 2.0        # sentence floor = 1
+
+
+def test_doc_length_quantiles_definition(tmp_path, ray_session):
+    """n=4 lengths [10,20,30,40]: pos(q) = (n-1)*q//100 + 1 gives
+    p25 -> pos 1 -> 10, p50 -> pos 2 -> 20, p75 -> pos 3 -> 30,
+    p95 -> pos 3 -> 30 (NOT interpolated)."""
+    import pandas as pd
+    from cheque_ocr_project_ray.text.queries import doc_length_quantiles
+    df = pd.DataFrame({
+        "doc_id": range(4), "source": ["s"] * 4, "lang": ["en"] * 4,
+        "text": ["x"] * 4, "n_chars": [40, 10, 30, 20]})
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = doc_length_quantiles(str(tmp_path))
+    r = out.iloc[0]
+    assert (r["n_docs"], r["p25"], r["p50"], r["p75"], r["p95"]) \
+        == (4, 10, 20, 30, 30)
