@@ -4090,6 +4090,276 @@ GROUP BY week_bucket ORDER BY week_bucket
 """
 
 
+def _empty_span_hist() -> pd.DataFrame:
+    return pd.DataFrame({
+        "span_days": pd.Series([], dtype="int64"),
+        "n_orders": pd.Series([], dtype="int64")})
+
+
+@_hash_shuffled
+def order_fulfillment_span(sf_dir: str, np_: int = 0,
+                           bound: int = 2_000_000):
+    """Per-order fulfilment-span histogram: days between the FIRST and
+    LAST lineitem ship date of each order — the multi-shipment spread
+    profile behind split-shipment cost and promise-date tuning (span 0
+    = everything shipped the same day).
+
+    100-TB shape: lineitem arrives clustered by orderkey, so the
+    per-batch per-order (min-day, neg-max-day) combiner is near-total
+    and the orderkey-keyed reduce runs through the bounded-adaptive
+    min-merge (max carried as min of the NEGATED day so one reduce
+    kind serves both ends; distributed groupby past ``bound``).  The
+    span histogram partials are then computed distributedly over the
+    merged per-order stream and only the span-bounded grid (≤ the
+    corpus date range in days) reaches the driver (class a+b).
+    All-int output, bit-deterministic.
+    """
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_min,
+                                             final_merge_sums)
+
+    ds = _pq(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.divide(_ts_col_us(batch.column("l_shipdate")),
+                        pa.scalar(_DAY_US, pa.int64()))
+        t = pa.table({"k": batch.column("l_orderkey"),
+                      "dmin": day, "negmax": pc.negate_checked(day)})
+        return t.group_by("k").aggregate(
+            [("dmin", "min"), ("negmax", "min")]) \
+            .rename_columns(["k", "dmin", "negmax"])
+
+    per_order = final_merge_min(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["k"], ["dmin", "negmax"], np_=np_, bound=bound)
+
+    def span_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "dmin" not in batch.column_names:
+            return pa.table({"span_days": pa.array([], pa.int64()),
+                             "n_orders": pa.array([], pa.int64())})
+        span = pc.subtract(pc.negate_checked(batch.column("negmax")),
+                           batch.column("dmin"))
+        t = pa.table({"span_days": span,
+                      "n_orders": pa.array(
+                          np.ones(batch.num_rows, np.int64))})
+        return t.group_by("span_days").aggregate(
+            [("n_orders", "sum")]) \
+            .rename_columns(["span_days", "n_orders"])
+
+    agg = collect_table(final_merge_sums(
+        per_order.map_batches(span_partial, batch_format="pyarrow"),
+        ["span_days"], ["n_orders"], np_=np_).materialize())
+    if agg is None or agg.num_rows == 0:
+        return _empty_span_hist()
+    df = agg.to_pandas().sort_values("span_days").reset_index(drop=True)
+    return pd.DataFrame({
+        "span_days": df["span_days"].astype("int64"),
+        "n_orders": df["n_orders"].astype("int64")})
+
+
+ORDER_FULFILLMENT_SPAN_SQL = """
+WITH s AS (
+  SELECT date_diff('day', min(CAST(l_shipdate AS DATE)),
+                   max(CAST(l_shipdate AS DATE))) AS span
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(span AS BIGINT) AS span_days, count(*) AS n_orders
+FROM s GROUP BY span_days ORDER BY span_days
+"""
+
+
+def _empty_ship_latency() -> pd.DataFrame:
+    return pd.DataFrame({
+        "o_orderpriority": pd.Series([], dtype="object"),
+        "n_lines": pd.Series([], dtype="int64"),
+        "sum_days": pd.Series([], dtype="int64"),
+        "sumsq_days": pd.Series([], dtype="int64"),
+        "avg_days": pd.Series([], dtype="float64"),
+        "std_days": pd.Series([], dtype="float64")})
+
+
+@_hash_shuffled
+def shipping_latency_by_priority(sf_dir: str, np_: int = 0,
+                                 bound: int = 2_000_000):
+    """Order-to-ship latency profile per order priority: for every
+    lineitem the days from its order's placement to its ship date,
+    rolled up per priority class as count, exact integer day sums and
+    sum-of-squares, mean, and population std — the does-URGENT-
+    actually-ship-faster SLA audit.
+
+    100-TB shape: the latency needs o_orderdate per lineitem — an
+    irreducible fact-fact equi-join (q7 shape) — but lineitem first
+    pre-aggregates INSIDE each batch to three ints per order
+    (n, Σship-day, Σship-day²), so the orderkey-keyed partitioned
+    ``hash_join`` shuffles one row per ORDER, not one per lineitem
+    (~4× smaller), and the per-order moments shift to
+    order-date-relative days row-locally after the join
+    (Σ(d−o) = Σd − n·o; Σ(d−o)² = Σd² − 2oΣd + n·o²).  The priority
+    rollup is a 5-row bounded grid; mean/std derive from the same
+    exact integer moments on both engines, so 4dp rounding carries no
+    float-order noise at all (class a+b)."""
+    from cheque_ocr_project_ray.relational.joins import hash_join
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_sums)
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        day = pc.divide(_ts_col_us(batch.column("l_shipdate")),
+                        pa.scalar(_DAY_US, pa.int64()))
+        t = pa.table({"k": batch.column("l_orderkey"),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64)),
+                      "s": day, "s2": pc.multiply(day, day)})
+        return t.group_by("k").aggregate(
+            [("n", "sum"), ("s", "sum"), ("s2", "sum")]) \
+            .rename_columns(["k", "n", "s", "s2"])
+
+    per_order = final_merge_sums(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        ["k"], ["n", "s", "s2"], np_=np_, bound=bound)
+
+    def o_map(batch: pa.Table) -> pa.Table:
+        oday = pc.divide(_ts_col_us(batch.column("o_orderdate")),
+                         pa.scalar(_DAY_US, pa.int64()))
+        return pa.table({"k": batch.column("o_orderkey"), "oday": oday,
+                         "o_orderpriority":
+                             batch.column("o_orderpriority")})
+
+    joined = hash_join(
+        per_order, orders.map_batches(o_map, batch_format="pyarrow"),
+        on="k")
+
+    def prio_partial(batch: pa.Table) -> pa.Table:
+        n = batch.column("n")
+        s = batch.column("s")
+        s2 = batch.column("s2")
+        o = batch.column("oday")
+        sum_days = pc.subtract(s, pc.multiply(n, o))
+        sumsq = pc.add(pc.subtract(
+            s2, pc.multiply(pa.scalar(2, pa.int64()),
+                            pc.multiply(o, s))),
+            pc.multiply(n, pc.multiply(o, o)))
+        t = pa.table({"o_orderpriority": batch.column("o_orderpriority"),
+                      "n_lines": n, "sum_days": sum_days,
+                      "sumsq_days": sumsq})
+        return t.group_by("o_orderpriority").aggregate(
+            [("n_lines", "sum"), ("sum_days", "sum"),
+             ("sumsq_days", "sum")]) \
+            .rename_columns(["o_orderpriority", "n_lines", "sum_days",
+                             "sumsq_days"])
+
+    agg = collect_table(final_merge_sums(
+        joined.map_batches(prio_partial, batch_format="pyarrow"),
+        ["o_orderpriority"], ["n_lines", "sum_days", "sumsq_days"],
+        np_=np_).materialize())
+    if agg is None or agg.num_rows == 0:
+        return _empty_ship_latency()
+    df = agg.to_pandas().sort_values("o_orderpriority") \
+        .reset_index(drop=True)
+    n = df["n_lines"].to_numpy(np.float64)
+    s = df["sum_days"].to_numpy(np.float64)
+    s2 = df["sumsq_days"].to_numpy(np.float64)
+    mean = s / n
+    var = np.maximum(s2 / n - mean * mean, 0.0)
+    return pd.DataFrame({
+        "o_orderpriority": df["o_orderpriority"],
+        "n_lines": df["n_lines"].astype("int64"),
+        "sum_days": df["sum_days"].astype("int64"),
+        "sumsq_days": df["sumsq_days"].astype("int64"),
+        "avg_days": round_half_up(mean, 4),
+        "std_days": round_half_up(np.sqrt(var), 4)})
+
+
+SHIPPING_LATENCY_SQL = """
+WITH d AS (
+  SELECT o_orderpriority,
+         date_diff('day', CAST(o_orderdate AS DATE),
+                   CAST(l_shipdate AS DATE)) AS days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority, count(*) AS n_lines,
+       CAST(sum(days) AS BIGINT) AS sum_days,
+       CAST(sum(days * days) AS BIGINT) AS sumsq_days,
+       round(sum(days) / (1.0 * count(*)), 4) AS avg_days,
+       round(sqrt(greatest(sum(days * days) / (1.0 * count(*))
+             - (sum(days) / (1.0 * count(*)))
+             * (sum(days) / (1.0 * count(*))), 0)), 4) AS std_days
+FROM d GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@_hash_shuffled
+def lineitem_returns_by_month(sf_dir: str, np_: int = 0):
+    """Return-rate drift per ship month: line count, returned-line
+    count (``l_returnflag = 'R'``), exact-cents returned extended
+    price, and the returned share — the supplier/process-regression
+    monitor that pairs with ``orders_priority_mix_shift``.
+
+    100-TB shape: pure one-pass combiner — per-batch (month, counts,
+    cents) partials through the bounded-adaptive merge; only the
+    months-bounded grid reaches the driver (class a).  The rate
+    derives from the two exact ints on both engines."""
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_sums)
+
+    ds = _pq(sf_dir, "lineitem",
+             ["l_shipdate", "l_returnflag", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("l_shipdate").cast(pa.timestamp("us"))
+        ym = pc.add(pc.multiply(pc.year(ts), 100), pc.month(ts))
+        ret = pc.cast(pc.equal(batch.column("l_returnflag"), "R"),
+                      pa.int64())
+        cents = money_units(batch.column("l_extendedprice"))
+        t = pa.table({"ym": pc.cast(ym, pa.int64()),
+                      "n_lines": pa.array(
+                          np.ones(batch.num_rows, np.int64)),
+                      "n_returned": ret,
+                      "ret_cents": pc.multiply(cents, ret)})
+        return t.group_by("ym").aggregate(
+            [("n_lines", "sum"), ("n_returned", "sum"),
+             ("ret_cents", "sum")]) \
+            .rename_columns(["ym", "n_lines", "n_returned",
+                             "ret_cents"])
+
+    agg = collect_table(final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["ym"], ["n_lines", "n_returned", "ret_cents"],
+        np_=np_).materialize())
+    if agg is None or agg.num_rows == 0:
+        return pd.DataFrame({
+            "ym": pd.Series([], dtype="int64"),
+            "n_lines": pd.Series([], dtype="int64"),
+            "n_returned": pd.Series([], dtype="int64"),
+            "returned_value": pd.Series([], dtype="float64"),
+            "return_rate": pd.Series([], dtype="float64")})
+    df = agg.to_pandas().sort_values("ym").reset_index(drop=True)
+    return pd.DataFrame({
+        "ym": df["ym"].astype("int64"),
+        "n_lines": df["n_lines"].astype("int64"),
+        "n_returned": df["n_returned"].astype("int64"),
+        "returned_value": df["ret_cents"].to_numpy(np.int64) / 100.0,
+        "return_rate": round_half_up(
+            df["n_returned"].to_numpy(np.float64)
+            / df["n_lines"].to_numpy(np.float64), 6)})
+
+
+LINEITEM_RETURNS_SQL = """
+SELECT year(l_shipdate) * 100 + month(l_shipdate) AS ym,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_returned,
+       CAST(sum(CASE WHEN l_returnflag = 'R'
+                THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                ELSE 0 END) AS DOUBLE) AS returned_value,
+       round(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+             / (1.0 * count(*)), 6) AS return_rate
+FROM lineitem GROUP BY ym ORDER BY ym
+"""
+
+
 def analytics_extra_queries():
     return {
         "orders_rolling_aov": orders_rolling_aov,
@@ -4143,6 +4413,9 @@ def analytics_extra_queries():
         "orders_growth_accounting": orders_growth_accounting,
         "orders_interarrival": orders_interarrival,
         "customer_balance_deciles": customer_balance_deciles,
+        "order_fulfillment_span": order_fulfillment_span,
+        "shipping_latency_by_priority": shipping_latency_by_priority,
+        "lineitem_returns_by_month": lineitem_returns_by_month,
     }
 
 
@@ -4198,4 +4471,7 @@ def analytics_extra_oracle_sql():
         "orders_growth_accounting": ORDERS_GROWTH_SQL,
         "orders_interarrival": ORDERS_INTERARRIVAL_SQL,
         "customer_balance_deciles": CUSTOMER_BALANCE_DECILES_SQL,
+        "order_fulfillment_span": ORDER_FULFILLMENT_SPAN_SQL,
+        "shipping_latency_by_priority": SHIPPING_LATENCY_SQL,
+        "lineitem_returns_by_month": LINEITEM_RETURNS_SQL,
     }

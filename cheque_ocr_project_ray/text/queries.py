@@ -4041,6 +4041,106 @@ ORDER BY vmr DESC, tok LIMIT {BURST_K}
 """
 
 
+def doc_ttr(sf_dir: str, np_: int = 0):
+    """Per-source type-token-ratio profile: each doc's lexical
+    diversity (distinct tokens / total tokens over the shared
+    whitespace tokenization, ``analysis._prep``), rolled up per source
+    as doc count, exact integer token/type sums, the aggregate TTR
+    (Σtypes/Σtokens — exact-int ratio), and the mean per-doc TTR —
+    the boilerplate-vs-natural-text diagnostic that pairs with
+    ``corpus_hapax_ratio`` (which is corpus-grain; this is doc-grain,
+    so templated near-identical docs depress it without inflating the
+    vocabulary).
+
+    100-TB shape: distinct-per-doc is ROW-LOCAL (a doc is one row),
+    so the whole query is one combiner pass — per-batch (source,
+    n_docs, Σtokens, Σtypes, Σttr) partials through the
+    bounded-adaptive merge; only the sources-bounded grid reaches the
+    driver (class a).  The two ratios derive from exact ints; the
+    mean per-doc TTR is a float partial sum over the identical
+    per-doc expression on both engines (the ``doc_readability``
+    convention), 6dp-rounded."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_sums,
+                                             round_half_up)
+
+    docs = ray.data.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"),
+        columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks, flat, parent = analysis._prep(batch)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n_rows = batch.num_rows
+        total = pc.list_value_length(toks).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        dd = pa.table({"p": pa.array(parent, pa.int64()),
+                       "t": flat}).group_by(["p", "t"]).aggregate([])
+        types = np.bincount(
+            dd.column("p").to_numpy(zero_copy_only=False),
+            minlength=n_rows)
+        t = pa.table({
+            "source": batch.column("source"),
+            "n_docs": pa.array(np.ones(n_rows, np.int64)),
+            "sum_tokens": pa.array(total, pa.int64()),
+            "sum_types": pa.array(types, pa.int64()),
+            "sum_ttr": pa.array(types / total.astype(np.float64),
+                                pa.float64())})
+        return t.group_by("source").aggregate(
+            [("n_docs", "sum"), ("sum_tokens", "sum"),
+             ("sum_types", "sum"), ("sum_ttr", "sum")]) \
+            .rename_columns(["source", "n_docs", "sum_tokens",
+                             "sum_types", "sum_ttr"])
+
+    agg = collect_table(final_merge_sums(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["source"], ["n_docs", "sum_tokens", "sum_types", "sum_ttr"],
+        np_=np_).materialize())
+    if agg is None or agg.num_rows == 0:
+        return pd.DataFrame({
+            "source": pd.Series([], dtype="object"),
+            "n_docs": pd.Series([], dtype="int64"),
+            "sum_tokens": pd.Series([], dtype="int64"),
+            "sum_types": pd.Series([], dtype="int64"),
+            "agg_ttr": pd.Series([], dtype="float64"),
+            "mean_ttr": pd.Series([], dtype="float64")})
+    df = agg.to_pandas().sort_values("source").reset_index(drop=True)
+    return pd.DataFrame({
+        "source": df["source"],
+        "n_docs": df["n_docs"].astype("int64"),
+        "sum_tokens": df["sum_tokens"].astype("int64"),
+        "sum_types": df["sum_types"].astype("int64"),
+        "agg_ttr": round_half_up(
+            df["sum_types"].to_numpy(np.float64)
+            / df["sum_tokens"].to_numpy(np.float64), 6),
+        "mean_ttr": round_half_up(
+            df["sum_ttr"].to_numpy(np.float64)
+            / df["n_docs"].to_numpy(np.float64), 6)})
+
+
+DOC_TTR_SQL = r"""
+WITH d AS (
+  SELECT source,
+         len(regexp_split_to_array(trim(text), '\s+')) AS total,
+         len(list_distinct(
+             regexp_split_to_array(trim(text), '\s+'))) AS types
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(total) AS BIGINT) AS sum_tokens,
+       CAST(sum(types) AS BIGINT) AS sum_types,
+       round(sum(types) / (1.0 * sum(total)), 6) AS agg_ttr,
+       round(sum(types / (1.0 * total)) / count(*), 6) AS mean_ttr
+FROM d GROUP BY source ORDER BY source
+"""
+
+
 def text_queries() -> dict[str, Callable]:
     return {
         "doc_token_stats": doc_token_stats,
@@ -4076,6 +4176,7 @@ def text_queries() -> dict[str, Callable]:
         "doc_char_entropy": doc_char_entropy,
         "doc_readability": doc_readability,
         "doc_length_quantiles": doc_length_quantiles,
+        "doc_ttr": doc_ttr,
         "doc_tfidf_pairs": doc_tfidf_pairs,
         "doc_ngram_novelty": doc_ngram_novelty,
         "doc_quality_percentile": doc_quality_percentile,
@@ -4146,6 +4247,7 @@ def text_oracle_sql() -> dict[str, str]:
         "doc_char_entropy": CHAR_ENTROPY_SQL,
         "doc_readability": DOC_READABILITY_SQL,
         "doc_length_quantiles": DOC_LENGTH_QUANTILES_SQL,
+        "doc_ttr": DOC_TTR_SQL,
         "doc_tfidf_pairs": TFIDF_PAIRS_SQL,
         "doc_ngram_novelty": _ngram_novelty_sql(),
         "doc_simhash": doc_simhash_sql(),

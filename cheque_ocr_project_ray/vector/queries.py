@@ -1506,6 +1506,129 @@ FROM c GROUP BY b2 ORDER BY bin_lo
 """
 
 
+def embedding_label_separation(sf_dir: str):
+    """Label-separation matrix of the embedding space: for every
+    label pair (a ≤ b) the MEAN PAIRWISE DOT PRODUCT between their
+    vectors — intra-label coherence on the diagonal, inter-label
+    confusion off it; the is-this-labeling-learnable diagnostic run
+    before training a classifier head or probing cluster quality.
+
+    The all-pairs mean needs no pair enumeration: with per-label
+    vector sums S_l, squared-norm sums Q_l = Σ‖v‖² and counts n_l,
+    mean intra dot = (S_l·S_l − Q_l) / (n_l(n_l−1)) and mean inter
+    dot = (S_a·S_b) / (n_a·n_b) — exact algebra, O(labels·dim) state.
+    100-TB shape: each block contributes a (label, dim, Σx) grid plus
+    per-label (n, Q) rows (carried on the dim-0 row so ONE summed
+    grid serves all three), the driver folds the labels×dim grid
+    (class b) and forms the labels² pair matrix locally.  The SQL
+    twin spells out the identical algebra, so 6dp rounding absorbs
+    only float-sum order noise."""
+    import pyarrow as pa
+    from cheque_ocr_project_ray.util import collect_table, round_half_up
+    from cheque_ocr_project_ray.vector.ann import _table_matrix
+
+    ds = ray.data.read_parquet(
+        str(Path(sf_dir) / "embeddings.parquet"),
+        columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _table_matrix(batch)
+        d = m.shape[1]
+        labels = batch.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        n_l = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        q_l = np.bincount(inv, weights=(m * m).sum(axis=1),
+                          minlength=len(uniq))
+        s = np.zeros((len(uniq), d), np.float64)
+        np.add.at(s, inv, m)
+        lab_g = np.repeat(uniq, d)
+        dim_g = np.tile(np.arange(d, dtype=np.int64), len(uniq))
+        nq_n = np.zeros((len(uniq), d), np.int64)
+        nq_q = np.zeros((len(uniq), d), np.float64)
+        nq_n[:, 0], nq_q[:, 0] = n_l, q_l
+        return pa.table({
+            "label": pa.array(lab_g), "dim": pa.array(dim_g),
+            "s": pa.array(s.ravel(), pa.float64()),
+            "n": pa.array(nq_n.ravel(), pa.int64()),
+            "q": pa.array(nq_q.ravel(), pa.float64())})
+
+    parts = collect_table(
+        ds.map_batches(partial, batch_format="pyarrow").materialize())
+    empty = pd.DataFrame({
+        "label_a": pd.Series([], dtype="int64"),
+        "label_b": pd.Series([], dtype="int64"),
+        "n_pairs": pd.Series([], dtype="int64"),
+        "mean_dot": pd.Series([], dtype="float64")})
+    if parts is None:
+        return empty
+    g = parts.group_by(["label", "dim"]).aggregate(
+        [("s", "sum"), ("n", "sum"), ("q", "sum")]).to_pandas() \
+        .sort_values(["label", "dim"]).reset_index(drop=True)
+    labels = np.sort(g["label"].unique())
+    d = g["dim"].max() + 1
+    S = g["s_sum"].to_numpy(np.float64).reshape(len(labels), d)
+    n = g.groupby("label")["n_sum"].sum() \
+        .reindex(labels).to_numpy(np.int64)
+    q = g.groupby("label")["q_sum"].sum() \
+        .reindex(labels).to_numpy(np.float64)
+    G = S @ S.T
+    rows = []
+    for i, la in enumerate(labels):
+        for j, lb in enumerate(labels):
+            if lb < la:
+                continue
+            if la == lb:
+                if n[i] < 2:
+                    continue
+                n_pairs = int(n[i]) * (int(n[i]) - 1) // 2
+                mean = (G[i, i] - q[i]) / (n[i] * (n[i] - 1.0))
+            else:
+                n_pairs = int(n[i]) * int(n[j])
+                mean = G[i, j] / (float(n[i]) * n[j])
+            rows.append((int(la), int(lb), n_pairs, mean))
+    out = pd.DataFrame(rows, columns=["label_a", "label_b",
+                                      "n_pairs", "mean_dot"])
+    if out.empty:
+        return empty
+    out["mean_dot"] = round_half_up(
+        out["mean_dot"].to_numpy(np.float64), 6)
+    return out.sort_values(["label_a", "label_b"]) \
+        .reset_index(drop=True)
+
+
+EMBEDDING_LABEL_SEPARATION_SQL = """
+WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+nq AS (
+  SELECT label, count(*) AS n,
+         sum(list_sum(list_transform(v, x -> x * x))) AS q
+  FROM e GROUP BY label),
+d AS (
+  SELECT label,
+         unnest(list_transform(v, (x, i) -> struct_pack(i := i,
+                                                        x := x))) AS u
+  FROM e),
+s AS (SELECT label, u.i AS dim, sum(u.x) AS sv
+      FROM d GROUP BY label, u.i),
+pair AS (
+  SELECT a.label AS la, b.label AS lb, sum(a.sv * b.sv) AS dot
+  FROM s a JOIN s b ON a.dim = b.dim AND a.label <= b.label
+  GROUP BY la, lb)
+SELECT CAST(p.la AS BIGINT) AS label_a,
+       CAST(p.lb AS BIGINT) AS label_b,
+       CAST(CASE WHEN p.la = p.lb THEN na.n * (na.n - 1) // 2
+            ELSE na.n * nb.n END AS BIGINT) AS n_pairs,
+       round(CASE WHEN p.la = p.lb
+             THEN (p.dot - na.q) / (na.n * (na.n - 1.0))
+             ELSE p.dot / (1.0 * na.n * nb.n) END, 6) AS mean_dot
+FROM pair p
+JOIN nq na ON p.la = na.label
+JOIN nq nb ON p.lb = nb.label
+WHERE p.la < p.lb OR na.n > 1
+ORDER BY label_a, label_b
+"""
+
+
 def vector_queries() -> dict[str, Callable]:
     return {
         "embedding_cosine_histogram": embedding_cosine_histogram,
@@ -1516,6 +1639,7 @@ def vector_queries() -> dict[str, Callable]:
         "ann_recall_eval": ann_recall_eval,
         "embedding_covariance": embedding_covariance,
         "embedding_dim_stats": embedding_dim_stats,
+        "embedding_label_separation": embedding_label_separation,
         "embedding_pca_top": embedding_pca_top,
         "embedding_pca_scores": embedding_pca_scores,
         "embedding_norm_stats": embedding_norm_stats,
@@ -1548,6 +1672,7 @@ def vector_oracle_sql() -> dict[str, str]:
         "ann_filtered_topk": ANN_FILTERED_SQL,
         "embedding_covariance": EMBEDDING_COVARIANCE_SQL,
         "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,
+        "embedding_label_separation": EMBEDDING_LABEL_SEPARATION_SQL,
         "embedding_pca_top": _pca_sql(),
         "embedding_pca_scores": _pca_scores_sql(),
         "embedding_norm_stats": NORM_STATS_SQL,

@@ -227,3 +227,22 @@ def test_embedding_dim_stats_planted(tmp_path, ray_session):
     assert out["max_val"].tolist() == [5.0, 16.0]
     assert abs(out["std_val"][0] - math.sqrt(8.0 / 3.0)) < 1e-6
     assert abs(out["std_val"][1] - math.sqrt(8.0)) < 1e-6
+
+
+def test_embedding_label_separation_planted(tmp_path, ray_session):
+    """Label 0 = {(1,0), (0,1)}: intra mean dot = (S·S - Q)/(n(n-1))
+    = (2-2)/2 = 0 over 1 pair; label 1 = {(2,2)}: no intra row (n<2);
+    inter = S0·S1/(n0*n1) = 4/2 = 2 over 2 pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from cheque_ocr_project_ray.vector.queries import \
+        embedding_label_separation
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0], [2.0, 2.0]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 1], pa.int32())}),
+        tmp_path / "embeddings.parquet")
+    out = embedding_label_separation(str(tmp_path))
+    assert [tuple(r) for r in out.itertuples(index=False)] == [
+        (0, 0, 1, 0.0), (0, 1, 2, 2.0)]

@@ -30,8 +30,8 @@ def test_expected_families_present():
                   "media_decode_stats", "corpus_curation",
                   "corpus_pipeline", "events_sessions"):
         assert probe in qs
-    assert len(qs) >= 242
-    assert len(entry.oracle_sql()) >= 230
+    assert len(qs) >= 247
+    assert len(entry.oracle_sql()) >= 235
 
 
 def _family(name: str) -> str:
@@ -53,8 +53,8 @@ def test_per_family_floors():
     import collections
     q = collections.Counter(_family(n) for n in entry.queries())
     o = collections.Counter(_family(n) for n in entry.oracle_sql())
-    for fam, (qf, of) in {"cheque": (20, 19), "relational": (112, 110),
-                          "text": (56, 55), "vector": (26, 21),
+    for fam, (qf, of) in {"cheque": (20, 19), "relational": (115, 113),
+                          "text": (57, 56), "vector": (27, 22),
                           "multimodal": (11, 8)}.items():
         assert q[fam] >= qf, f"{fam} queries shrank: {q[fam]} < {qf}"
         assert o[fam] >= of, f"{fam} oracles shrank: {o[fam]} < {of}"

@@ -65,6 +65,15 @@ def hc_dir(tmp_path_factory):
                 0, 700 * 86_400_000_000, N_USERS)
             .astype("timedelta64[us]")),
     }), d / "orders.parquet", row_group_size=50_000)
+    n_li = 240_000
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(rng.integers(0, N_USERS, n_li),
+                               pa.int64()),
+        "l_shipdate": pa.array(
+            np.datetime64("2023-01-01", "us") + rng.integers(
+                0, 760 * 86_400_000_000, n_li)
+            .astype("timedelta64[us]")),
+    }), d / "lineitem.parquet", row_group_size=50_000)
     return str(d)
 
 
@@ -380,4 +389,27 @@ def test_balance_deciles_two_phase(ray_session, hc_dir, collect_cap):
     df = customer_balance_deciles(hc_dir, bound=0)
     _cmp(df, _sql(hc_dir, CUSTOMER_BALANCE_DECILES_SQL,
                   ("customer", "orders")), ["decile"])
+    assert max(collect_cap, default=0) <= COLLECT_CAP
+
+
+def test_fulfillment_span_distributed(ray_session, hc_dir, collect_cap):
+    # bound=0 forces the distributed per-order min/neg-max groupby;
+    # the driver folds only the span-bounded histogram grid
+    from cheque_ocr_project_ray.relational.analytics_extra import (
+        ORDER_FULFILLMENT_SPAN_SQL, order_fulfillment_span)
+    df = order_fulfillment_span(hc_dir, bound=0)
+    _cmp(df, _sql(hc_dir, ORDER_FULFILLMENT_SPAN_SQL, ("lineitem",)),
+         ["span_days"])
+    assert max(collect_cap, default=0) <= COLLECT_CAP
+
+
+def test_shipping_latency_distributed(ray_session, hc_dir, collect_cap):
+    # bound=0 forces the distributed per-order moment merge feeding
+    # the orderkey-keyed hash join; the driver folds the 2-priority
+    # grid only
+    from cheque_ocr_project_ray.relational.analytics_extra import (
+        SHIPPING_LATENCY_SQL, shipping_latency_by_priority)
+    df = shipping_latency_by_priority(hc_dir, bound=0)
+    _cmp(df, _sql(hc_dir, SHIPPING_LATENCY_SQL,
+                  ("lineitem", "orders")), ["o_orderpriority"])
     assert max(collect_cap, default=0) <= COLLECT_CAP

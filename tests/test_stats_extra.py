@@ -345,3 +345,62 @@ def test_interarrival_planted_gaps(tmp_path, ray_session):
     assert out["n_gaps"].tolist() == [1, 1, 1]
     assert out["sum_gap_days"].tolist() == [3, 7, 14]
     assert out["avg_gap_days"].tolist() == [3.0, 7.0, 14.0]
+
+
+def test_fulfillment_span_planted(tmp_path, ray_session):
+    """Order 1 ships over 4 days (min 01-01, max 01-05), order 2 all
+    on one day -> histogram {0: 1, 4: 1}."""
+    from cheque_ocr_project_ray.relational.analytics_extra import \
+        order_fulfillment_span
+    df = pd.DataFrame({
+        "l_orderkey": [1, 1, 1, 2],
+        "l_shipdate": pd.to_datetime(
+            ["2024-01-01", "2024-01-05", "2024-01-03", "2024-02-01"])})
+    df.to_parquet(tmp_path / "lineitem.parquet")
+    out = order_fulfillment_span(str(tmp_path))
+    assert out["span_days"].tolist() == [0, 4]
+    assert out["n_orders"].tolist() == [1, 1]
+
+
+def test_shipping_latency_planted(tmp_path, ray_session):
+    """URGENT order placed 01-01 ships +2 and +4 days (mean 3, pop
+    std 1); MEDIUM order placed 01-10 ships +5 (std 0) — exact
+    integer moments through the post-join shift identity."""
+    from cheque_ocr_project_ray.relational.analytics_extra import \
+        shipping_latency_by_priority
+    pd.DataFrame({
+        "l_orderkey": [1, 1, 2],
+        "l_shipdate": pd.to_datetime(
+            ["2024-01-03", "2024-01-05", "2024-01-15"])}) \
+        .to_parquet(tmp_path / "lineitem.parquet")
+    pd.DataFrame({
+        "o_orderkey": [1, 2],
+        "o_orderdate": pd.to_datetime(["2024-01-01", "2024-01-10"]),
+        "o_orderpriority": ["1-URGENT", "3-MEDIUM"]}) \
+        .to_parquet(tmp_path / "orders.parquet")
+    out = shipping_latency_by_priority(str(tmp_path))
+    u = out[out["o_orderpriority"] == "1-URGENT"].iloc[0]
+    assert (u["n_lines"], u["sum_days"], u["sumsq_days"]) == (2, 6, 20)
+    assert (u["avg_days"], u["std_days"]) == (3.0, 1.0)
+    m = out[out["o_orderpriority"] == "3-MEDIUM"].iloc[0]
+    assert (m["n_lines"], m["sum_days"], m["avg_days"],
+            m["std_days"]) == (1, 5, 5.0, 0.0)
+
+
+def test_returns_by_month_planted(tmp_path, ray_session):
+    """Two months: Jan has 2 lines / 1 returned (rate 0.5, value
+    10.00), Feb 1 line / 0 returned."""
+    from cheque_ocr_project_ray.relational.analytics_extra import \
+        lineitem_returns_by_month
+    pd.DataFrame({
+        "l_shipdate": pd.to_datetime(
+            ["2024-01-03", "2024-01-20", "2024-02-01"]),
+        "l_returnflag": ["R", "N", "A"],
+        "l_extendedprice": [10.0, 99.0, 7.5]}) \
+        .to_parquet(tmp_path / "lineitem.parquet")
+    out = lineitem_returns_by_month(str(tmp_path))
+    assert out["ym"].tolist() == [202401, 202402]
+    assert out["n_lines"].tolist() == [2, 1]
+    assert out["n_returned"].tolist() == [1, 0]
+    assert out["returned_value"].tolist() == [10.0, 0.0]
+    assert out["return_rate"].tolist() == [0.5, 0.0]

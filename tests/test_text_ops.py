@@ -449,3 +449,24 @@ def test_doc_length_quantiles_definition(tmp_path, ray_session):
     r = out.iloc[0]
     assert (r["n_docs"], r["p25"], r["p50"], r["p75"], r["p95"]) \
         == (4, 10, 20, 30, 30)
+
+
+def test_doc_ttr_planted(tmp_path, ray_session):
+    """'x x y' = 3 tokens / 2 types (ttr 2/3); a whitespace-only doc
+    tokenizes to [''] = 1/1 (the shared empty-doc convention), so
+    source a: agg 3/4, mean (2/3 + 1)/2."""
+    import pandas as pd
+    from cheque_ocr_project_ray.text.queries import doc_ttr
+    pd.DataFrame({
+        "doc_id": [0, 1, 2], "source": ["a", "a", "b"],
+        "text": ["x x y", "   ", "z"],
+        "lang": ["en"] * 3, "n_chars": [5, 3, 1]}) \
+        .to_parquet(tmp_path / "documents.parquet")
+    out = doc_ttr(str(tmp_path))
+    a = out[out["source"] == "a"].iloc[0]
+    assert (a["n_docs"], a["sum_tokens"], a["sum_types"]) == (2, 4, 3)
+    assert a["agg_ttr"] == 0.75
+    assert a["mean_ttr"] == 0.833333
+    b = out[out["source"] == "b"].iloc[0]
+    assert (b["sum_tokens"], b["sum_types"], b["agg_ttr"]) \
+        == (1, 1, 1.0)
