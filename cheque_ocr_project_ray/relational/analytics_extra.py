@@ -4360,6 +4360,203 @@ FROM lineitem GROUP BY ym ORDER BY ym
 """
 
 
+@_hash_shuffled
+def events_activity_histogram(sf_dir: str, np_: int = 0,
+                              bound: int = 2_000_000):
+    """User-activity count-of-counts: how many users emitted exactly
+    N events — the engagement-distribution shape (power-law tail vs
+    uniform bots) that sizes per-user state for every user-keyed
+    stage downstream.
+
+    100-TB shape: per-batch (user, n) combiner partials reduce
+    through the bounded-adaptive merge (distributed groupby past
+    ``bound``); the count-of-counts second phase then runs
+    DISTRIBUTEDLY over the merged per-user stream and only the
+    activity-level grid (distinct per-user totals — ≤ max events per
+    user, a domain, not a user count) reaches the driver (class a+b).
+    All-int output, bit-deterministic."""
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_sums)
+
+    ds = _pq(sf_dir, "events", ["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))})
+        return t.group_by("user_id").aggregate([("n", "sum")]) \
+            .rename_columns(["user_id", "n"])
+
+    per_user = final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"], ["n"], np_=np_, bound=bound)
+
+    def coc_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "n" not in batch.column_names:
+            return pa.table({"n_events": pa.array([], pa.int64()),
+                             "n_users": pa.array([], pa.int64())})
+        t = pa.table({"n_events": batch.column("n"),
+                      "n_users": pa.array(
+                          np.ones(batch.num_rows, np.int64))})
+        return t.group_by("n_events").aggregate([("n_users", "sum")]) \
+            .rename_columns(["n_events", "n_users"])
+
+    agg = collect_table(final_merge_sums(
+        per_user.map_batches(coc_partial, batch_format="pyarrow"),
+        ["n_events"], ["n_users"], np_=np_).materialize())
+    if agg is None or agg.num_rows == 0:
+        return pd.DataFrame({"n_events": pd.Series([], dtype="int64"),
+                             "n_users": pd.Series([], dtype="int64")})
+    df = agg.to_pandas().sort_values("n_events").reset_index(drop=True)
+    return pd.DataFrame({"n_events": df["n_events"].astype("int64"),
+                         "n_users": df["n_users"].astype("int64")})
+
+
+EVENTS_ACTIVITY_HISTOGRAM_SQL = """
+WITH c AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+)
+SELECT CAST(n AS BIGINT) AS n_events, count(*) AS n_users
+FROM c GROUP BY n ORDER BY n_events
+"""
+
+
+@_hash_shuffled
+def nation_trade_balance(sf_dir: str, np_: int = 0,
+                         bound: int = 2_000_000):
+    """Per-nation trade balance: order revenue bought by the nation's
+    customers vs lineitem revenue sold by its suppliers, and the
+    net balance — the import/export skew view that q5/q7 slice by
+    pair but never net out.  Every nation appears (zero-filled).
+
+    100-TB shape: both fact streams collapse to per-key exact-int
+    partials inside each batch (orders → per-custkey cents, lineitem
+    → per-suppkey deci-units) and reduce through the bounded-adaptive
+    merge (distributed groupby past ``bound``); each side then
+    attaches its nationkey via a key-partitioned ``hash_join``
+    against the matching dimension stream — never a driver-side
+    key-set broadcast — and re-reduces per nation.  Only the two
+    nations-bounded grids reach the driver (class a+b).  Revenue
+    floats are single divisions of exact int sums, so both engines
+    see the identical nearest-double."""
+    from cheque_ocr_project_ray.relational.joins import hash_join
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_sums)
+
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def buy_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"c_custkey": batch.column("o_custkey"),
+                      "buy_cents": money_units(
+                          batch.column("o_totalprice"))})
+        return t.group_by("c_custkey").aggregate(
+            [("buy_cents", "sum")]) \
+            .rename_columns(["c_custkey", "buy_cents"])
+
+    per_cust = final_merge_sums(
+        orders.map_batches(buy_partial, batch_format="pyarrow"),
+        ["c_custkey"], ["buy_cents"], np_=np_, bound=bound)
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    buy_joined = hash_join(per_cust, cust, on="c_custkey",
+                           num_partitions=np_ or None)
+
+    def buy_nation(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "c_nationkey" not in batch.column_names:
+            return pa.table({"nk": pa.array([], pa.int64()),
+                             "buy_cents": pa.array([], pa.int64())})
+        t = pa.table({"nk": batch.column("c_nationkey").cast(pa.int64()),
+                      "buy_cents": batch.column("buy_cents")})
+        return t.group_by("nk").aggregate([("buy_cents", "sum")]) \
+            .rename_columns(["nk", "buy_cents"])
+
+    buy_grid = collect_table(final_merge_sums(
+        buy_joined.map_batches(buy_nation, batch_format="pyarrow"),
+        ["nk"], ["buy_cents"], np_=np_).materialize())
+
+    lineitem = _pq(sf_dir, "lineitem",
+                   ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def sell_partial(batch: pa.Table) -> pa.Table:
+        cents = money_units(batch.column("l_extendedprice"))
+        du = pc.multiply(cents, pc.subtract(
+            pa.scalar(100, pa.int64()),
+            money_units(batch.column("l_discount"))))
+        t = pa.table({"s_suppkey": batch.column("l_suppkey"),
+                      "sell_du": du})
+        return t.group_by("s_suppkey").aggregate([("sell_du", "sum")]) \
+            .rename_columns(["s_suppkey", "sell_du"])
+
+    per_supp = final_merge_sums(
+        lineitem.map_batches(sell_partial, batch_format="pyarrow"),
+        ["s_suppkey"], ["sell_du"], np_=np_, bound=bound)
+    supp = _pq(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    sell_joined = hash_join(per_supp, supp, on="s_suppkey",
+                            num_partitions=np_ or None)
+
+    def sell_nation(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "s_nationkey" not in batch.column_names:
+            return pa.table({"nk": pa.array([], pa.int64()),
+                             "sell_du": pa.array([], pa.int64())})
+        t = pa.table({"nk": batch.column("s_nationkey").cast(pa.int64()),
+                      "sell_du": batch.column("sell_du")})
+        return t.group_by("nk").aggregate([("sell_du", "sum")]) \
+            .rename_columns(["nk", "sell_du"])
+
+    sell_grid = collect_table(final_merge_sums(
+        sell_joined.map_batches(sell_nation, batch_format="pyarrow"),
+        ["nk"], ["sell_du"], np_=np_).materialize())
+
+    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_name"]) \
+        .materialize()
+    nt = collect_table(nation)
+    base = nt.to_pandas() if nt is not None else pd.DataFrame(
+        {"n_nationkey": pd.Series([], dtype="int64"),
+         "n_name": pd.Series([], dtype="object")})
+    base["nk"] = base["n_nationkey"].astype("int64")
+    buy_df = (buy_grid.to_pandas() if buy_grid is not None
+              else pd.DataFrame({"nk": pd.Series([], dtype="int64"),
+                                 "buy_cents": pd.Series([],
+                                                        dtype="int64")}))
+    sell_df = (sell_grid.to_pandas() if sell_grid is not None
+               else pd.DataFrame({"nk": pd.Series([], dtype="int64"),
+                                  "sell_du": pd.Series([],
+                                                       dtype="int64")}))
+    df = base.merge(buy_df, on="nk", how="left") \
+        .merge(sell_df, on="nk", how="left")
+    buy = df["buy_cents"].fillna(0).to_numpy(np.int64)
+    sell = df["sell_du"].fillna(0).to_numpy(np.int64)
+    out = pd.DataFrame({
+        "n_name": df["n_name"],
+        "buy_revenue": buy / 100.0,
+        "sell_revenue": sell / 10000.0,
+        "balance": (sell - 100 * buy) / 10000.0})
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+NATION_TRADE_BALANCE_SQL = """
+WITH buy AS (
+  SELECT c_nationkey AS nk,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS b
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  GROUP BY 1
+), sell AS (
+  SELECT s_nationkey AS nk,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS s
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+  GROUP BY 1
+)
+SELECT n_name,
+       CAST(coalesce(buy.b, 0) AS DOUBLE)  AS buy_revenue,
+       CAST(coalesce(sell.s, 0) AS DOUBLE) AS sell_revenue,
+       CAST(coalesce(sell.s, 0) - coalesce(buy.b, 0) AS DOUBLE)
+           AS balance
+FROM nation
+LEFT JOIN buy  ON buy.nk = n_nationkey
+LEFT JOIN sell ON sell.nk = n_nationkey
+ORDER BY n_name
+"""
+
+
 def analytics_extra_queries():
     return {
         "orders_rolling_aov": orders_rolling_aov,
@@ -4416,6 +4613,8 @@ def analytics_extra_queries():
         "order_fulfillment_span": order_fulfillment_span,
         "shipping_latency_by_priority": shipping_latency_by_priority,
         "lineitem_returns_by_month": lineitem_returns_by_month,
+        "events_activity_histogram": events_activity_histogram,
+        "nation_trade_balance": nation_trade_balance,
     }
 
 
@@ -4474,4 +4673,6 @@ def analytics_extra_oracle_sql():
         "order_fulfillment_span": ORDER_FULFILLMENT_SPAN_SQL,
         "shipping_latency_by_priority": SHIPPING_LATENCY_SQL,
         "lineitem_returns_by_month": LINEITEM_RETURNS_SQL,
+        "events_activity_histogram": EVENTS_ACTIVITY_HISTOGRAM_SQL,
+        "nation_trade_balance": NATION_TRADE_BALANCE_SQL,
     }

@@ -4141,6 +4141,74 @@ FROM d GROUP BY source ORDER BY source
 """
 
 
+def corpus_word_length_histogram(sf_dir: str, np_: int = 0,
+                                 bound: int = 2_000_000):
+    """Word-length histogram over the corpus vocabulary: for each
+    length, the distinct-word count and the total token mass — the
+    subword-budget / tokenizer-fertility profile that pairs with
+    ``doc_length_quantiles`` (doc grain) and ``corpus_zipf_slope``
+    (rank grain); a long-tail of 20+-char 'words' is a boilerplate /
+    URL-noise signal.
+
+    100-TB shape: word counts reduce distributedly through
+    ``word_counts`` (combiner + bounded-adaptive merge; distributed
+    groupby past ``bound``); the length rollup is a second combiner
+    pass over the vocabulary stream (length is row-local) and only
+    the length grid (≤ max word length, a domain) reaches the driver
+    (class a+b).  All-int output, bit-deterministic; both engines
+    share the ``[a-z]+``-on-lowercased-text word definition."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cheque_ocr_project_ray.text.bpe import word_counts
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_sums)
+
+    wc = word_counts(_docs(sf_dir), np_=np_, bound=bound)
+
+    def len_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "word" not in batch.column_names:
+            return pa.table({"wlen": pa.array([], pa.int64()),
+                             "n_words": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64())})
+        t = pa.table({
+            "wlen": pc.utf8_length(batch.column("word"))
+                      .cast(pa.int64()),
+            "n_words": pa.array(np.ones(batch.num_rows, np.int64)),
+            "n_tokens": batch.column("n")})
+        return t.group_by("wlen").aggregate(
+            [("n_words", "sum"), ("n_tokens", "sum")]) \
+            .rename_columns(["wlen", "n_words", "n_tokens"])
+
+    agg = collect_table(final_merge_sums(
+        wc.map_batches(len_partial, batch_format="pyarrow"),
+        ["wlen"], ["n_words", "n_tokens"], np_=np_).materialize())
+    if agg is None or agg.num_rows == 0:
+        return pd.DataFrame({"wlen": pd.Series([], dtype="int64"),
+                             "n_words": pd.Series([], dtype="int64"),
+                             "n_tokens": pd.Series([], dtype="int64")})
+    df = agg.to_pandas().sort_values("wlen").reset_index(drop=True)
+    return pd.DataFrame({"wlen": df["wlen"].astype("int64"),
+                         "n_words": df["n_words"].astype("int64"),
+                         "n_tokens": df["n_tokens"].astype("int64")})
+
+
+CORPUS_WORD_LENGTH_SQL = """
+WITH wc AS (
+  SELECT word, count(*) AS n FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    FROM documents)
+  GROUP BY word
+)
+SELECT CAST(length(word) AS BIGINT) AS wlen,
+       count(*) AS n_words,
+       CAST(sum(n) AS BIGINT) AS n_tokens
+FROM wc GROUP BY wlen ORDER BY wlen
+"""
+
+
 def text_queries() -> dict[str, Callable]:
     return {
         "doc_token_stats": doc_token_stats,
@@ -4177,6 +4245,7 @@ def text_queries() -> dict[str, Callable]:
         "doc_readability": doc_readability,
         "doc_length_quantiles": doc_length_quantiles,
         "doc_ttr": doc_ttr,
+        "corpus_word_length_histogram": corpus_word_length_histogram,
         "doc_tfidf_pairs": doc_tfidf_pairs,
         "doc_ngram_novelty": doc_ngram_novelty,
         "doc_quality_percentile": doc_quality_percentile,
@@ -4248,6 +4317,7 @@ def text_oracle_sql() -> dict[str, str]:
         "doc_readability": DOC_READABILITY_SQL,
         "doc_length_quantiles": DOC_LENGTH_QUANTILES_SQL,
         "doc_ttr": DOC_TTR_SQL,
+        "corpus_word_length_histogram": CORPUS_WORD_LENGTH_SQL,
         "doc_tfidf_pairs": TFIDF_PAIRS_SQL,
         "doc_ngram_novelty": _ngram_novelty_sql(),
         "doc_simhash": doc_simhash_sql(),

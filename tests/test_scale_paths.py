@@ -413,3 +413,38 @@ def test_shipping_latency_distributed(ray_session, hc_dir, collect_cap):
     _cmp(df, _sql(hc_dir, SHIPPING_LATENCY_SQL,
                   ("lineitem", "orders")), ["o_orderpriority"])
     assert max(collect_cap, default=0) <= COLLECT_CAP
+
+
+def test_activity_histogram_distributed(ray_session, hc_dir,
+                                        collect_cap):
+    # bound=0 forces the distributed per-user count groupby; the
+    # driver folds only the activity-level grid
+    from cheque_ocr_project_ray.relational.analytics_extra import (
+        EVENTS_ACTIVITY_HISTOGRAM_SQL, events_activity_histogram)
+    df = events_activity_histogram(hc_dir, bound=0)
+    _cmp(df, _sql(hc_dir, EVENTS_ACTIVITY_HISTOGRAM_SQL), ["n_events"])
+    assert max(collect_cap, default=0) <= COLLECT_CAP
+
+
+def test_trade_balance_distributed(ray_session, collect_cap):
+    # bound=0 forces BOTH per-key merges (custkey, suppkey) through
+    # the distributed groupby feeding the dimension hash joins; only
+    # the two nation grids reach the driver
+    from cheque_ocr_project_ray.relational.analytics_extra import (
+        NATION_TRADE_BALANCE_SQL, nation_trade_balance)
+    df = nation_trade_balance(SF001, bound=0)
+    _cmp(df, _sql(SF001, NATION_TRADE_BALANCE_SQL,
+                  ("orders", "customer", "lineitem", "supplier",
+                   "nation")), ["n_name"])
+    assert max(collect_cap, default=0) <= COLLECT_CAP
+
+
+def test_word_length_histogram_distributed(ray_session, collect_cap):
+    # bound=0 keeps the vocabulary count table distributed; the
+    # length rollup is a second combiner pass over that stream
+    from cheque_ocr_project_ray.text.queries import (
+        CORPUS_WORD_LENGTH_SQL, corpus_word_length_histogram)
+    df = corpus_word_length_histogram(SF001, bound=0)
+    _cmp(df, _sql(SF001, CORPUS_WORD_LENGTH_SQL, ("documents",)),
+         ["wlen"])
+    assert max(collect_cap, default=0) <= COLLECT_CAP

@@ -404,3 +404,40 @@ def test_returns_by_month_planted(tmp_path, ray_session):
     assert out["n_returned"].tolist() == [1, 0]
     assert out["returned_value"].tolist() == [10.0, 0.0]
     assert out["return_rate"].tolist() == [0.5, 0.0]
+
+
+def test_activity_histogram_planted(tmp_path, ray_session):
+    """Users 1 and 2 emit one event each, user 3 emits two ->
+    count-of-counts {1: 2 users, 2: 1 user}."""
+    from cheque_ocr_project_ray.relational.analytics_extra import \
+        events_activity_histogram
+    pd.DataFrame({"user_id": [1, 2, 3, 3]}) \
+        .to_parquet(tmp_path / "events.parquet")
+    out = events_activity_histogram(str(tmp_path))
+    assert out["n_events"].tolist() == [1, 2]
+    assert out["n_users"].tolist() == [2, 1]
+
+
+def test_trade_balance_planted(tmp_path, ray_session):
+    """Nation A's customer buys 100.00; nation B's supplier sells
+    50.00 at 10% discount (45.00). A: buy 100 / sell 0 / balance
+    -100; B: buy 0 / sell 45 / +45; C: all zero (zero-filled)."""
+    from cheque_ocr_project_ray.relational.analytics_extra import \
+        nation_trade_balance
+    pd.DataFrame({"n_nationkey": [0, 1, 2],
+                  "n_name": ["A", "B", "C"]}) \
+        .to_parquet(tmp_path / "nation.parquet")
+    pd.DataFrame({"c_custkey": [10], "c_nationkey": [0]}) \
+        .to_parquet(tmp_path / "customer.parquet")
+    pd.DataFrame({"s_suppkey": [20], "s_nationkey": [1]}) \
+        .to_parquet(tmp_path / "supplier.parquet")
+    pd.DataFrame({"o_custkey": [10], "o_totalprice": [100.0]}) \
+        .to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame({"l_suppkey": [20], "l_extendedprice": [50.0],
+                  "l_discount": [0.10]}) \
+        .to_parquet(tmp_path / "lineitem.parquet")
+    out = nation_trade_balance(str(tmp_path))
+    assert out["n_name"].tolist() == ["A", "B", "C"]
+    assert out["buy_revenue"].tolist() == [100.0, 0.0, 0.0]
+    assert out["sell_revenue"].tolist() == [0.0, 45.0, 0.0]
+    assert out["balance"].tolist() == [-100.0, 45.0, 0.0]

@@ -470,3 +470,18 @@ def test_doc_ttr_planted(tmp_path, ray_session):
     b = out[out["source"] == "b"].iloc[0]
     assert (b["sum_tokens"], b["sum_types"], b["agg_ttr"]) \
         == (1, 1, 1.0)
+
+
+def test_word_length_histogram_planted(tmp_path, ray_session):
+    """Vocabulary {aa: 2, bb: 1, ccc: 1} (case-folded, [a-z]+ runs)
+    -> length 2: 2 distinct words / 3 tokens, length 3: 1 / 1."""
+    import pandas as pd
+    from cheque_ocr_project_ray.text.queries import \
+        corpus_word_length_histogram
+    pd.DataFrame({"doc_id": [1, 2],
+                  "text": ["aa bb ccc", "Aa!"]}) \
+        .to_parquet(tmp_path / "documents.parquet")
+    out = corpus_word_length_histogram(str(tmp_path))
+    assert out["wlen"].tolist() == [2, 3]
+    assert out["n_words"].tolist() == [2, 1]
+    assert out["n_tokens"].tolist() == [3, 1]
