@@ -4557,6 +4557,198 @@ ORDER BY n_name
 """
 
 
+@_hash_shuffled
+def customer_segment_profile(sf_dir: str, np_: int = 0,
+                             bound: int = 2_000_000):
+    """Per-market-segment customer health: population, account-balance
+    profile (exact-cents mean, raw min/max) and order activity
+    (count + exact-cents revenue) — the segment-level twin of
+    ``revenue_by_nation`` that q3 slices but never profiles.
+
+    100-TB shape: the customer dim folds per batch to per-segment
+    (n, Σcents, min, max) partials — the driver sees only the
+    segments × n_blocks grid (class b).  The orders fact collapses to
+    per-custkey exact-int partials through the bounded-adaptive merge
+    (distributed groupby past ``bound``), attaches its segment via a
+    custkey-partitioned ``hash_join`` against the customer stream and
+    re-reduces per segment (class a+b).  Customers without orders
+    still count (the activity side folds in with zero-fill)."""
+    from cheque_ocr_project_ray.relational.joins import hash_join
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_sums)
+
+    cust = _pq(sf_dir, "customer",
+               ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"segment": batch.column("c_mktsegment"),
+                      "n_customers": pa.array(
+                          np.ones(batch.num_rows, np.int64)),
+                      "bal_cents": money_units(
+                          batch.column("c_acctbal")),
+                      "min_bal": batch.column("c_acctbal"),
+                      "max_bal": batch.column("c_acctbal")})
+        return t.group_by("segment").aggregate(
+            [("n_customers", "sum"), ("bal_cents", "sum"),
+             ("min_bal", "min"), ("max_bal", "max")]) \
+            .rename_columns(["segment", "n_customers", "bal_cents",
+                             "min_bal", "max_bal"])
+
+    cgrid = collect_table(
+        cust.map_batches(cust_partial, batch_format="pyarrow")
+        .materialize())
+
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def ord_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"c_custkey": batch.column("o_custkey"),
+                      "n_orders": pa.array(
+                          np.ones(batch.num_rows, np.int64)),
+                      "rev_cents": money_units(
+                          batch.column("o_totalprice"))})
+        return t.group_by("c_custkey").aggregate(
+            [("n_orders", "sum"), ("rev_cents", "sum")]) \
+            .rename_columns(["c_custkey", "n_orders", "rev_cents"])
+
+    per_cust = final_merge_sums(
+        orders.map_batches(ord_partial, batch_format="pyarrow"),
+        ["c_custkey"], ["n_orders", "rev_cents"], np_=np_, bound=bound)
+    joined = hash_join(per_cust,
+                       _pq(sf_dir, "customer",
+                           ["c_custkey", "c_mktsegment"]),
+                       on="c_custkey", num_partitions=np_ or None)
+
+    def seg_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or \
+                "c_mktsegment" not in batch.column_names:
+            return pa.table({"segment": pa.array([], pa.string()),
+                             "n_orders": pa.array([], pa.int64()),
+                             "rev_cents": pa.array([], pa.int64())})
+        t = pa.table({"segment": batch.column("c_mktsegment"),
+                      "n_orders": batch.column("n_orders"),
+                      "rev_cents": batch.column("rev_cents")})
+        return t.group_by("segment").aggregate(
+            [("n_orders", "sum"), ("rev_cents", "sum")]) \
+            .rename_columns(["segment", "n_orders", "rev_cents"])
+
+    ogrid = collect_table(final_merge_sums(
+        joined.map_batches(seg_partial, batch_format="pyarrow"),
+        ["segment"], ["n_orders", "rev_cents"], np_=np_).materialize())
+
+    if cgrid is None or cgrid.num_rows == 0:
+        return pd.DataFrame({
+            "segment": pd.Series([], dtype="object"),
+            "n_customers": pd.Series([], dtype="int64"),
+            "avg_balance": pd.Series([], dtype="float64"),
+            "min_balance": pd.Series([], dtype="float64"),
+            "max_balance": pd.Series([], dtype="float64"),
+            "n_orders": pd.Series([], dtype="int64"),
+            "revenue": pd.Series([], dtype="float64")})
+    cdf = cgrid.to_pandas().groupby("segment", as_index=False).agg(
+        n_customers=("n_customers", "sum"),
+        bal_cents=("bal_cents", "sum"),
+        min_bal=("min_bal", "min"), max_bal=("max_bal", "max"))
+    odf = (ogrid.to_pandas() if ogrid is not None
+           else pd.DataFrame({"segment": pd.Series([], dtype="object"),
+                              "n_orders": pd.Series([], dtype="int64"),
+                              "rev_cents": pd.Series([],
+                                                     dtype="int64")}))
+    df = cdf.merge(odf, on="segment", how="left")
+    n = df["n_customers"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "segment": df["segment"],
+        "n_customers": df["n_customers"].astype("int64"),
+        "avg_balance": round_half_up(
+            df["bal_cents"].to_numpy(np.int64) / (100.0 * n), 4),
+        "min_balance": df["min_bal"].astype("float64"),
+        "max_balance": df["max_bal"].astype("float64"),
+        "n_orders": df["n_orders"].fillna(0).astype("int64"),
+        "revenue": df["rev_cents"].fillna(0).to_numpy(np.int64)
+            / 100.0}).sort_values("segment").reset_index(drop=True)
+
+
+CUSTOMER_SEGMENT_PROFILE_SQL = """
+WITH o AS (
+  SELECT o_custkey AS k, count(*) AS n,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+  FROM orders GROUP BY 1
+)
+SELECT c_mktsegment AS segment,
+       count(*) AS n_customers,
+       round(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+             / (100.0 * count(*)), 4) AS avg_balance,
+       min(c_acctbal) AS min_balance,
+       max(c_acctbal) AS max_balance,
+       CAST(sum(coalesce(o.n, 0)) AS BIGINT) AS n_orders,
+       CAST(sum(coalesce(o.r, 0)) AS DOUBLE) AS revenue
+FROM customer LEFT JOIN o ON o.k = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def lineitem_discount_quantity_grid(sf_dir: str, np_: int = 0):
+    """Discount-vs-quantity pricing grid: for each integer order
+    quantity, the line count, mean discount and mean extended price —
+    the volume-pricing-curve check behind q17/q19's quantity
+    predicates (is bulk actually cheaper per unit?).
+
+    100-TB shape: pure one-pass combiner — per-batch (qty, n,
+    Σdiscount-units, Σprice-cents) exact-int partials through the
+    bounded-adaptive merge; only the quantity grid (≤ the quantity
+    domain, TPC-H: 1..50) reaches the driver (class b).  Means are
+    single divisions of exact ints, identical on both engines."""
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_sums)
+
+    ds = _pq(sf_dir, "lineitem",
+             ["l_quantity", "l_discount", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "qty": pc.cast(pc.round(batch.column("l_quantity")),
+                           pa.int64()),
+            "n_lines": pa.array(np.ones(batch.num_rows, np.int64)),
+            "disc_units": money_units(batch.column("l_discount")),
+            "price_cents": money_units(
+                batch.column("l_extendedprice"))})
+        return t.group_by("qty").aggregate(
+            [("n_lines", "sum"), ("disc_units", "sum"),
+             ("price_cents", "sum")]) \
+            .rename_columns(["qty", "n_lines", "disc_units",
+                             "price_cents"])
+
+    agg = collect_table(final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["qty"], ["n_lines", "disc_units", "price_cents"],
+        np_=np_).materialize())
+    if agg is None or agg.num_rows == 0:
+        return pd.DataFrame({
+            "qty": pd.Series([], dtype="int64"),
+            "n_lines": pd.Series([], dtype="int64"),
+            "avg_discount": pd.Series([], dtype="float64"),
+            "avg_price": pd.Series([], dtype="float64")})
+    df = agg.to_pandas().sort_values("qty").reset_index(drop=True)
+    n = df["n_lines"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "qty": df["qty"].astype("int64"),
+        "n_lines": df["n_lines"].astype("int64"),
+        "avg_discount": round_half_up(
+            df["disc_units"].to_numpy(np.int64) / (100.0 * n), 4),
+        "avg_price": round_half_up(
+            df["price_cents"].to_numpy(np.int64) / (100.0 * n), 4)})
+
+
+DISCOUNT_QUANTITY_GRID_SQL = """
+SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+       count(*) AS n_lines,
+       round(sum(CAST(round(l_discount * 100) AS BIGINT))
+             / (100.0 * count(*)), 4) AS avg_discount,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             / (100.0 * count(*)), 4) AS avg_price
+FROM lineitem GROUP BY qty ORDER BY qty
+"""
+
+
 def analytics_extra_queries():
     return {
         "orders_rolling_aov": orders_rolling_aov,
@@ -4615,6 +4807,8 @@ def analytics_extra_queries():
         "lineitem_returns_by_month": lineitem_returns_by_month,
         "events_activity_histogram": events_activity_histogram,
         "nation_trade_balance": nation_trade_balance,
+        "customer_segment_profile": customer_segment_profile,
+        "lineitem_discount_quantity_grid": lineitem_discount_quantity_grid,
     }
 
 
@@ -4675,4 +4869,6 @@ def analytics_extra_oracle_sql():
         "lineitem_returns_by_month": LINEITEM_RETURNS_SQL,
         "events_activity_histogram": EVENTS_ACTIVITY_HISTOGRAM_SQL,
         "nation_trade_balance": NATION_TRADE_BALANCE_SQL,
+        "customer_segment_profile": CUSTOMER_SEGMENT_PROFILE_SQL,
+        "lineitem_discount_quantity_grid": DISCOUNT_QUANTITY_GRID_SQL,
     }

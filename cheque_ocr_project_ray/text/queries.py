@@ -4209,6 +4209,129 @@ FROM wc GROUP BY wlen ORDER BY wlen
 """
 
 
+def corpus_bigram_entropy(sf_dir: str, np_: int = 0,
+                          bound: int = 2_000_000):
+    """Corpus conditional bigram entropy H = -Σ (c₂/N)·ln(c₂/c₁) and
+    its perplexity — the sequence-predictability scalar behind
+    ``doc_bigram_logprob`` (doc grain) and ``corpus_zipf_slope``
+    (unigram grain): boilerplate-heavy corpora score low, natural
+    prose high, so the drift of this number across snapshots is a
+    mixing-regression alarm.
+
+    100-TB shape: unigram and bigram counts reduce through the
+    bounded-adaptive merges (distributed groupby past ``bound``); c₁
+    then attaches to the DISTRIBUTED bigram table via one token-keyed
+    ``hash_join`` (w1 split per batch — the ``doc_bigram_logprob``
+    join fallback shape, used unconditionally here since the output
+    is one row), the per-row entropy term is row-local given the
+    scalar N, and the driver folds n_blocks float partials (class
+    a+b).  Both engines spell the identical per-row expression;
+    6dp/4dp rounding absorbs only sum-order noise."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cheque_ocr_project_ray.relational.joins import hash_join
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_sums,
+                                             round_half_up)
+
+    docs = _docs(sf_dir)
+    uni_ds = final_merge_sums(
+        docs.map_batches(analysis.token_counts, batch_format="pyarrow"),
+        ["tok"], ["n"], np_=np_, bound=bound).materialize()
+    big_ds = final_merge_sums(
+        docs.map_batches(analysis.bigram_counts,
+                         batch_format="pyarrow"),
+        ["bigram"], ["n"], np_=np_, bound=bound).materialize()
+    n_unique = big_ds.count()
+    if n_unique == 0 or uni_ds.count() == 0:
+        return pd.DataFrame({
+            "n_bigrams": pd.Series([], dtype="int64"),
+            "n_unique_bigrams": pd.Series([], dtype="int64"),
+            "entropy": pd.Series([], dtype="float64"),
+            "perplexity": pd.Series([], dtype="float64")})
+    n_total = int(big_ds.sum("n"))
+    nb = float(n_total)
+
+    def with_w1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "bigram" not in t.column_names:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "c2": pa.array([], pa.int64()),
+                             "tok": pa.array([], pa.string())})
+        w1 = pc.list_element(
+            pc.split_pattern(t.column("bigram"), " ", max_splits=1), 0)
+        return pa.table({"bigram": t.column("bigram"),
+                         "c2": pc.cast(t.column("n"), pa.int64()),
+                         "tok": w1})
+
+    def as_c1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "tok" not in t.column_names:
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "c1": pa.array([], pa.int64())})
+        return pa.table({"tok": t.column("tok"),
+                         "c1": pc.cast(t.column("n"), pa.int64())})
+
+    jb = hash_join(big_ds.map_batches(with_w1, batch_format="pyarrow"),
+                   uni_ds.map_batches(as_c1, batch_format="pyarrow"),
+                   on="tok", num_partitions=np_ or None)
+
+    def ent_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c2" not in t.column_names:
+            return pa.table({"s": pa.array([], pa.float64())})
+        c2 = t.column("c2").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        c1 = t.column("c1").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        # per-row op order mirrors the SQL: (c2 / nb) * ln(c2 / c1)
+        return pa.table({"s": pa.array(
+            [float(np.sum((c2 / nb) * np.log(c2 / c1)))],
+            pa.float64())})
+
+    parts = collect_table(
+        jb.map_batches(ent_partial, batch_format="pyarrow")
+        .materialize())
+    s = float(pc.sum(parts.column("s")).as_py()) if parts is not None \
+        else 0.0
+    entropy = -s
+    return pd.DataFrame({
+        "n_bigrams": pd.Series([n_total], dtype="int64"),
+        "n_unique_bigrams": pd.Series([n_unique], dtype="int64"),
+        "entropy": pd.Series([float(round_half_up(entropy, 6))],
+                             dtype="float64"),
+        "perplexity": pd.Series(
+            [float(round_half_up(float(np.exp(entropy)), 4))],
+            dtype="float64")})
+
+
+CORPUS_BIGRAM_ENTROPY_SQL = r"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), w AS (
+  SELECT unnest(toks) AS tok FROM t
+), uc AS (
+  SELECT tok, count(*) AS c1 FROM w GROUP BY tok
+), b AS (
+  SELECT unnest(list_transform(toks[1:len(toks)-1],
+                               (x, i) -> x || ' ' || toks[i + 1]))
+             AS bigram
+  FROM t
+), bc AS (
+  SELECT bigram, count(*) AS c2 FROM b GROUP BY bigram
+), n AS (
+  SELECT CAST(sum(c2) AS DOUBLE) AS nb FROM bc
+)
+SELECT CAST((SELECT sum(c2) FROM bc) AS BIGINT) AS n_bigrams,
+       (SELECT count(*) FROM bc) AS n_unique_bigrams,
+       round(-sum((c2 / nb) * ln(c2 / c1)), 6) AS entropy,
+       round(exp(-sum((c2 / nb) * ln(c2 / c1))), 4) AS perplexity
+FROM bc
+JOIN uc ON uc.tok = split_part(bc.bigram, ' ', 1), n
+"""
+
+
 def text_queries() -> dict[str, Callable]:
     return {
         "doc_token_stats": doc_token_stats,
@@ -4246,6 +4369,7 @@ def text_queries() -> dict[str, Callable]:
         "doc_length_quantiles": doc_length_quantiles,
         "doc_ttr": doc_ttr,
         "corpus_word_length_histogram": corpus_word_length_histogram,
+        "corpus_bigram_entropy": corpus_bigram_entropy,
         "doc_tfidf_pairs": doc_tfidf_pairs,
         "doc_ngram_novelty": doc_ngram_novelty,
         "doc_quality_percentile": doc_quality_percentile,
@@ -4318,6 +4442,7 @@ def text_oracle_sql() -> dict[str, str]:
         "doc_length_quantiles": DOC_LENGTH_QUANTILES_SQL,
         "doc_ttr": DOC_TTR_SQL,
         "corpus_word_length_histogram": CORPUS_WORD_LENGTH_SQL,
+        "corpus_bigram_entropy": CORPUS_BIGRAM_ENTROPY_SQL,
         "doc_tfidf_pairs": TFIDF_PAIRS_SQL,
         "doc_ngram_novelty": _ngram_novelty_sql(),
         "doc_simhash": doc_simhash_sql(),

@@ -448,3 +448,27 @@ def test_word_length_histogram_distributed(ray_session, collect_cap):
     _cmp(df, _sql(SF001, CORPUS_WORD_LENGTH_SQL, ("documents",)),
          ["wlen"])
     assert max(collect_cap, default=0) <= COLLECT_CAP
+
+
+def test_segment_profile_distributed(ray_session, collect_cap):
+    # bound=0 forces the per-custkey order merge through the
+    # distributed groupby feeding the custkey hash join; the customer
+    # dim folds to a segments x n_blocks grid
+    from cheque_ocr_project_ray.relational.analytics_extra import (
+        CUSTOMER_SEGMENT_PROFILE_SQL, customer_segment_profile)
+    df = customer_segment_profile(SF001, bound=0)
+    _cmp(df, _sql(SF001, CUSTOMER_SEGMENT_PROFILE_SQL,
+                  ("customer", "orders")), ["segment"])
+    assert max(collect_cap, default=0) <= COLLECT_CAP
+
+
+def test_bigram_entropy_distributed(ray_session, collect_cap):
+    # bound=0 keeps both the unigram and bigram count tables
+    # distributed; c1 attaches via the token-keyed hash join and the
+    # driver folds n_blocks float partials
+    from cheque_ocr_project_ray.text.queries import (
+        CORPUS_BIGRAM_ENTROPY_SQL, corpus_bigram_entropy)
+    df = corpus_bigram_entropy(SF001, bound=0)
+    _cmp(df, _sql(SF001, CORPUS_BIGRAM_ENTROPY_SQL, ("documents",)),
+         ["n_bigrams"])
+    assert max(collect_cap, default=0) <= COLLECT_CAP

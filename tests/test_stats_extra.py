@@ -441,3 +441,42 @@ def test_trade_balance_planted(tmp_path, ray_session):
     assert out["buy_revenue"].tolist() == [100.0, 0.0, 0.0]
     assert out["sell_revenue"].tolist() == [0.0, 45.0, 0.0]
     assert out["balance"].tolist() == [-100.0, 45.0, 0.0]
+
+
+def test_segment_profile_planted(tmp_path, ray_session):
+    """Segment A: two customers (bal 10.00 / -5.00 -> avg 2.50, min
+    -5, max 10), one with two orders totalling 30.00; segment B: one
+    customer, no orders (zero-filled activity)."""
+    from cheque_ocr_project_ray.relational.analytics_extra import \
+        customer_segment_profile
+    pd.DataFrame({"c_custkey": [1, 2, 3],
+                  "c_mktsegment": ["A", "A", "B"],
+                  "c_acctbal": [10.0, -5.0, 7.0]}) \
+        .to_parquet(tmp_path / "customer.parquet")
+    pd.DataFrame({"o_custkey": [1, 1],
+                  "o_totalprice": [10.0, 20.0]}) \
+        .to_parquet(tmp_path / "orders.parquet")
+    out = customer_segment_profile(str(tmp_path))
+    assert out["segment"].tolist() == ["A", "B"]
+    assert out["n_customers"].tolist() == [2, 1]
+    assert out["avg_balance"].tolist() == [2.5, 7.0]
+    assert out["min_balance"].tolist() == [-5.0, 7.0]
+    assert out["max_balance"].tolist() == [10.0, 7.0]
+    assert out["n_orders"].tolist() == [2, 0]
+    assert out["revenue"].tolist() == [30.0, 0.0]
+
+
+def test_discount_quantity_grid_planted(tmp_path, ray_session):
+    """Quantity 1: two lines at 5% and 10% discount (avg 0.075),
+    prices 10 and 20 (avg 15); quantity 3: one line, 0%, 99.99."""
+    from cheque_ocr_project_ray.relational.analytics_extra import \
+        lineitem_discount_quantity_grid
+    pd.DataFrame({"l_quantity": [1.0, 1.0, 3.0],
+                  "l_discount": [0.05, 0.10, 0.0],
+                  "l_extendedprice": [10.0, 20.0, 99.99]}) \
+        .to_parquet(tmp_path / "lineitem.parquet")
+    out = lineitem_discount_quantity_grid(str(tmp_path))
+    assert out["qty"].tolist() == [1, 3]
+    assert out["n_lines"].tolist() == [2, 1]
+    assert out["avg_discount"].tolist() == [0.075, 0.0]
+    assert out["avg_price"].tolist() == [15.0, 99.99]

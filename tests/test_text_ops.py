@@ -485,3 +485,21 @@ def test_word_length_histogram_planted(tmp_path, ray_session):
     assert out["wlen"].tolist() == [2, 3]
     assert out["n_words"].tolist() == [2, 1]
     assert out["n_tokens"].tolist() == [3, 1]
+
+
+def test_bigram_entropy_planted(tmp_path, ray_session):
+    """Corpus 'a b', 'a b', 'a c': bigrams {a b: 2, a c: 1}, c1(a)=3.
+    H = -(2/3)ln(2/3) - (1/3)ln(1/3)."""
+    import math
+    import pandas as pd
+    from cheque_ocr_project_ray.text.queries import \
+        corpus_bigram_entropy
+    pd.DataFrame({"doc_id": [1, 2, 3],
+                  "text": ["a b", "a b", "a c"]}) \
+        .to_parquet(tmp_path / "documents.parquet")
+    out = corpus_bigram_entropy(str(tmp_path))
+    assert out["n_bigrams"].tolist() == [3]
+    assert out["n_unique_bigrams"].tolist() == [2]
+    h = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
+    assert abs(out["entropy"].iloc[0] - h) < 1e-6
+    assert abs(out["perplexity"].iloc[0] - math.exp(h)) < 1e-4
