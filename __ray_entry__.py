@@ -161,6 +161,61 @@ def _cheque_queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(finish, batch_format="pandas")
 
+    def cheque_type_profile(sf_dir: str):
+        """Per-cheque-type extraction scorecard: volume, government
+        share, mean confidence and amount/date field-hit counts — the
+        classifier-output dashboard next to the status ladder
+        (cheque_classifier.py's 15-type enum drives routing; this is
+        the per-route quality readout).  Same one-pass combiner +
+        bounded merge shape as ``cheque_status_profile``: the driver
+        folds only the |types| × n_blocks grid."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from cheque_ocr_project_ray.util import (final_merge_sums,
+                                                 round_half_up)
+
+        ds = build_cheque_pipeline(ensure_fixture(sf_dir))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            t = pa.table({
+                "cheque_type": batch.column("cheque_type"),
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+                "n_government": pc.cast(
+                    batch.column("is_government"), pa.int64()),
+                "conf_sum": batch.column("confidence"),
+                "n_with_amount": pc.cast(
+                    pc.not_equal(batch.column("amount"), ""),
+                    pa.int64()),
+                "n_with_date": pc.cast(
+                    pc.not_equal(batch.column("date"), ""),
+                    pa.int64())})
+            g = t.group_by("cheque_type").aggregate(
+                [("n", "sum"), ("n_government", "sum"),
+                 ("conf_sum", "sum"), ("n_with_amount", "sum"),
+                 ("n_with_date", "sum")])
+            return g.rename_columns(["cheque_type", "n",
+                                     "n_government", "conf_sum",
+                                     "n_with_amount", "n_with_date"])
+
+        agg = final_merge_sums(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["cheque_type"], ["n", "n_government", "conf_sum",
+                              "n_with_amount", "n_with_date"])
+
+        def finish(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "cheque_type": b["cheque_type"],
+                "n": b["n"],
+                "n_government": b["n_government"],
+                "mean_confidence": round_half_up(
+                    b["conf_sum"] / b["n"], 4),
+                "n_with_amount": b["n_with_amount"],
+                "n_with_date": b["n_with_date"]})
+
+        return agg.map_batches(finish, batch_format="pandas")
+
     def cheque_extract_ai(sf_dir: str):
         """The EP3 deterministic AI-ensemble flow (A2/A3,
         ai_processor.py:229-381): NER-stand-in candidates + spelling +
@@ -331,6 +386,7 @@ def _cheque_queries() -> dict[str, Callable[[str], Any]]:
         "cheque_status_histogram_v3": cheque_status_histogram_v3,
         "cheque_review_queue": cheque_review_queue,
         "cheque_status_profile": cheque_status_profile,
+        "cheque_type_profile": cheque_type_profile,
         "cheque_extract_ai": cheque_extract_ai,
         "cheque_spelling_fix": cheque_spelling_fix,
         "cheque_final_join": cheque_final_join,
@@ -451,6 +507,18 @@ SELECT status, count(*) AS n,
        CAST(sum(media_bytes) AS BIGINT) AS total_media_bytes
 FROM read_parquet('{exp}')
 GROUP BY status
+""",
+        "cheque_type_profile": f"""
+SELECT cheque_type, count(*) AS n,
+       CAST(sum(CAST(is_government AS BIGINT)) AS BIGINT)
+           AS n_government,
+       round(sum(confidence) / count(*), 4) AS mean_confidence,
+       CAST(sum(CASE WHEN amount <> '' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_with_amount,
+       CAST(sum(CASE WHEN date <> '' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_with_date
+FROM read_parquet('{exp}')
+GROUP BY cheque_type
 """,
         "cheque_review_queue": f"""
 SELECT doc_id, issuer_v3 AS issuer,

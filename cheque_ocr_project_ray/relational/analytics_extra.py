@@ -4749,6 +4749,116 @@ FROM lineitem GROUP BY qty ORDER BY qty
 """
 
 
+def region_profile(sf_dir: str, np_: int = 0):
+    """Per-region rollup across the dimension hierarchy: nation
+    count, customer and supplier populations and the total customer
+    account balance — the region-level sanity panel q5/q8 slice but
+    never total.
+
+    100-TB shape: the customer and supplier dims each fold per batch
+    to per-nationkey (count, cents) partials — nations are a fixed
+    enum, so the driver sees two ≤|nations| × n_blocks grids (class
+    b); nation→region is a tiny dim collected whole.  All-int until
+    the final division."""
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_sums)
+
+    cust = _pq(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def c_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"nk": pc.cast(batch.column("c_nationkey"),
+                                    pa.int64()),
+                      "n_customers": pa.array(
+                          np.ones(batch.num_rows, np.int64)),
+                      "bal_cents": money_units(
+                          batch.column("c_acctbal"))})
+        return t.group_by("nk").aggregate(
+            [("n_customers", "sum"), ("bal_cents", "sum")]) \
+            .rename_columns(["nk", "n_customers", "bal_cents"])
+
+    cgrid = collect_table(final_merge_sums(
+        cust.map_batches(c_partial, batch_format="pyarrow"),
+        ["nk"], ["n_customers", "bal_cents"], np_=np_).materialize())
+
+    supp = _pq(sf_dir, "supplier", ["s_nationkey"])
+
+    def s_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"nk": pc.cast(batch.column("s_nationkey"),
+                                    pa.int64()),
+                      "n_suppliers": pa.array(
+                          np.ones(batch.num_rows, np.int64))})
+        return t.group_by("nk").aggregate([("n_suppliers", "sum")]) \
+            .rename_columns(["nk", "n_suppliers"])
+
+    sgrid = collect_table(final_merge_sums(
+        supp.map_batches(s_partial, batch_format="pyarrow"),
+        ["nk"], ["n_suppliers"], np_=np_).materialize())
+
+    nt = collect_table(_pq(sf_dir, "nation",
+                           ["n_nationkey", "n_regionkey"])
+                       .materialize())
+    rt = collect_table(_pq(sf_dir, "region",
+                           ["r_regionkey", "r_name"]).materialize())
+    if nt is None or rt is None:
+        return pd.DataFrame({
+            "r_name": pd.Series([], dtype="object"),
+            "n_nations": pd.Series([], dtype="int64"),
+            "n_customers": pd.Series([], dtype="int64"),
+            "n_suppliers": pd.Series([], dtype="int64"),
+            "total_balance": pd.Series([], dtype="float64")})
+    ndf = nt.to_pandas()
+    ndf["nk"] = ndf["n_nationkey"].astype("int64")
+    rdf = rt.to_pandas()
+    df = ndf.merge(rdf, left_on="n_regionkey",
+                   right_on="r_regionkey", how="inner")
+    cdf = (cgrid.to_pandas() if cgrid is not None
+           else pd.DataFrame({"nk": pd.Series([], dtype="int64"),
+                              "n_customers": pd.Series([],
+                                                       dtype="int64"),
+                              "bal_cents": pd.Series([],
+                                                     dtype="int64")}))
+    sdf = (sgrid.to_pandas() if sgrid is not None
+           else pd.DataFrame({"nk": pd.Series([], dtype="int64"),
+                              "n_suppliers": pd.Series([],
+                                                       dtype="int64")}))
+    df = df.merge(cdf, on="nk", how="left").merge(sdf, on="nk",
+                                                  how="left")
+    g = df.groupby("r_name", as_index=False).agg(
+        n_nations=("nk", "nunique"),
+        n_customers=("n_customers", lambda s: int(s.fillna(0).sum())),
+        n_suppliers=("n_suppliers", lambda s: int(s.fillna(0).sum())),
+        bal_cents=("bal_cents", lambda s: int(s.fillna(0).sum())))
+    return pd.DataFrame({
+        "r_name": g["r_name"],
+        "n_nations": g["n_nations"].astype("int64"),
+        "n_customers": g["n_customers"].astype("int64"),
+        "n_suppliers": g["n_suppliers"].astype("int64"),
+        "total_balance": g["bal_cents"].to_numpy(np.int64) / 100.0}) \
+        .sort_values("r_name").reset_index(drop=True)
+
+
+REGION_PROFILE_SQL = """
+WITH c AS (
+  SELECT c_nationkey AS nk, count(*) AS n,
+         sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS bc
+  FROM customer GROUP BY 1
+), s AS (
+  SELECT s_nationkey AS nk, count(*) AS n FROM supplier GROUP BY 1
+)
+SELECT r_name,
+       count(DISTINCT n_nationkey) AS n_nations,
+       CAST(sum(coalesce(c.n, 0)) AS BIGINT) AS n_customers,
+       CAST(sum(coalesce(s.n, 0)) AS BIGINT) AS n_suppliers,
+       CAST(sum(coalesce(c.bc, 0)) AS DOUBLE) / 100.0
+           AS total_balance
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+LEFT JOIN c ON c.nk = n_nationkey
+LEFT JOIN s ON s.nk = n_nationkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
 def analytics_extra_queries():
     return {
         "orders_rolling_aov": orders_rolling_aov,
@@ -4809,6 +4919,7 @@ def analytics_extra_queries():
         "nation_trade_balance": nation_trade_balance,
         "customer_segment_profile": customer_segment_profile,
         "lineitem_discount_quantity_grid": lineitem_discount_quantity_grid,
+        "region_profile": region_profile,
     }
 
 
@@ -4871,4 +4982,5 @@ def analytics_extra_oracle_sql():
         "nation_trade_balance": NATION_TRADE_BALANCE_SQL,
         "customer_segment_profile": CUSTOMER_SEGMENT_PROFILE_SQL,
         "lineitem_discount_quantity_grid": DISCOUNT_QUANTITY_GRID_SQL,
+        "region_profile": REGION_PROFILE_SQL,
     }

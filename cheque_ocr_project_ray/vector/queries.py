@@ -1629,6 +1629,100 @@ ORDER BY label_a, label_b
 """
 
 
+def embedding_dim_correlation(sf_dir: str):
+    """Full Pearson-correlation matrix between embedding dimensions
+    (strict upper triangle, long form) — the redundancy map that
+    ``embedding_covariance`` leaves unscaled: |corr| → 1 pairs flag
+    duplicated / linearly-dependent dimensions a PQ or PCA step can
+    drop.
+
+    100-TB shape: the SAME per-block GEMM partials as
+    ``embedding_covariance`` (one XᵀX + column-sum per block, dim²
+    grid rows through the bounded-adaptive merge, class b); the
+    driver normalizes the collected grid — variances come from the
+    diagonal rows — and emits the i<j triangle.  Both engines spell
+    the identical moment expression; 6dp rounding absorbs sum-order
+    noise."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_sums,
+                                             round_half_up)
+    from cheque_ocr_project_ray.vector.ann import _table_matrix
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _table_matrix(batch)
+        d = m.shape[1]
+        s1 = m.sum(axis=0)
+        s2 = m.T @ m
+        iu, ju = np.triu_indices(d)
+        return pa.table({
+            "i": pa.array(iu.astype(np.int64)),
+            "j": pa.array(ju.astype(np.int64)),
+            "sxy": pa.array(s2[iu, ju], pa.float64()),
+            "sx": pa.array(s1[iu], pa.float64()),
+            "sy": pa.array(s1[ju], pa.float64()),
+            "n": pa.array(np.full(len(iu), len(m), np.int64))})
+
+    agg = collect_table(final_merge_sums(
+        _emb(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        ["i", "j"], ["sxy", "sx", "sy", "n"]).materialize())
+    if agg is None or agg.num_rows == 0:
+        return pd.DataFrame({"i": pd.Series([], dtype="int64"),
+                             "j": pd.Series([], dtype="int64"),
+                             "corr": pd.Series([], dtype="float64")})
+    df = agg.to_pandas()
+    n = df["n"].to_numpy(np.float64)
+    cov = df["sxy"].to_numpy() / n \
+        - (df["sx"].to_numpy() / n) * (df["sy"].to_numpy() / n)
+    var = {int(i): v for i, j, v in
+           zip(df["i"], df["j"], cov) if i == j}
+    mask = df["i"].to_numpy() < df["j"].to_numpy()
+    ii = df["i"].to_numpy()[mask]
+    jj = df["j"].to_numpy()[mask]
+    vi = np.array([var[int(k)] for k in ii])
+    vj = np.array([var[int(k)] for k in jj])
+    corr = cov[mask] / np.sqrt(vi * vj)
+    out = pd.DataFrame({"i": ii.astype("int64"),
+                        "j": jj.astype("int64"),
+                        "corr": round_half_up(corr, 6)})
+    return out.sort_values(["i", "j"]).reset_index(drop=True)
+
+
+EMBEDDING_DIM_CORRELATION_SQL = """
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+d AS (
+  SELECT unnest(list_transform(v, (x, i) -> struct_pack(i := i,
+                                                        x := x))) AS u,
+         v
+  FROM e),
+p AS (
+  SELECT d.u.i - 1 AS i, d.u.x AS xi, t.w.i - 1 AS j, t.w.x AS xj
+  FROM d, LATERAL unnest(list_transform(d.v,
+           (y, k) -> struct_pack(i := k, x := y))) AS t(w)
+  WHERE d.u.i < t.w.i),
+pair AS (
+  SELECT i, j, sum(xi * xj) AS sxy, sum(xi) AS sx, sum(xj) AS sy,
+         count(*) AS n
+  FROM p GROUP BY i, j),
+m AS (
+  SELECT d.u.i - 1 AS i, sum(d.u.x) AS s, sum(d.u.x * d.u.x) AS ss,
+         count(*) AS n
+  FROM d GROUP BY 1)
+SELECT CAST(pair.i AS BIGINT) AS i, CAST(pair.j AS BIGINT) AS j,
+       round((sxy / pair.n - (sx / pair.n) * (sy / pair.n))
+             / sqrt((mi.ss / mi.n - (mi.s / mi.n) * (mi.s / mi.n))
+                    * (mj.ss / mj.n - (mj.s / mj.n) * (mj.s / mj.n))),
+             6) AS corr
+FROM pair
+JOIN m mi ON mi.i = pair.i
+JOIN m mj ON mj.i = pair.j
+ORDER BY i, j
+"""
+
+
 def vector_queries() -> dict[str, Callable]:
     return {
         "embedding_cosine_histogram": embedding_cosine_histogram,
@@ -1638,6 +1732,7 @@ def vector_queries() -> dict[str, Callable]:
         "ann_filtered_topk": ann_filtered_topk,
         "ann_recall_eval": ann_recall_eval,
         "embedding_covariance": embedding_covariance,
+        "embedding_dim_correlation": embedding_dim_correlation,
         "embedding_dim_stats": embedding_dim_stats,
         "embedding_label_separation": embedding_label_separation,
         "embedding_pca_top": embedding_pca_top,
@@ -1671,6 +1766,7 @@ def vector_oracle_sql() -> dict[str, str]:
         "ann_range_search": RANGE_SEARCH_SQL,
         "ann_filtered_topk": ANN_FILTERED_SQL,
         "embedding_covariance": EMBEDDING_COVARIANCE_SQL,
+        "embedding_dim_correlation": EMBEDDING_DIM_CORRELATION_SQL,
         "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,
         "embedding_label_separation": EMBEDDING_LABEL_SEPARATION_SQL,
         "embedding_pca_top": _pca_sql(),

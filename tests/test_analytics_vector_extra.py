@@ -246,3 +246,19 @@ def test_embedding_label_separation_planted(tmp_path, ray_session):
     out = embedding_label_separation(str(tmp_path))
     assert [tuple(r) for r in out.itertuples(index=False)] == [
         (0, 0, 1, 0.0), (0, 1, 2, 2.0)]
+
+
+def test_dim_correlation_planted(tmp_path, ray_session):
+    """Dims engineered as [x, 2x, -x]: corr(0,1) = 1, corr(0,2) = -1,
+    corr(1,2) = -1."""
+    import pandas as pd
+    from cheque_ocr_project_ray.vector.queries import \
+        embedding_dim_correlation
+    pd.DataFrame({
+        "vec_id": [1, 2, 3],
+        "embedding": [[1.0, 2.0, -1.0], [2.0, 4.0, -2.0],
+                      [4.0, 8.0, -4.0]]}) \
+        .to_parquet(tmp_path / "embeddings.parquet")
+    out = embedding_dim_correlation(str(tmp_path))
+    assert list(zip(out["i"], out["j"])) == [(0, 1), (0, 2), (1, 2)]
+    assert out["corr"].tolist() == [1.0, -1.0, -1.0]

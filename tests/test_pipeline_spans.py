@@ -96,3 +96,20 @@ def test_statuses_and_types_present(fixture_dir):
     # ERROR path) and several types occur
     assert len(set(pdf["status"])) == 3
     assert {"ORDER", "GOVT_GOVT_ACCOUNT", "DEMAND_DRAFT"} <= set(pdf["cheque_type"])
+
+
+def test_cheque_type_profile_totals(ray_session):
+    """The per-type grid partitions the corpus: counts sum to the doc
+    count and the field-hit counters are bounded by each row's n."""
+    import __ray_entry__ as entry
+    out = entry.queries()["cheque_type_profile"](
+        "/root/testdata/sf0.001")
+    df = out.to_pandas()
+    assert df["n"].sum() == 600
+    assert (df["n_government"] <= df["n"]).all()
+    assert (df["n_with_amount"] <= df["n"]).all()
+    assert (df["n_with_date"] <= df["n"]).all()
+    # ERROR-status docs carry confidence 0, so a type whose docs all
+    # error can legitimately average 0
+    assert ((df["mean_confidence"] >= 0)
+            & (df["mean_confidence"] <= 1)).all()

@@ -480,3 +480,27 @@ def test_discount_quantity_grid_planted(tmp_path, ray_session):
     assert out["n_lines"].tolist() == [2, 1]
     assert out["avg_discount"].tolist() == [0.075, 0.0]
     assert out["avg_price"].tolist() == [15.0, 99.99]
+
+
+def test_region_profile_planted(tmp_path, ray_session):
+    """Region R1 holds nations 0 (1 customer, bal 10.00; 2 suppliers)
+    and 1 (empty); region R2 holds nation 2 (1 customer bal -2.50)."""
+    from cheque_ocr_project_ray.relational.analytics_extra import \
+        region_profile
+    pd.DataFrame({"r_regionkey": [0, 1],
+                  "r_name": ["R1", "R2"]}) \
+        .to_parquet(tmp_path / "region.parquet")
+    pd.DataFrame({"n_nationkey": [0, 1, 2],
+                  "n_regionkey": [0, 0, 1]}) \
+        .to_parquet(tmp_path / "nation.parquet")
+    pd.DataFrame({"c_nationkey": [0, 2],
+                  "c_acctbal": [10.0, -2.5]}) \
+        .to_parquet(tmp_path / "customer.parquet")
+    pd.DataFrame({"s_nationkey": [0, 0]}) \
+        .to_parquet(tmp_path / "supplier.parquet")
+    out = region_profile(str(tmp_path))
+    assert out["r_name"].tolist() == ["R1", "R2"]
+    assert out["n_nations"].tolist() == [2, 1]
+    assert out["n_customers"].tolist() == [1, 1]
+    assert out["n_suppliers"].tolist() == [2, 0]
+    assert out["total_balance"].tolist() == [10.0, -2.5]
