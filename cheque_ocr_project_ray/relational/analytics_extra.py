@@ -4859,6 +4859,60 @@ GROUP BY r_name ORDER BY r_name
 """
 
 
+def orders_status_profile(sf_dir: str, np_: int = 0):
+    """Per-order-status operational profile: order count, exact-cents
+    revenue and mean order value — the fulfilment-state dashboard row
+    (q4/q21 slice lateness; this totals the pipeline states).
+
+    100-TB shape: pure one-pass combiner — per-batch (status, n,
+    Σcents) partials through the bounded-adaptive merge; only the
+    |statuses| × n_blocks grid reaches the driver (class b)."""
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_sums)
+
+    ds = _pq(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderstatus": batch.column("o_orderstatus"),
+                      "n_orders": pa.array(
+                          np.ones(batch.num_rows, np.int64)),
+                      "cents": money_units(
+                          batch.column("o_totalprice"))})
+        return t.group_by("o_orderstatus").aggregate(
+            [("n_orders", "sum"), ("cents", "sum")]) \
+            .rename_columns(["o_orderstatus", "n_orders", "cents"])
+
+    agg = collect_table(final_merge_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["o_orderstatus"], ["n_orders", "cents"], np_=np_)
+        .materialize())
+    if agg is None or agg.num_rows == 0:
+        return pd.DataFrame({
+            "o_orderstatus": pd.Series([], dtype="object"),
+            "n_orders": pd.Series([], dtype="int64"),
+            "revenue": pd.Series([], dtype="float64"),
+            "aov": pd.Series([], dtype="float64")})
+    df = agg.to_pandas().sort_values("o_orderstatus") \
+        .reset_index(drop=True)
+    cents = df["cents"].to_numpy(np.int64)
+    n = df["n_orders"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "o_orderstatus": df["o_orderstatus"],
+        "n_orders": df["n_orders"].astype("int64"),
+        "revenue": cents / 100.0,
+        "aov": round_half_up(cents / (100.0 * n), 4)})
+
+
+ORDERS_STATUS_PROFILE_SQL = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue,
+       round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             / (100.0 * count(*)), 4) AS aov
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def analytics_extra_queries():
     return {
         "orders_rolling_aov": orders_rolling_aov,
@@ -4920,6 +4974,7 @@ def analytics_extra_queries():
         "customer_segment_profile": customer_segment_profile,
         "lineitem_discount_quantity_grid": lineitem_discount_quantity_grid,
         "region_profile": region_profile,
+        "orders_status_profile": orders_status_profile,
     }
 
 
@@ -4983,4 +5038,5 @@ def analytics_extra_oracle_sql():
         "customer_segment_profile": CUSTOMER_SEGMENT_PROFILE_SQL,
         "lineitem_discount_quantity_grid": DISCOUNT_QUANTITY_GRID_SQL,
         "region_profile": REGION_PROFILE_SQL,
+        "orders_status_profile": ORDERS_STATUS_PROFILE_SQL,
     }

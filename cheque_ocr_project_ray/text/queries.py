@@ -4332,6 +4332,69 @@ JOIN uc ON uc.tok = split_part(bc.bigram, ' ', 1), n
 """
 
 
+def corpus_lang_source_matrix(sf_dir: str, np_: int = 0):
+    """Language × source composition matrix: doc count, exact char
+    mass and mean doc length per cell — the corpus-mixing dashboard
+    that decides sampling weights before training (a source whose
+    'en' cell collapses between snapshots is a crawler regression).
+
+    100-TB shape: pure one-pass combiner — per-batch (lang, source,
+    n, Σchars) partials through the bounded-adaptive merge; only the
+    |langs| × |sources| grid reaches the driver (class b).  Mean is a
+    single division of exact ints on both engines."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from cheque_ocr_project_ray.util import (collect_table,
+                                             final_merge_sums,
+                                             round_half_up)
+
+    docs = ray.data.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"),
+        columns=["lang", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"lang": batch.column("lang"),
+                      "source": batch.column("source"),
+                      "n_docs": pa.array(
+                          np.ones(batch.num_rows, np.int64)),
+                      "total_chars": batch.column("n_chars")})
+        return t.group_by(["lang", "source"]).aggregate(
+            [("n_docs", "sum"), ("total_chars", "sum")]) \
+            .rename_columns(["lang", "source", "n_docs",
+                             "total_chars"])
+
+    agg = collect_table(final_merge_sums(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "source"], ["n_docs", "total_chars"],
+        np_=np_).materialize())
+    if agg is None or agg.num_rows == 0:
+        return pd.DataFrame({
+            "lang": pd.Series([], dtype="object"),
+            "source": pd.Series([], dtype="object"),
+            "n_docs": pd.Series([], dtype="int64"),
+            "total_chars": pd.Series([], dtype="int64"),
+            "avg_chars": pd.Series([], dtype="float64")})
+    df = agg.to_pandas().sort_values(["lang", "source"]) \
+        .reset_index(drop=True)
+    return pd.DataFrame({
+        "lang": df["lang"], "source": df["source"],
+        "n_docs": df["n_docs"].astype("int64"),
+        "total_chars": df["total_chars"].astype("int64"),
+        "avg_chars": round_half_up(
+            df["total_chars"].to_numpy(np.float64)
+            / df["n_docs"].to_numpy(np.float64), 4)})
+
+
+CORPUS_LANG_SOURCE_SQL = """
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(sum(n_chars) / (1.0 * count(*)), 4) AS avg_chars
+FROM documents GROUP BY lang, source ORDER BY lang, source
+"""
+
+
 def text_queries() -> dict[str, Callable]:
     return {
         "doc_token_stats": doc_token_stats,
@@ -4370,6 +4433,7 @@ def text_queries() -> dict[str, Callable]:
         "doc_ttr": doc_ttr,
         "corpus_word_length_histogram": corpus_word_length_histogram,
         "corpus_bigram_entropy": corpus_bigram_entropy,
+        "corpus_lang_source_matrix": corpus_lang_source_matrix,
         "doc_tfidf_pairs": doc_tfidf_pairs,
         "doc_ngram_novelty": doc_ngram_novelty,
         "doc_quality_percentile": doc_quality_percentile,
@@ -4443,6 +4507,7 @@ def text_oracle_sql() -> dict[str, str]:
         "doc_ttr": DOC_TTR_SQL,
         "corpus_word_length_histogram": CORPUS_WORD_LENGTH_SQL,
         "corpus_bigram_entropy": CORPUS_BIGRAM_ENTROPY_SQL,
+        "corpus_lang_source_matrix": CORPUS_LANG_SOURCE_SQL,
         "doc_tfidf_pairs": TFIDF_PAIRS_SQL,
         "doc_ngram_novelty": _ngram_novelty_sql(),
         "doc_simhash": doc_simhash_sql(),

@@ -30,8 +30,8 @@ def test_expected_families_present():
                   "media_decode_stats", "corpus_curation",
                   "corpus_pipeline", "events_sessions"):
         assert probe in qs
-    assert len(qs) >= 256
-    assert len(entry.oracle_sql()) >= 244
+    assert len(qs) >= 258
+    assert len(entry.oracle_sql()) >= 246
 
 
 def _family(name: str) -> str:

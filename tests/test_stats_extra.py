@@ -504,3 +504,18 @@ def test_region_profile_planted(tmp_path, ray_session):
     assert out["n_customers"].tolist() == [1, 1]
     assert out["n_suppliers"].tolist() == [2, 0]
     assert out["total_balance"].tolist() == [10.0, -2.5]
+
+
+def test_orders_status_profile_planted(tmp_path, ray_session):
+    """Status F: orders 10.00 + 20.01 (revenue 30.01, aov 15.005);
+    status O: one 5.00 order."""
+    from cheque_ocr_project_ray.relational.analytics_extra import \
+        orders_status_profile
+    pd.DataFrame({"o_orderstatus": ["F", "F", "O"],
+                  "o_totalprice": [10.0, 20.01, 5.0]}) \
+        .to_parquet(tmp_path / "orders.parquet")
+    out = orders_status_profile(str(tmp_path))
+    assert out["o_orderstatus"].tolist() == ["F", "O"]
+    assert out["n_orders"].tolist() == [2, 1]
+    assert out["revenue"].tolist() == [30.01, 5.0]
+    assert out["aov"].tolist() == [15.005, 5.0]

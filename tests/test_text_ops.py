@@ -503,3 +503,20 @@ def test_bigram_entropy_planted(tmp_path, ray_session):
     h = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
     assert abs(out["entropy"].iloc[0] - h) < 1e-6
     assert abs(out["perplexity"].iloc[0] - math.exp(h)) < 1e-4
+
+
+def test_lang_source_matrix_planted(tmp_path, ray_session):
+    """Two cells: (en, web) with docs of 10+20 chars, (fr, book)
+    with one 7-char doc."""
+    import pandas as pd
+    from cheque_ocr_project_ray.text.queries import \
+        corpus_lang_source_matrix
+    pd.DataFrame({"lang": ["en", "en", "fr"],
+                  "source": ["web", "web", "book"],
+                  "n_chars": [10, 20, 7]}) \
+        .to_parquet(tmp_path / "documents.parquet")
+    out = corpus_lang_source_matrix(str(tmp_path))
+    assert out["lang"].tolist() == ["en", "fr"]
+    assert out["n_docs"].tolist() == [2, 1]
+    assert out["total_chars"].tolist() == [30, 7]
+    assert out["avg_chars"].tolist() == [15.0, 7.0]
